@@ -1,0 +1,64 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; each query is materialized with the noop sink
+(full execution, no driver collect skew). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.registry import all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = os.environ.get("BENCH_ONLY")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in set(only.split(","))}
+
+    # warm-up: JVM/codegen/parquet footer caches
+    materialize(queries["agg_groupby_q1"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    for key in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            materialize(queries[key](spark, sf_dir))
+            per_query[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the sweep alive; surface the failure
+            per_query[key] = -1.0
+            print(f"BENCH_FAIL {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in per_query.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sweep_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "n_queries": len(per_query),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Cross-engine canonicalization helpers (SURVEY.md §7.3 float policy).
+
+The driver value-hashes Spark results against DuckDB. Spark's
+``round(x, n)`` computes the exact decimal expansion of the double and
+rounds HALF_UP; DuckDB rounds doubles by scaling (``std::round(x*10^n) /
+10^n``). The two disagree whenever ``x*10^n`` lands on the other side of
+a .5 boundary than x's decimal expansion — common for derived prices.
+
+``dround`` makes Spark perform DuckDB's sequence: scale in double
+arithmetic, round at scale 0 (HALF_UP == half-away-from-zero, matching
+std::round for every representable value), unscale. Both engines then
+execute bit-identical IEEE ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, scale: int = 0) -> Column:
+    if isinstance(col, str):
+        col = F.col(col)
+    if scale == 0:
+        return F.round(col, 0)
+    p = F.lit(float(10**scale))
+    return F.round(col * p, 0) / p

@@ -1,0 +1,1112 @@
+"""Relational operator inventory (SURVEY.md §2 Table B).
+
+Scans/sinks, filters/projections, the full join family, aggregation
+(incl. rollup/cube/grouping sets, median/mode, pivot), window functions,
+sorts/top-k, and set operations — every key here ships a Spark query and
+(where SQL-expressible) a DuckDB oracle with IDENTICAL column names.
+
+Reference parity: these generalize the dataflow ops the course handout
+exercises (SURVEY.md §2 Table A; canonical paths
+wikipedia/src/main/scala/wikipedia/WikipediaRanking.scala,
+stackoverflow/src/main/scala/stackoverflow/StackOverflow.scala,
+timeusage/src/main/scala/timeusage/TimeUsage.scala — checkout empty at
+build time, see SURVEY.md §0).
+
+Float policy (SURVEY.md §7.3): every computed double aggregate is rounded
+identically on both sides so the driver's value-hash is stable across
+engines; raw stored doubles pass through unrounded (same parquet bits on
+both sides).
+
+Scale notes are inline per operator: broadcast hints for dimension
+tables, partial aggregation via Catalyst HashAggregate, window partition
+keys chosen to distribute (user_id/custkey, never a global partition
+except where semantics demand one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import EVENTS_US_SQL, T, scratch_dir
+
+# --------------------------------------------------------------------------
+# Scans / sources / sinks
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection pushdown: the parquet scan must read only 5 of 11
+    columns (verify via explain → ReadSchema)."""
+    return T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@register("scan_csv_roundtrip")  # rows-only: CSV bytes never touch DuckDB
+def scan_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """A22 capability port (TimeUsage.scala `read`/`dfSchema` [H]): write a
+    CSV with header, re-read with an explicit StructType (no inference —
+    schema inference would be a second full pass at 100 TB), aggregate."""
+    out = scratch_dir("csv_roundtrip")
+    cols = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    ]
+    li = T(spark, sf, "lineitem").select(*cols).filter(F.col("l_orderkey") % 10 == 0)
+    li.write.mode("overwrite").option("header", True).csv(out)
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    )
+    back = spark.read.csv(out, schema=schema, header=True)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scan_json_lines",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2
+    FROM events
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-in-string parsing two ways: path extraction and schema'd
+    from_json (A3/A4 capability — custom line parse)."""
+    ev = T(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.from_json("props", "k LONG").getField("k").alias("k2"),
+    )
+
+
+@register("sink_parquet_partitioned")  # rows-only: exercises our writer
+def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned parquet sink + re-read with partition pruning. At scale
+    the write distributes by the partition column; the re-read filter
+    prunes to a single directory (explain → PartitionFilters)."""
+    out = scratch_dir("sink_partitioned")
+    agg = (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("l_returnflag").isin("A", "R")).select(
+        "l_returnflag", "l_linestatus", "cnt", "sum_price"
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / predicates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_simple",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def filter_simple(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 port. Both predicates must appear in PushedFilters."""
+    li = T(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filter_in_like_null",
+    sql="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type IN ('PROMO', 'ECONOMY')
+      AND p_name LIKE '%ol%'
+      AND p_brand IS NOT NULL
+    """,
+)
+def filter_in_like_null(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_name").like("%ol%")
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@register(
+    "project_arith",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           ROUND(l_extendedprice / l_quantity, 2) AS unit_price
+    FROM lineitem
+    """,
+)
+def project_arith(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(disc, 2).alias("disc_price"),
+        dround(disc * (1 + F.col("l_tax")), 2).alias("charge"),
+        dround(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias("unit_price"),
+    )
+
+
+@register(
+    "project_conditional",
+    sql="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'other' END AS status_word,
+           COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
+           ROUND(GREATEST(o_totalprice, 250000.0), 2) AS gp,
+           ROUND(LEAST(o_totalprice, 250000.0), 2) AS lp
+    FROM orders
+    """,
+)
+def project_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """A24 port (TimeUsage.scala `timeUsageSummary` when/otherwise [H])."""
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_word"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("none")
+        ).alias("prio"),
+        dround(F.greatest("o_totalprice", F.lit(250000.0)), 2).alias("gp"),
+        dround(F.least("o_totalprice", F.lit(250000.0)), 2).alias("lp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    sql="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf: str) -> DataFrame:
+    """A12 port (StackOverflow.scala `groupedPostings` join [H]). Shuffled
+    hash/sort-merge on the key at scale; AQE picks the strategy."""
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    sql="""
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast of the dimension side: no shuffle of the 100 TB
+    fact table, map-side hash join (explain → BroadcastHashJoin)."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "join_star_5way",
+    sql="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS cnt
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_5way(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join: dims broadcast, single shuffle for the final groupBy.
+    The fact table never shuffles for the joins themselves."""
+    r = F.broadcast(T(spark, sf, "region"))
+    n = F.broadcast(T(spark, sf, "nation"))
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+_BIG_ORDERS_SQL = "SELECT * FROM orders WHERE o_totalprice > 450000.0"
+
+
+def _big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # ~top decile of orders → a third of customers have no match,
+    # making the outer/semi/anti joins meaningful
+    return T(spark, sf, "orders").filter(F.col("o_totalprice") > 450000.0)
+
+
+@register(
+    "join_left",
+    sql=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN ({_BIG_ORDERS_SQL}) o ON o_custkey = c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = _big_orders(spark, sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    sql=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM ({_BIG_ORDERS_SQL}) o RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = _big_orders(spark, sf)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full",
+    sql=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN ({_BIG_ORDERS_SQL}) o ON o_custkey = c_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").filter(F.col("c_acctbal") < 0)
+    o = _big_orders(spark, sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    sql=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM ({_BIG_ORDERS_SQL}) o WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = _big_orders(spark, sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    sql=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM ({_BIG_ORDERS_SQL}) o WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = _big_orders(spark, sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    sql="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "region")
+        .crossJoin(F.broadcast(T(spark, sf, "nation")))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "join_theta_range",
+    sql="""
+    SELECT l_orderkey, l_linenumber, p_partkey,
+           ROUND(l_extendedprice / l_quantity - p_retailprice, 2) AS unit_margin
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_extendedprice / l_quantity > p_retailprice
+    """,
+)
+def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi key + residual theta predicate: Spark plans the equi part as
+    the join key and evaluates the inequality as a post-join filter —
+    stays a hash join, never a cartesian."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part"))
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return li.join(
+        p, (li.l_partkey == p.p_partkey) & (unit > p.p_retailprice)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        dround(unit - F.col("p_retailprice"), 2).alias("unit_margin"),
+    )
+
+
+@register(
+    "join_range_interval",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Band join: the user_id equality is the shuffle key, the time band a
+    residual — distributes by user at scale (no global interval join)."""
+    e = T(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "view").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("view_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        (
+            F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "join_asof",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           (SELECT v.event_id FROM v
+             WHERE v.user_id = p.user_id AND v.ts <= p.ts
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+    FROM p
+    """,
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark has no ASOF join type — SURVEY.md §4.2): union the
+    two sides, one window pass per user carries the latest view forward.
+    O(n log n) per user partition, no n² correlated scan — this is the
+    100 TB-safe formulation. Tie order: a view at the exact purchase
+    timestamp counts as prior (kind 0 sorts before kind 1)."""
+    e = T(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("vid"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vid"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("vid", "pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        v.unionByName(p)
+        .withColumn("view_id", F.last("vid", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("pid").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            "view_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    sql="""
+    SELECT COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 port (rdd.aggregate): Catalyst plans partial+final HashAggregate
+    automatically — the map-side combine the course teaches by hand."""
+    li = T(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        dround(F.min("l_extendedprice"), 2).alias("min_price"),
+        dround(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_groupby_q1",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship — TPC-H Q1 shape. Scan reads 7/11 columns with the
+    ship-date filter pushed to parquet row-group stats; two-phase
+    HashAggregate; tiny result."""
+    li = T(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_having",
+    sql="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS total, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice) > 100000.0
+    """,
+)
+def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            dround(F.sum("l_extendedprice"), 2).alias("total"),
+            F.count("*").alias("cnt"),
+            F.sum("l_extendedprice").alias("_raw"),
+        )
+        .filter(F.col("_raw") > 100000.0)
+        .drop("_raw")
+    )
+
+
+@register(
+    "agg_distinct",
+    sql="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n")
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimators differ by engine
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketch-based — the 100 TB
+    path for distinct counts; exact distinct shuffles every key."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_stats",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qe,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qe
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        dround(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        dround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+    )
+
+
+@register(
+    "agg_median_mode",
+    sql="""
+    WITH med AS (
+      SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 2) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cnt AS (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT med.l_returnflag, med.med_qty, cnt.mode_qty
+    FROM med JOIN cnt ON med.l_returnflag = cnt.l_returnflag AND cnt.rn = 1
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """A20/A21 port (StackOverflow.scala `clusterResults` median + dominant
+    value [H]). Mode computed deterministically (ties → smallest value)
+    via count + row_number rather than F.mode, whose tie-break is
+    unspecified — the same choice both engines can reproduce."""
+    li = T(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        dround(F.median("l_quantity"), 2).alias("med_qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "med_qty", "mode_qty"
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    sql="""
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 port (groupByKey materializing per-key values) — made
+    deterministic with sort_array. Bounded per group (≤7 lineitems/order)
+    so safe at scale; unbounded collect_list would not be."""
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+
+
+@register(
+    "agg_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+@register(
+    "agg_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """A28-style SQL-string execution (TimeUsage.scala
+    `timeUsageGroupedSql` [H]): temp view + spark.sql."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "agg_pivot",
+    sql="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list — without it Spark runs an extra
+    distinct job to discover values (a full scan at 100 TB)."""
+    ev = T(spark, sf, "events")
+    return ev.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).agg(
+        dround(F.sum("value"), 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "win_rank_dense_rownum",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+)
+def win_rank_dense_rownum(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_det = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w_det).alias("rn"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group: Spark rewrites rank-filter windows into a
+    per-partition top-k (WindowGroupLimit) — no full sort per group."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_running_sum",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+    FROM e
+    """,
+)
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", dround(F.sum("value").over(w), 2).alias("run_sum")
+    )
+
+
+@register(
+    "win_range_frame",
+    sql=f"""
+    WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs
+               FROM ({EVENTS_US_SQL}))
+    SELECT event_id, user_id, secs,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY secs
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+    FROM e
+    """,
+)
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame over epoch seconds: sliding 1-hour sum per user."""
+    ev = T(spark, sf, "events").withColumn(
+        "secs", (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "secs",
+        dround(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
+
+
+@register(
+    "win_lead_lag",
+    sql=f"""
+    WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS secs
+               FROM ({EVENTS_US_SQL}))
+    SELECT event_id, user_id,
+           secs - LAG(secs) OVER w AS gap_s,
+           LEAD(secs) OVER w - secs AS next_gap_s
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """A-table lineage: per-key neighbor access — inter-event gaps."""
+    ev = T(spark, sf, "events").withColumn(
+        "secs", (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("secs") - F.lag("secs").over(w)).alias("gap_s"),
+        (F.lead("secs").over(w) - F.col("secs")).alias("next_gap_s"),
+    )
+
+
+@register(
+    "win_ntile_pctrank",
+    sql="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6) AS pr,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 6) AS cd
+    FROM orders
+    """,
+)
+def win_ntile_pctrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-order analytics. NOTE: an unpartitioned window is a single-
+    reducer sort — acceptable for ranked exports, not for 100 TB facts
+    (there you'd bucket by range first)."""
+    o = T(spark, sf, "orders")
+    w_det = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_price = Window.orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_det).alias("tile"),
+        dround(F.percent_rank().over(w_price), 6).alias("pr"),
+        dround(F.cume_dist().over(w_price), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_first_last",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value) OVER w AS last_val
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi_nulls",
+    sql="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status, o_totalprice
+    FROM orders
+    ORDER BY status ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    """,
+)
+def sort_multi_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """A13 port (rdd.sortBy desc): multi-key global sort with explicit
+    null placement. Spark range-partitions the sort at scale."""
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        "o_totalprice",
+    ).orderBy(
+        F.col("status").asc_nulls_last(), F.col("o_totalprice").desc(), "o_orderkey"
+    )
+
+
+@register(
+    "topk_global",
+    sql="""
+    SELECT l_orderkey, revenue FROM (
+      SELECT l_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_orderkey) t
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf: str) -> DataFrame:
+    """orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; never a global sort. Sort key
+    is the *rounded* revenue so both engines rank identical values."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+_SET_A_SQL = "SELECT o_orderkey AS key FROM orders WHERE o_totalprice > 400000.0"
+_SET_B_SQL = (
+    "SELECT o_orderkey AS key FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'"
+)
+
+
+def _set_a(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_orderkey").alias("key"))
+    )
+
+
+def _set_b(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_orderkey").alias("key"))
+    )
+
+
+@register("set_union_all", sql=f"{_SET_A_SQL} UNION ALL {_SET_B_SQL}")
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    return _set_a(spark, sf).unionAll(_set_b(spark, sf))
+
+
+@register("set_union_distinct", sql=f"{_SET_A_SQL} UNION {_SET_B_SQL}")
+def set_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return _set_a(spark, sf).union(_set_b(spark, sf)).distinct()
+
+
+@register(
+    "set_intersect",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register("set_except", sql=f"{_SET_A_SQL} EXCEPT ALL {_SET_B_SQL}")
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    return _set_a(spark, sf).exceptAll(_set_b(spark, sf))

@@ -1,0 +1,105 @@
+"""SparkSession factory and table catalog.
+
+The driver passes its own SparkSession to ``entry()``/``queries()``;
+this factory is used by tests and bench so both run with the same
+scale-appropriate settings (AQE on, low shuffle partitions for local
+mode — at cluster scale these come from spark-submit conf instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every table the driver pre-registers as a DuckDB view (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to always broadcast in joins.
+#: At 100 TB, region/nation are fixed-size and supplier/part grow slowly
+#: relative to the fact tables; the broadcast hint removes the shuffle on
+#: the big side entirely (AQE would usually do this, but being explicit
+#: keeps the plan stable across statistics drift).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+def get_spark(app_name: str = "engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read the raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — settable at runtime, so it
+    also works on the driver's own session) and truncate to microseconds,
+    the native Spark timestamp precision. Every event-time oracle applies
+    the same truncation on the DuckDB side
+    (``make_timestamp(epoch_ns(ts)//1000)``) so both engines see identical
+    instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer division on the long — going through double would lose
+    # precision (epoch-ns ~1.7e18 exceeds double's exact-int range)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+#: DuckDB-side canonical events relation (microsecond-truncated ts),
+#: used as `WITH e AS ({EVENTS_US_SQL})` in every event-time oracle.
+EVENTS_US_SQL = (
+    "SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "user_id, event_type, value, props FROM events"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Parquet scan → Catalyst gets pushdown,
+    column pruning, and row-group skipping for free.
+
+    Pins the session timezone to UTC: Spark interprets timestamp
+    literals and date_trunc via session tz, DuckDB (the oracle) uses
+    naive timestamps — UTC makes them agree on any machine, including
+    the driver's own SparkSession which we don't configure."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand used throughout the query modules."""
+    return load_table(spark, sf_dir, name)
+
+
+def scratch_dir(subdir: str) -> str:
+    """Writable scratch area for sink/roundtrip queries (kept inside the
+    repo tree; gitignored)."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent.parent / ".scratch" / subdir
+    p.mkdir(parents=True, exist_ok=True)
+    return str(p)
