@@ -1,1 +1,309 @@
-"""Placeholder — filled in as SURVEY.md §7.1 build order reaches it."""
+"""Scalar-function families (SURVEY.md §2 Table B, fn_* keys).
+
+One query key per family, each exercising the family's functions over
+real testdata columns with a DuckDB oracle. Cross-engine traps handled
+here (and worth knowing at any scale, since they're really
+Spark-vs-ANSI semantics):
+
+- day-of-week numbering: Spark ``dayofweek`` is 1=Sunday, DuckDB 0=Sunday
+  → both sides emit ISO dow (Mon=1) instead.
+- ``floor``/``ceil``: Spark returns BIGINT for double input, DuckDB
+  returns DOUBLE → cast the oracle side.
+- double→int CAST: Spark truncates, DuckDB rounds → oracle uses
+  CAST(TRUNC(x)).
+- list functions with unspecified order (``list_distinct``,
+  ``list_intersect``) → always sorted before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import T
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fn_string",
+    sql="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up,
+           LOWER(p_brand) AS lo,
+           SUBSTR(p_name, 1, 5) AS sub,
+           TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+           CONCAT_WS('-', p_brand, p_type) AS cw,
+           LENGTH(p_name) AS len,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+           REPLACE(p_name, 'o', '0') AS rep,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+           p_name LIKE '%ol%' AS has_ol,
+           REGEXP_MATCHES(p_name, 'w.dget') AS re_widget,
+           STRING_SPLIT(p_name, ' ') AS tokens
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+        F.length("p_name").alias("len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("pad"),
+        F.replace(F.col("p_name"), F.lit("o"), F.lit("0")).alias("rep"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.col("p_name").like("%ol%").alias("has_ol"),
+        F.col("p_name").rlike("w.dget").alias("re_widget"),
+        F.split("p_name", " ").alias("tokens"),
+    )
+
+
+@register(
+    "fn_date",
+    sql="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS y,
+           MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS d,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           DATEDIFF('day', DATE '1995-01-01', o_orderdate) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end,
+           ISODOW(o_orderdate) AS isodow,
+           EPOCH_US(o_orderdate) // 1000000 AS epoch_s,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS ymd,
+           CAST(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_roundtrip
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time family. ISO dow (Mon=1) canonicalizes the engines'
+    different weekday conventions (SURVEY.md §7.3)."""
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add("o_orderdate", 30).alias("plus30"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.weekday("o_orderdate") + 1).alias("isodow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
+            "ts_roundtrip"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+           ABS(l_extendedprice - 50000.0) AS ab,
+           ROUND(POWER(l_discount, 2) * 1e10) / 1e10 AS pow2,
+           SQRT(l_quantity) AS sq,
+           ROUND(LN(l_extendedprice) * 1e10) / 1e10 AS ln_p,
+           ROUND(LOG10(l_extendedprice) * 1e10) / 1e10 AS log10_p,
+           l_orderkey % 7 AS m7,
+           CAST(SIGN(l_discount - 0.03) AS INT) AS sg,
+           ((l_orderkey - 100) % 7 + 7) % 7 AS pm7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Math family. pow/ln/log10 are not IEEE-correctly-rounded (libm
+    differs by engine) → canonicalized at 1e-10; sqrt IS correctly
+    rounded → compared exactly."""
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("ab"),
+        dround(F.pow("l_discount", F.lit(2)), 10).alias("pow2"),
+        F.sqrt("l_quantity").alias("sq"),
+        dround(F.log("l_extendedprice"), 10).alias("ln_p"),
+        dround(F.log10("l_extendedprice"), 10).alias("log10_p"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        F.signum(F.col("l_discount") - 0.03).cast("int").alias("sg"),
+        (((F.col("l_orderkey") - 100) % 7 + 7) % 7).alias("pm7"),
+    )
+
+
+@register(
+    "fn_cast",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CAST(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_rt
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """Cast family. Spark double→int truncates while DuckDB rounds, so
+    the oracle spells TRUNC explicitly; try_cast failure → NULL on both."""
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_rt"),
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
+            "ts_rt"
+        ),
+    )
+
+
+_LEX_LIT = "['spark', 'query', 'join']"
+
+
+@register(
+    "fn_array",
+    sql=f"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+           LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS uniq_sorted,
+           STRING_SPLIT(text, ' ')[1:3] AS first3,
+           LIST_SORT(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                                    {_LEX_LIT})) AS lex_hits
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Array family over tokenized documents. Unordered list ops
+    (distinct/intersect) are sorted before output — DuckDB doesn't
+    guarantee their order."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct(toks)).alias("uniq_sorted"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.sort_array(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(F.lit("spark"), F.lit("query"), F.lit("join"))
+            )
+        ).alias("lex_hits"),
+    )
+
+
+@register(
+    "fn_explode",
+    sql="""
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS token,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def fn_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 port (rdd.flatMap → explode). posexplode gives 0-based pos;
+    DuckDB zips unnest with generate_subscripts."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@register("fn_map")  # rows-only: map construction semantics differ by engine
+def fn_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map family: build source→doc-count map per lang from aggregates,
+    then element_at / map_keys. Deterministic (entries sorted) but kept
+    rows-only per SURVEY.md §2 (DuckDB map comparisons differ)."""
+    d = T(spark, sf, "documents")
+    per = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("source", "cnt")))
+            ).alias("m")
+        )
+        .select(
+            "lang",
+            F.size(F.map_keys(F.col("m"))).alias("n_sources"),
+            F.element_at(F.col("m"), "src0").alias("src0_cnt"),
+            F.sort_array(F.map_keys(F.col("m"))).alias("sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "fn_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           to_json(struct_pack(et := event_type,
+                               k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+             AS packed
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON family: extract + re-serialize a struct. Field order in
+    to_json follows declaration order on both engines."""
+    ev = T(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(F.col("event_type").alias("et"), k.alias("k"))).alias(
+            "packed"
+        ),
+    )
+
+
+@register(
+    "fn_struct",
+    sql="""
+    SELECT r_regionkey, kind, val,
+           to_json(struct_pack(kind := kind, val := val)) AS s_json
+    FROM (
+      SELECT r_regionkey, 'U' AS kind, UPPER(r_name) AS val FROM region
+      UNION ALL
+      SELECT r_regionkey, 'L' AS kind, LOWER(r_name) AS val FROM region
+    ) t
+    """,
+)
+def fn_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct family: nest, inline (struct-array → rows), field access,
+    JSON canonicalization (multimodal-column shape, SURVEY.md §2 D)."""
+    r = T(spark, sf, "region")
+    exploded = r.select(
+        "r_regionkey",
+        F.inline(
+            F.array(
+                F.struct(F.lit("U").alias("kind"), F.upper("r_name").alias("val")),
+                F.struct(F.lit("L").alias("kind"), F.lower("r_name").alias("val")),
+            )
+        ),
+    )
+    s = F.struct(F.col("kind"), F.col("val"))
+    return exploded.select(
+        "r_regionkey",
+        s.getField("kind").alias("kind"),
+        s.getField("val").alias("val"),
+        F.to_json(s).alias("s_json"),
+    )

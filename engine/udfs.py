@@ -1,1 +1,125 @@
-"""Placeholder — filled in as SURVEY.md §7.1 build order reaches it."""
+"""Declared UDF surface (SURVEY.md §2 Table B, udf_* keys).
+
+The engine's rule is native Column expressions everywhere (Catalyst
+can't see through Python), so the Python-function escape hatch is
+quarantined to exactly these keys — mirroring the reference's typed
+Dataset lambdas (TimeUsage.scala `timeUsageGroupedTyped` [H], SURVEY.md
+§2 A29), which are equally optimizer-opaque.
+
+Performance ladder demonstrated here: row-at-a-time Python UDF (slow
+path, per-row pickling) → Arrow-vectorized pandas_udf (~10-100× faster)
+→ pandas GROUPED_AGG → Spark 4 Python UDTF. At 100 TB only the Arrow
+variants are admissible, and only when no built-in expresses the logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import T
+
+# The A24 working-status classifier (TimeUsage.scala `timeUsageSummary`
+# [H]: working ⟺ 1 ≤ telfs < 3), ported to the events table per
+# FIXTURES.md B4: working ⟺ user_id % 3 < 2.
+_CLASSIFY_SQL = "CASE WHEN user_id % 3 < 2 THEN 'working' ELSE 'idle' END"
+
+
+@register(
+    "udf_python_scalar",
+    sql=f"""
+    SELECT user_id, {_CLASSIFY_SQL} AS status, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the declared slow path."""
+
+    @udf(returnType="string")
+    def classify(uid: int) -> str:
+        return "working" if uid % 3 < 2 else "idle"
+
+    ev = T(spark, sf, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("cnt")).select(
+        "user_id", classify("user_id").alias("status"), "cnt"
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    sql=f"""
+    SELECT user_id, {_CLASSIFY_SQL} AS status, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Same classifier, Arrow-vectorized: one pandas batch per task
+    instead of one Python call per row."""
+
+    @pandas_udf("string")
+    def classify(uid: pd.Series) -> pd.Series:
+        return (uid % 3 < 2).map({True: "working", False: "idle"})
+
+    ev = T(spark, sf, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("cnt")).select(
+        "user_id", classify("user_id").alias("status"), "cnt"
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    sql="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))) * 1e6) / 1e6 AS geo_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: geometric mean of event value. NOTE the
+    scale caveat: a grouped-agg pandas UDF materializes each group in
+    one executor's memory (no partial aggregation) — fine for bounded
+    groups, wrong for skewed billion-row keys; there you'd decompose
+    (exp∘avg∘ln is exactly that decomposition, shown in the oracle)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    ev = T(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        dround(geo_mean("value"), 6).alias("geo_mean")
+    )
+
+
+@register(
+    "udtf_tokenize",
+    sql="""
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 Python UDTF (one input row → N output rows), the UDF-side
+    dual of fn_explode."""
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for tok in text.split(" "):
+                yield doc_id, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    T(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0).createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM docs_udtf_v v, "
+        "LATERAL tokenize_udtf(v.doc_id, v.text) t"
+    )
