@@ -1,1 +1,187 @@
-"""Placeholder — filled in as SURVEY.md §7.1 build order reaches it."""
+"""so_kmeans / so_cluster_stats — port of the stackoverflow assignment's
+k-means (SURVEY.md §2 Table C; canonical handout
+stackoverflow/src/main/scala/stackoverflow/StackOverflow.scala:
+`kmeans`/`findClosest`/`averageVectors`/`euclideanDistance` ~L140-170,
+`clusterResults`/`printResults` ~L200-225 — checkout empty at build
+time, SURVEY.md §0).
+
+Reference constants kept: eta = 20.0, maxIterations = 120 [H]. k = 10
+(labels 0..9 per FIXTURES.md B4; the reference used 45 kernels over 15
+langs — `kmeansKernels/langs.length = 3` per lang; ours is 1 per label,
+the same `sampleVectors` per-group-init logic).
+
+Canonical iterative-Spark pattern (SURVEY.md §3.2): the per-iteration
+driver round-trip collects only the k×dim means (tiny); the data-sized
+work — assignment + per-cluster averaging — stays distributed. Means
+enter the plan as literals (the broadcast-in-closure of the reference).
+At 100 TB: input cached once, one narrow map + one partial-aggregated
+shuffle per iteration; nothing driver-sized grows with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import T, scratch_dir
+
+K = 10
+ETA = 20.0  # StackOverflow.scala `kmeansEta` [H]
+MAX_ITER = 120  # StackOverflow.scala `kmeansMaxIterations` [H]
+
+#: final means memo per sf_dir — so_kmeans and so_cluster_stats share one run
+_MEANS_CACHE: dict[str, tuple[list[list[float]], int]] = {}
+
+
+def _sqdist_to(centroid: list[float]) -> Column:
+    """Squared euclidean distance from the embedding column to a literal
+    centroid (`euclideanDistance` [H]) — native expressions, no UDF."""
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with("embedding", lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(df: DataFrame, means: list[list[float]]) -> DataFrame:
+    """`findClosest` [H]: index of the nearest mean; ties → lowest
+    cluster id (array_position returns the first minimum)."""
+    dists = F.array(*[_sqdist_to(m) for m in means])
+    return df.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def _initial_means(emb: DataFrame) -> list[list[float]]:
+    """Deterministic per-label init (the `sampleVectors` per-lang sample
+    [H], made seedless-deterministic): lowest vec_id of each label."""
+    w = Window.partitionBy("label").orderBy("vec_id")
+    rows = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label = {r["label"]: list(r["embedding"]) for r in rows}
+    return [by_label[lbl] for lbl in sorted(by_label)]
+
+
+def kmeans_fit(
+    emb: DataFrame, eta: float = ETA, max_iter: int = MAX_ITER
+) -> tuple[list[list[float]], int]:
+    """Lloyd's loop (`kmeans` [H], tail recursion → driver while-loop)
+    over any (vec_id, embedding, label) DataFrame. Returns final means
+    and the iteration count."""
+    means = _initial_means(emb)
+    dim = len(means[0])
+    it = 0
+    while it < max_iter:
+        it += 1
+        assigned = _assign(emb, means)
+        rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_means = [list(m) for m in means]  # empty cluster keeps its mean
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]
+        for c, vec in acc.items():
+            new_means[c] = vec
+        shift = sum(
+            (a - b) ** 2 for old, new in zip(means, new_means) for a, b in zip(old, new)
+        )
+        means = new_means
+        if shift < eta:  # `euclideanDistance(oldMeans, newMeans) < kmeansEta` [H]
+            break
+    return means, it
+
+
+def run_kmeans(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Fit (memoized per sf_dir) + assign over the embeddings table."""
+    emb = T(spark, sf, "embeddings").cache()
+    if sf not in _MEANS_CACHE:
+        _MEANS_CACHE[sf] = kmeans_fit(emb)
+    means, it = _MEANS_CACHE[sf]
+    return _assign(emb, means).select("vec_id", "label", "cluster"), means, it
+
+
+ASSIGN_PARQUET = None  # set lazily; absolute path shared with the oracle
+
+
+def _assign_path() -> str:
+    return scratch_dir("kmeans") + "/assignments"
+
+
+@register("so_kmeans")  # rows-only: iterative, not SQL-expressible
+def so_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster summary after convergence: size per cluster plus the
+    iteration count (constant column — observability of convergence)."""
+    assigned, _means, it = run_kmeans(spark, sf)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("size"), F.count_distinct("label").alias("n_labels"))
+        .withColumn("iterations", F.lit(it))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "so_cluster_stats",
+    sql=f"""
+    WITH a AS (SELECT * FROM read_parquet('{_assign_path()}/*.parquet')),
+    sizes AS (
+      SELECT cluster, COUNT(*) AS size,
+             ROUND(MEDIAN(vec_id) * 100) / 100 AS med_vec
+      FROM a GROUP BY cluster
+    ),
+    dom AS (
+      SELECT cluster, label AS dom_label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM (SELECT cluster, label, COUNT(*) AS cnt FROM a GROUP BY cluster, label)
+    )
+    SELECT s.cluster, d.dom_label,
+           ROUND(100.0 * d.cnt / s.size * 10) / 10 AS dom_pct,
+           s.size, s.med_vec
+    FROM sizes s JOIN dom d ON s.cluster = d.cluster AND d.rn = 1
+    """,
+)
+def so_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """`clusterResults` [H]: per final cluster — dominant label (mode,
+    deterministic tie-break), dominant %, size, exact median. The
+    assignments are materialized to parquet first and BOTH engines
+    compute stats from that file, so the oracle checks the stats logic
+    exactly even though the iterative loop itself is rows-only."""
+    assigned, _means, _it = run_kmeans(spark, sf)
+    path = _assign_path()
+    assigned.write.mode("overwrite").parquet(path)
+    a = spark.read.parquet(path)
+
+    sizes = a.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        dround(F.median("vec_id"), 2).alias("med_vec"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    dom = (
+        a.groupBy("cluster", "label")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("dom_label"), "cnt")
+    )
+    return sizes.join(dom, "cluster").select(
+        "cluster",
+        "dom_label",
+        dround(100.0 * F.col("cnt") / F.col("size"), 1).alias("dom_pct"),
+        "size",
+        "med_vec",
+    )

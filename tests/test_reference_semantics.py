@@ -1,0 +1,153 @@
+"""Layer-2 reference-semantics tests (SURVEY.md §5.2): ports of the
+course suites' golden micro-cases (FIXTURES.md B1/B2 shapes) plus the
+cross-variant equality invariants the course itself asserts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.kmeans import kmeans_fit
+from engine.registry import all_queries
+from engine.text import rank_index_docs, rank_naive_docs, rank_reduce_docs
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+# --- WikipediaSuite shapes [H] --------------------------------------------
+
+
+def test_wiki_occurrences_micro(spark):
+    # "occurrencesOfLang should work for RDD with one element"
+    docs = spark.createDataFrame(
+        [(0, "Java Scala")], "doc_id long, text string"
+    )
+    r = {x["term"]: x["cnt"] for x in rank_naive_docs(spark, docs, ["Java", "C++"]).collect()}
+    assert r == {"Java": 1, "C++": 0}
+
+
+def test_wiki_whole_token_semantics(spark):
+    # substring matches must NOT count: text.split(' ').contains(lang)
+    docs = spark.createDataFrame(
+        [(0, "javascripted code"), (1, "spark here")], "doc_id long, text string"
+    )
+    for fn in (rank_naive_docs, rank_index_docs, rank_reduce_docs):
+        r = {x["term"]: x["cnt"] for x in fn(spark, docs, ["spark"]).collect()}
+        assert r == {"spark": 1}, fn.__name__
+
+
+def test_wiki_ranking_micro(spark):
+    # ranking ["Scala","Java"] over two docs = [(Scala,2),(Java,1)]
+    docs = spark.createDataFrame(
+        [(0, "Scala Java"), (1, "Scala")], "doc_id long, text string"
+    )
+    expected = [("Scala", 2, 1), ("Java", 1, 2)]
+    for fn in (rank_naive_docs, rank_index_docs, rank_reduce_docs):
+        got = [
+            (r["term"], r["cnt"], r["rank"])
+            for r in fn(spark, docs, ["Scala", "Java"]).orderBy("rank").collect()
+        ]
+        assert got == expected, fn.__name__
+
+
+def test_wiki_three_variants_agree(spark):
+    # the course's own invariant, on real data: identical desc-ordered ranking
+    results = [
+        sorted(map(tuple, QUERIES[k](spark, SF_SMOKE).collect()))
+        for k in ("wiki_rank_naive", "wiki_rank_index", "wiki_rank_reduce")
+    ]
+    assert results[0] == results[1] == results[2]
+    by_rank = sorted(results[0], key=lambda t: t[2])
+    cnts = [t[1] for t in by_rank]
+    assert cnts == sorted(cnts, reverse=True)  # assertEquivalentAndOrdered
+
+
+# --- StackOverflowSuite shapes [H] ----------------------------------------
+
+
+def _so_fixture(spark):
+    # Q(id=1) with answers 5, 11; Q(id=2) with answer 3; Q(id=3) unanswered
+    orders = spark.createDataFrame(
+        [(1,), (2,), (3,)], "o_orderkey long"
+    ).select("o_orderkey", F.lit("x").alias("pad"))
+    lineitem = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 11.0), (2, 1, 3.0)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    return orders, lineitem
+
+
+def test_so_grouped_scored_micro(spark):
+    orders, li = _so_fixture(spark)
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+    grouped = (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        )
+        .collect()
+    )
+    g = {r["o_orderkey"]: (r["n"], r["lines"]) for r in grouped}
+    # unanswered question 3 dropped by the inner join [H]
+    assert g == {1: (2, [1, 2]), 2: (1, [1])}
+    scored = (
+        joined.groupBy("o_orderkey").agg(F.max("l_extendedprice").alias("hs")).collect()
+    )
+    assert {r["o_orderkey"]: r["hs"] for r in scored} == {1: 11.0, 2: 3.0}
+
+
+def test_so_vectors_spread(spark):
+    rows = QUERIES["so_vectors"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["x"] == (r["o_orderkey"] % 10) * 50000
+
+
+# --- k-means ---------------------------------------------------------------
+
+
+def test_kmeans_toy_two_clusters(spark):
+    # two well-separated planted clusters, labels 0/1 → exact recovery
+    pts = [(i, [0.0 + 0.1 * i, 0.0], 0) for i in range(4)]
+    pts += [(10 + i, [100.0 + 0.1 * i, 100.0], 1) for i in range(4)]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int"
+    )
+    means, it = kmeans_fit(emb, eta=1e-9, max_iter=50)
+    assert it <= 50 and len(means) == 2
+    assert abs(means[0][0] - 0.15) < 1e-3 and abs(means[1][0] - 100.15) < 1e-3
+    assert abs(means[0][1] - 0.0) < 1e-6 and abs(means[1][1] - 100.0) < 1e-6
+
+
+def test_kmeans_converges_and_is_stable(spark):
+    df = QUERIES["so_kmeans"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows and rows[0]["iterations"] <= 120
+    assert sum(r["size"] for r in rows) == 500  # every vector assigned
+    again = QUERIES["so_kmeans"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# --- TimeUsageSuite shapes [H] ---------------------------------------------
+
+
+@pytest.mark.parametrize("other", ["tu_grouped_sql", "tu_grouped_typed"])
+def test_tu_three_paths_equal(spark, other):
+    base = sorted(map(tuple, QUERIES["tu_grouped"](spark, SF_SMOKE).collect()))
+    alt = sorted(map(tuple, QUERIES[other](spark, SF_SMOKE).collect()))
+    assert base == alt
+
+
+def test_tu_summary_shape(spark):
+    df = QUERIES["tu_summary"](spark, SF_SMOKE)
+    assert df.columns == [
+        "user_id", "working", "sex", "age", "primary_h", "work_h", "other_h"
+    ]
+    rows = df.collect()
+    # the telfs<=4 analog filter drops uid%10==9
+    assert all(r["user_id"] % 10 != 9 for r in rows)
+    assert all(r["primary_h"] >= 0 for r in rows)
