@@ -29,6 +29,7 @@ _MODULES = (
     "engine.kmeans",
     "engine.summary",
     "engine.similarity",
+    "engine.multimodal",
     "engine.streaming",
 )
 

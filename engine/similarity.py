@@ -1,1 +1,373 @@
-"""Placeholder — filled in as SURVEY.md §7.1 build order reaches it."""
+"""Dedup + similarity-search operators (SURVEY.md §2 Table D and the
+driver's LLM-data-pipeline extension surface, BASELINE.json north_star).
+
+Scale design notes (the point of this module at 100 TB):
+- exact dedup is a hash groupBy — one shuffle on the normalized key.
+- near-dup goes through LSH (MinHash for Jaccard, random projection
+  for cosine): candidate generation is a bucket equi-join, never the
+  O(n²) cross join. The exact variants here are the correctness oracle
+  at test scale and the per-bucket verifier at production scale.
+- ANN search: brute-force cosine is the baseline (broadcast the query
+  set, one pass over the corpus, per-query top-k via window); the IVF
+  variant probes only the nearest coarse cells — the corpus is
+  partitioned by cell, so a probe touches a bounded fraction of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import T
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text))
+                                ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on normalized text; keeps the lowest doc_id per group
+    (deterministic, unlike dropDuplicates). One shuffle on the hash of
+    the normalized key."""
+    d = T(spark, sf, "documents")
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _shingles(tok_col: str = "toks", n: int = 5) -> Column:
+    """n-token shingles as strings (whole-token 5-shingling)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tok_col) - n),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)),
+    )
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with Jaccard distance ≤
+    threshold over 5-shingles (shingle → hashingTF → minhash → banded
+    bucket join). df-parameterized for the planted-duplicate tests."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", _shingles().alias("sh"))
+    shingled = shingled.filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            dround(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: LSH is probabilistic
+def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters via MinHashLSH.approxSimilarityJoin — the scale
+    path for Jaccard dedup (bucket join, no cross product). Verified
+    against an exact small-N Jaccard oracle in tests (SURVEY.md §5.2
+    layer 3)."""
+    return minhash_pairs(T(spark, sf, "documents")).orderBy("a", "b")
+
+
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' ')))) AS s
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT common.a, common.b,
+           ROUND(c / (ca.n + cb.n - c * 1.0) * 10000) / 10000 AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = common.a
+    JOIN counts cb ON cb.doc_id = common.b
+    WHERE c / (ca.n + cb.n - c * 1.0) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", sql=_JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram (5-shingle) Jaccard pairs ≥ 0.5. Candidate pairs come
+    from a self-join on shared shingles — equivalent to an inverted
+    index, so cost scales with shared-shingle pairs, not n². (At 100 TB
+    you'd cap hot shingles by document frequency first.)"""
+    d = T(spark, sf, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c") * F.lit(1.0))
+    return (
+        common.join(ca, "a")
+        .join(cb, "b")
+        .filter(jac >= 0.5)
+        .select("a", "b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token hashes, entirely in native
+    expressions: per bit b, sign of Σ_tokens (bit b of xxhash64(token)
+    ? +1 : -1); the 64 signs pack into one BIGINT. One narrow pass —
+    no shuffle until the bucket groupBy."""
+    toks = F.array_distinct(F.split("text", " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        # Σ tokens: +1 if bit b of the token hash is set, else -1
+        # (shift amounts must be Python ints — F.shiftright rejects Columns)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    # pack the 64 sign bits; bit 63 added as -2^63 to stay in BIGINT range
+    acc = F.lit(0).cast("long")
+    for b in range(63):
+        acc = acc + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    acc = acc + F.when(vote(63) > 0, F.lit(-(2**63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return docs.withColumn("simhash", acc)
+
+
+@register("dedup_simhash")  # rows-only: hash function is engine-specific
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup buckets: identical 64-bit simhash → candidate
+    duplicates. Deterministic (xxhash64 is seeded-fixed); verified by
+    planted-duplicate tests."""
+    d = simhash_df(T(spark, sf, "documents"))
+    return (
+        d.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_TOPK_EXACT_SQL = """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(q.e, c.e) * 1e6) / 1e6 AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.e, c.e) * 1e6) / 1e6 DESC,
+                        c.vec_id) AS rnk
+      FROM q, c WHERE q.vec_id <> c.vec_id) t
+    WHERE rnk <= 5
+"""
+
+
+@register("sim_cosine_topk_exact", sql=_TOPK_EXACT_SQL)
+def sim_cosine_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors: broadcast the tiny
+    query side, one pass over the corpus, per-query top-k window (which
+    Spark executes as WindowGroupLimit — no full per-group sort). Ranks
+    on the ROUNDED similarity + vec_id so both engines order ties
+    identically."""
+    emb = T(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register("sim_cosine_topk_lsh")  # rows-only: LSH is probabilistic
+def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-5 via BucketedRandomProjectionLSH (euclidean on
+    L2-normalized vectors ≈ cosine): the 100-TB path — candidates come
+    from matching hash buckets only. Recall vs the exact variant is
+    property-tested (≥ 0.8, SURVEY.md §5.2)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = T(spark, sf, "embeddings")
+    to_vec = array_to_vector
+    base = emb.select("vec_id", to_vec(_as_double("embedding")).alias("raw"))
+    norm = Normalizer(inputCol="raw", outputCol="v", p=2.0).transform(base)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="h", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(norm)
+    q = norm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = model.approxSimilarityJoin(
+        q.withColumnRenamed("qv", "v").withColumnRenamed("query_id", "vec_id"),
+        norm,
+        2.0,
+        distCol="d",
+    )
+    pairs = cand.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        # on unit vectors: cos = 1 - d²/2
+        dround(1 - F.col("d") * F.col("d") / 2, 6).alias("cos"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register("sim_cosine_topk_ivf")  # rows-only: approximate (cell pruning)
+def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus with the k-means
+    centroids (engine.kmeans), then search only the nprobe=3 cells
+    nearest to each query. At scale the corpus is written partitioned
+    by cell, so a query reads a bounded fraction of the data; here the
+    cell filter is an equi-join on cell id."""
+    from engine.kmeans import run_kmeans
+
+    emb = T(spark, sf, "embeddings")
+    assigned, means, _ = run_kmeans(spark, sf)
+    corpus = (
+        emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"),
+                F.col("cluster").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    # nprobe nearest cells per query, computed against the centroid list
+    import math
+
+    def top_cells(qrow):
+        def dist(c):
+            return sum((x - y) ** 2 for x, y in zip(qrow, c))
+
+        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
+
+    qrows = q.collect()  # 5 rows — the query set is driver-sized by definition
+    probe = spark.createDataFrame(
+        [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
+        "query_id long, cell int",
+    )
+    scored = (
+        q.join(F.broadcast(probe), "query_id")
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+_EMB_NEARDUP_SQL = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.95
+"""
+
+
+@register("dedup_embedding", sql=_EMB_NEARDUP_SQL)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95), candidate-limited to
+    same-label cells — the coarse-quantization trick that keeps this an
+    equi-join + residual instead of an n² cross join."""
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        .filter(cos >= 0.95)
+        .select("a", "b", dround(cos, 6).alias("cos"))
+    )

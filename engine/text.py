@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from engine.canon import dround
 from engine.registry import register
 from engine.session import T
 
@@ -131,3 +132,243 @@ def wiki_rank_reduce(spark: SparkSession, sf: str) -> DataFrame:
     other variants. 0-hit terms still rank (left join back to the
     lexicon) so all three variants agree on all 15 rows."""
     return rank_reduce_docs(spark, T(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# text_* — LLM-pipeline text analysis (SURVEY.md §2 Table D + extensions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_wordcount_topn",
+    sql="""
+    SELECT token, cnt, rnk FROM (
+      SELECT token, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+      GROUP BY token) t
+    WHERE rnk <= 20
+    """,
+)
+def text_wordcount_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Global token frequency top-20 (deterministic tiebreak token asc).
+    Partial aggregation shrinks the shuffle to distinct tokens."""
+    d = T(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+@register(
+    "text_tfidf_topterms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (LN((n.n + 1.0) / (df.df + 1.0)) + 1.0) * 1e6) / 1e6
+               AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, score FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """tf-idf, top term per document: idf = ln((N+1)/(df+1)) + 1 (smooth
+    variant). All native; N joins in as a broadcast 1-row aggregate so
+    the plan stays fully declarative (no driver-side count)."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            dround(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "score")
+    )
+
+
+@register(
+    "text_lang_dist",
+    sql="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars) * 100) / 100 AS avg_chars,
+           CAST(GROUPING(lang) AS INT) AS g_lang,
+           CAST(GROUPING(source) AS INT) AS g_source
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def text_lang_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition: doc count + avg length by lang × source with
+    rollup totals."""
+    d = T(spark, sf, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        dround(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+    )
+
+
+#: tiny per-language marker lexicons for the heuristic language-ID.
+#: The testdata text is synthetic analytics word-soup, so these are
+#: markers chosen from its vocabulary per n-gram frequency — the
+#: OPERATOR (argmax of marker-hit ratios with a fixed priority) is the
+#: real thing; swap lexicons for real char-n-gram tables on real text.
+LANGID_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow"],
+    "es": ["spark", "query", "row"],
+    "fr": ["join", "table", "key"],
+    "de": ["group", "sort", "batch"],
+    "zh": ["hash", "merge", "value"],
+}
+
+_LANGID_SCORES_SQL = ", ".join(
+    "LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), "
+    f"[{', '.join(repr(m) for m in marks)}])) AS s_{lang}"
+    for lang, marks in LANGID_MARKERS.items()
+)
+_LANGID_ARGMAX_SQL = "CASE " + " ".join(
+    f"WHEN s_{lang} >= GREATEST(s_en, s_es, s_fr, s_de, s_zh) THEN '{lang}'"
+    for lang in ("en", "es", "fr", "de", "zh")
+) + " END"
+
+
+@register(
+    "text_langid",
+    sql=f"""
+    SELECT doc_id, lang, {_LANGID_ARGMAX_SQL} AS pred_lang
+    FROM (SELECT doc_id, lang, {_LANGID_SCORES_SQL} FROM documents) t
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language-ID: marker-token hit counts per language,
+    argmax with fixed priority order (en > es > fr > de > zh on ties).
+    Single narrow pass — no shuffle."""
+    d = T(spark, sf, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANGID_MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in scores]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGID_MARKERS])
+    pred = F.when(F.col("s_en") >= best, "en")
+    for lang in ("es", "fr", "de", "zh"):
+        pred = pred.when(F.col(f"s_{lang}") >= best, lang)
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@register(
+    "text_quality",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             STRING_SPLIT(text, ' ') AS toks,
+             LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS uniq
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(toks) AS n_tokens,
+           ROUND(n_chars / (LEN(toks) * 1.0) * 10000) / 10000 AS avg_tok_len,
+           ROUND(LEN(uniq) / (LEN(toks) * 1.0) * 10000) / 10000 AS uniq_ratio,
+           ROUND(LEN(LIST_INTERSECT(uniq, [{", ".join(repr(s) for s in _STOPWORDS)}]))
+                 / (LEN(uniq) * 1.0) * 10000) / 10000 AS stop_ratio,
+           (LEN(toks) BETWEEN 20 AND 1000) AND
+           (n_chars / (LEN(toks) * 1.0) BETWEEN 2 AND 12) AS quality_ok
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, type/token ratio,
+    stopword ratio, and a composite keep/drop flag — the standard
+    pretraining-filter features, all as one narrow projection."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    uniq = F.array_distinct(toks)
+    n_toks = F.size(toks)
+    avg_tok = F.col("n_chars") / (n_toks * F.lit(1.0))
+    t = d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        dround(avg_tok, 4).alias("avg_tok_len"),
+        dround(F.size(uniq) / (n_toks * F.lit(1.0)), 4).alias("uniq_ratio"),
+        dround(
+            F.size(F.array_intersect(uniq, F.array(*[F.lit(s) for s in _STOPWORDS])))
+            / (F.size(uniq) * F.lit(1.0)),
+            4,
+        ).alias("stop_ratio"),
+        (n_toks.between(20, 1000) & avg_tok.between(2, 12)).alias("quality_ok"),
+    )
+    return t
+
+
+@register(
+    "text_tokens",
+    sql="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_ws,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS n_re,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex word
+    pieces, and the chars/4 estimator used for quick budget math."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("n_re"),
+        F.ceil(F.col("n_chars") / 4.0).alias("n_bpe_est"),
+    )
+
+
+@register("text_fingerprint")  # rows-only: engine-specific token hash
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over token hashes
+    (mod 2^31-ish prime so the fold never overflows ANSI bigint math).
+    Equal fingerprints → exact-duplicate token sequences. Narrow pass;
+    dedup on the fingerprint is then a cheap groupBy."""
+    d = T(spark, sf, "documents")
+    prime = F.lit(1_000_000_007).cast("long")
+    fp = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), prime), prime),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), "n_chars")

@@ -1,0 +1,120 @@
+"""Layer-3 property tests (SURVEY.md §5.2) for the probabilistic /
+rows-only LLM-pipeline ops: planted duplicates must be found; LSH
+recall vs the exact oracle must clear the floor."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+from engine.similarity import minhash_pairs, simhash_df
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+_VOCAB = [f"w{i}" for i in range(500)]
+
+
+def _doc(rng: random.Random, n: int = 100) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+def _planted_docs(spark, n_base: int = 40):
+    """Corpus with exact dups (id+1000) and near-dups (id+2000, 3 of 100
+    tokens perturbed) planted for each of the first 5 base docs."""
+    rng = random.Random(42)
+    rows = [(i, _doc(rng)) for i in range(n_base)]
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((1000 + i, base))  # exact dup
+        toks = base.split(" ")
+        for j in (3, 40, 77):
+            toks[j] = "zz" + str(j)
+        rows.append((2000 + i, " ".join(toks)))  # near dup (~94% jaccard tokens)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_dups(spark):
+    docs = _planted_docs(spark)
+    pairs = {(r["a"], r["b"]) for r in minhash_pairs(docs, threshold=0.5).collect()}
+    for i in range(5):
+        assert (i, 1000 + i) in pairs, f"exact dup {i} missed"
+        assert (i, 2000 + i) in pairs, f"near dup {i} missed"
+
+
+def test_simhash_exact_dups_identical_and_neardups_close(spark):
+    docs = _planted_docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    for i in range(5):
+        assert sh[i] == sh[1000 + i], f"exact dup {i}: simhash differs"
+        ham = bin((sh[i] ^ sh[2000 + i]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16, f"near dup {i}: hamming {ham} too far"
+    # unrelated docs should NOT collide
+    others = [bin((sh[0] ^ sh[j]) & ((1 << 64) - 1)).count("1") for j in range(10, 30)]
+    assert min(others) > 10
+
+
+def test_ngram_jaccard_scores_planted_dups(spark):
+    docs = _planted_docs(spark)
+    from engine.similarity import _shingles
+
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c") * F.lit(1.0))
+    got = {
+        (r["a"], r["b"]): r["j"]
+        for r in common.join(ca, "a").join(cb, "b").select("a", "b", jac.alias("j")).collect()
+    }
+    for i in range(5):
+        assert got.get((i, 1000 + i)) == 1.0  # identical shingle sets
+        assert got.get((i, 2000 + i), 0.0) > 0.6  # 3 perturbed tokens
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    ex = {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx_rows:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    scores = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    return sum(scores) / len(scores)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    exact = QUERIES["sim_cosine_topk_exact"](spark, SF_SMOKE).collect()
+    approx = QUERIES["sim_cosine_topk_lsh"](spark, SF_SMOKE).collect()
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    exact = QUERIES["sim_cosine_topk_exact"](spark, SF_SMOKE).collect()
+    approx = QUERIES["sim_cosine_topk_ivf"](spark, SF_SMOKE).collect()
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_multimodal_decode_shape(spark):
+    df = QUERIES["multimodal_decode"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows[:20]:
+        assert r["thumb_w"] <= 256 and r["thumb_h"] <= 256
+        assert r["n_bytes"] > 0
+    # deterministic: same input → same fake dimensions
+    again = QUERIES["multimodal_decode"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
