@@ -83,8 +83,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Pins the session timezone to UTC: Spark interprets timestamp
     literals and date_trunc via session tz, DuckDB (the oracle) uses
     naive timestamps — UTC makes them agree on any machine, including
-    the driver's own SparkSession which we don't configure."""
+    the driver's own SparkSession which we don't configure.
+
+    Also right-sizes shuffle parallelism when the session still has the
+    stock default: 200 shuffle partitions (and thus 200 streaming state
+    store shards) is overhead-dominated at local scale factors — AQE
+    coalesces batch shuffles, but streaming state partitioning is fixed
+    at query start, so it must be set before the first plan. On a real
+    cluster this comes from spark-submit conf instead (engine rule,
+    SURVEY.md §4.3)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,1 +1,288 @@
-"""Placeholder — filled in as SURVEY.md §7.1 build order reaches it."""
+"""Streaming operators over events (SURVEY.md §2 Table B stream_* keys).
+
+Two tiers per SURVEY.md §7.1 step 6:
+- batch-window forms (tumbling / sliding / session): the SAME
+  `F.window` / `F.session_window` functions Spark uses under
+  readStream, executed in batch so they are DuckDB-oracle-checkable.
+- true Structured Streaming variants: a deterministic file-source
+  replay of events (ordered json slices with controlled modification
+  times → stable trigger batching), watermarked window aggregation in
+  append mode, streaming dedup, and arbitrary-state running counts via
+  applyInPandasWithState. These are rows-only (result depends on
+  arrival order, which the replay fixture pins).
+
+Scale notes: event-time state is keyed by (window, type) / (user) —
+state store shards by key; the watermark bounds state size, which is
+what makes unbounded streams feasible at all. The replay fixture is
+driver-built (test harness only, not an operator path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import EVENTS_US_SQL, T, scratch_dir
+
+# --------------------------------------------------------------------------
+# Batch-window forms (SQL-oracled)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type — `F.window` is the same
+    operator batch and stream (epoch-aligned windows == date_trunc)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS window_start_us,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM e CROSS JOIN generate_series(0, 3) AS g(k)
+    WHERE epoch_us(ts) - (epoch_us(ts) // 900000000 - k) * 900000000
+          < 3600000000
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 windows
+    (the oracle enumerates the k=0..3 shifted buckets explicitly)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (`F.session_window`)
+    checked against the classic gaps-and-islands SQL — the two
+    formulations must agree exactly (SURVEY.md §4.2)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# True Structured Streaming (rows-only; deterministic file replay)
+# --------------------------------------------------------------------------
+
+_REPLAY_FILES = 8
+_MEM_COUNTER = [0]
+
+
+def _replay_dir(spark: SparkSession, sf: str, late: bool) -> str:
+    """Materialize events as N sequential json slices (FIXTURES.md B5).
+    Modification times increase per file so the file source triggers in
+    order. late=True moves the event_id%20==0 sample into the LAST file
+    (they arrive after the watermark has passed their event time)."""
+    tag = os.path.basename(sf.rstrip("/")) + ("_late" if late else "")
+    path = scratch_dir(f"stream_replay/{tag}")
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        return path
+    rows = (
+        T(spark, sf, "events")
+        .select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+            "event_type", "value",
+        )
+        .orderBy("ts_us")
+        .collect()  # replay-fixture builder (test harness), not an operator
+    )
+    main = [r.asDict() for r in rows if not (late and r["event_id"] % 20 == 0)]
+    lates = [r.asDict() for r in rows if late and r["event_id"] % 20 == 0]
+    chunk = max(1, (len(main) + _REPLAY_FILES - 1) // _REPLAY_FILES)
+    base_t = 1_700_000_000
+    n_files = 0
+    for i in range(0, len(main), chunk):
+        fp = os.path.join(path, f"slice_{n_files:03d}.json")
+        with open(fp, "w") as f:
+            for r in main[i : i + chunk]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fp, (base_t + n_files, base_t + n_files))
+        n_files += 1
+    if late:
+        fp = os.path.join(path, f"slice_{n_files:03d}_late.json")
+        with open(fp, "w") as f:
+            for r in lates:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fp, (base_t + n_files, base_t + n_files))
+    open(marker, "w").close()
+    return path
+
+
+_REPLAY_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, value double"
+)
+
+
+def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .json(path)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a memory
+    sink; returns the sink table."""
+    _MEM_COUNTER[0] += 1
+    name = f"stream_mem_{_MEM_COUNTER[0]}"
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_watermark_late")  # rows-only: depends on arrival order
+def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
+    """True streaming run: 10-minute watermark, 1-hour tumbling counts,
+    APPEND mode (only watermark-finalized windows emit). The replay
+    delivers a 5% sample 'late' in the final batch — events whose window
+    already closed are dropped, the observable watermark semantics.
+    In-order-replay equivalence to the batch form is asserted in tests."""
+    path = _replay_dir(spark, sf, late=True)
+    s = _read_stream(spark, path)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(agg, "append")
+
+
+@register("stream_dedup_watermark")  # rows-only
+def stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark) — the bounded-state form of
+    dropDuplicates; summarized per type for a stable small result."""
+    path = _replay_dir(spark, sf, late=False)
+    s = _read_stream(spark, path).withWatermark("ts", "10 minutes")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy(
+        "event_type"
+    )
+
+
+def _count_state_fn(key, pdfs, state: GroupState):
+    """Running per-user event count (arbitrary stateful op)."""
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "cnt": [total]})
+
+
+@register("stream_stateful_count")  # rows-only
+def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user counts updated every micro-batch (state = one counter per
+    user; the state store shards by user_id at scale). Final value per
+    user must equal the batch count — asserted in tests."""
+    path = _replay_dir(spark, sf, late=False)
+    s = _read_stream(spark, path)
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("cnt", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+    updates = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_state_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    mem = _run_to_memory(updates, "update")
+    # memory sink in update mode appends one row per key per batch;
+    # the running maximum is the final count
+    return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")

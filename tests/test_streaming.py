@@ -1,0 +1,85 @@
+"""Streaming-semantics tests (SURVEY.md §5.2 layer 3): replayed streams
+must agree with their batch forms; watermark behavior must be visible."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+from engine.session import T
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def test_stateful_count_equals_batch(spark):
+    stream = {
+        r["user_id"]: r["cnt"]
+        for r in QUERIES["stream_stateful_count"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: r["cnt"]
+        for r in T(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_dedup_watermark_equals_distinct(spark):
+    stream = {
+        r["event_type"]: r["cnt"]
+        for r in QUERIES["stream_dedup_watermark"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["event_type"]: r["cnt"]
+        for r in T(spark, SF_SMOKE, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_watermark_late_is_batch_subset_with_drops(spark):
+    """Append-mode windows are a subset of batch tumbling counts: equal
+    for early finalized windows except where the late sample was
+    dropped; never larger; tail windows (watermark not passed) absent."""
+    stream = {
+        (r["window_start_us"], r["event_type"]): r["cnt"]
+        for r in QUERIES["stream_watermark_late"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["window_start_us"], r["event_type"]): r["cnt"]
+        for r in QUERIES["stream_tumbling"](spark, SF_SMOKE).collect()
+    }
+    assert stream, "no windows finalized"
+    for k, cnt in stream.items():
+        assert k in batch, f"stream emitted unknown window {k}"
+        assert cnt <= batch[k], f"stream count exceeds batch for {k}"
+    # the late 5% sample (event_id%20==0) guarantees at least one window
+    # where the dropped-late count is visible
+    assert any(cnt < batch[k] for k, cnt in stream.items())
+    # windows not yet past the watermark must not have been emitted
+    assert len(stream) < len(batch)
+
+
+def test_session_window_batch_matches_gaps_and_islands(spark):
+    """Both session formulations already hash-match DuckDB; here assert
+    the structural invariant: sessions partition each user's events."""
+    sess = QUERIES["stream_session"](spark, SF_SMOKE)
+    per_user_sess = {
+        r["user_id"]: r["total"]
+        for r in sess.groupBy("user_id").agg(F.sum("cnt").alias("total")).collect()
+    }
+    per_user_batch = {
+        r["user_id"]: r["total"]
+        for r in T(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("total"))
+        .collect()
+    }
+    assert per_user_sess == per_user_batch
