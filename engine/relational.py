@@ -1110,3 +1110,27 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @register("set_except", sql=f"{_SET_A_SQL} EXCEPT ALL {_SET_B_SQL}")
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
     return _set_a(spark, sf).exceptAll(_set_b(spark, sf))
+
+
+# --------------------------------------------------------------------------
+# Custom sampling (SURVEY.md §4.2 — built-ins don't cover exact-N per key)
+# --------------------------------------------------------------------------
+
+
+@register("sample_per_group")  # rows-only: hash-seeded order is Spark-side
+def sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A17 port (StackOverflow.scala `sampleVectors` [H]: exactly
+    kernels/langs vectors per language, deterministic per-lang RNG).
+    sampleBy() is Bernoulli — not exact-N — so this uses the scale-safe
+    deterministic trick: order each group by a seeded HASH of the key
+    (stable under any partitioning, unlike rand(seed) which depends on
+    partition layout) and keep the first 3. One shuffle, no RNG state."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.xxhash64("o_orderkey", F.lit(42)), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )

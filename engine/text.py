@@ -372,3 +372,44 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), prime), prime),
     )
     return d.select("doc_id", fp.alias("fingerprint"), "n_chars")
+
+
+# --------------------------------------------------------------------------
+# A3 port: pseudo-XML line parsing (WikipediaData.parse [H])
+# --------------------------------------------------------------------------
+
+
+@register("wiki_parse_lines")  # rows-only: the text file is Spark-written
+def wiki_parse_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """`WikipediaData.parse` [H]: one `<page><title>T</title><text>B
+    </text></page>` line per article, parsed by marker extraction. We
+    synthesize the raw-line form from documents (FIXTURES.md B1), write
+    it as a text source, re-read with spark.read.text, and parse with
+    native regexp_extract — the substring-between-markers semantics of
+    the handout, minus the driver-side List[String] (the handout reads
+    the whole file on the driver; a text source scan distributes)."""
+    from engine.session import scratch_dir
+
+    out = scratch_dir("wiki_lines")
+    d = T(spark, sf, "documents")
+    raw = d.select(
+        F.concat(
+            F.lit("<page><title>doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><text>"),
+            F.col("text"),
+            F.lit("</text></page>"),
+        ).alias("value")
+    )
+    raw.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.regexp_extract("value", r"<title>doc-(\d+)</title>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("value", r"<text>(.*)</text>", 1).alias("text"),
+    )
+    return parsed.select(
+        "doc_id", F.length("text").alias("text_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )

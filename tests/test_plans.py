@@ -1,0 +1,90 @@
+"""Physical-plan quality gates (SURVEY.md §4.3): these assertions pin
+the *plan shapes* that make the operators viable at 100 TB — if a
+refactor silently turns a broadcast join into a sort-merge join or
+drops a parquet pushdown, these fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from engine.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def plan(spark, key: str, mode: str = "formatted") -> str:
+    df = QUERIES[key](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark):
+    p = plan(spark, "scan_project")
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs, p
+    line = rs[0]
+    assert "l_quantity" in line and "l_extendedprice" in line
+    # pruned columns must not be read from parquet
+    assert "l_shipdate" not in line and "l_discount" not in line
+
+
+def test_filter_simple_pushdown(spark):
+    p = plan(spark, "filter_simple")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    assert "GreaterThan(l_quantity,30" in line
+    assert "GreaterThanOrEqual(l_discount,0.02" in line
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    p = plan(spark, "agg_groupby_q1")
+    assert any("PushedFilters" in ln and "l_shipdate" in ln for ln in p.splitlines()), p
+    # two-phase aggregation: partial + final HashAggregate
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_broadcast_joins_stay_broadcast(spark):
+    for key in ("join_broadcast", "join_star_5way", "join_theta_range"):
+        p = plan(spark, key)
+        assert "BroadcastHashJoin" in p, f"{key}: no broadcast join\n{p}"
+
+
+def test_star_join_does_not_sort_merge_dims(spark):
+    p = plan(spark, "join_star_5way")
+    # only the fact-side orders/customer joins may shuffle; the region/
+    # nation dims must never appear under a SortMergeJoin
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_topk_global_is_take_ordered(spark):
+    p = plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_window_topk_uses_group_limit(spark):
+    p = plan(spark, "win_topk_per_group")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_no_cartesian_in_band_join(spark):
+    p = plan(spark, "join_range_interval")
+    assert "CartesianProduct" not in p, p
+
+
+def test_csv_reread_uses_explicit_schema(spark):
+    # A22: re-read must not trigger schema inference (no extra scan);
+    # cheap proxy: the plan's csv scan reads the declared columns
+    p = plan(spark, "scan_csv_roundtrip")
+    assert "csv" in p.lower(), p
+
+
+def test_sink_partitioned_prunes_partitions(spark):
+    p = plan(spark, "sink_parquet_partitioned")
+    assert "PartitionFilters" in p, p

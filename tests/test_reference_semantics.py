@@ -151,3 +151,41 @@ def test_tu_summary_shape(spark):
     # the telfs<=4 analog filter drops uid%10==9
     assert all(r["user_id"] % 10 != 9 for r in rows)
     assert all(r["primary_h"] >= 0 for r in rows)
+
+
+# --- custom ops (SURVEY.md §4.2) -------------------------------------------
+
+
+def test_sample_per_group_exact_n_and_deterministic(spark):
+    df = QUERIES["sample_per_group"](spark, SF_SMOKE)
+    rows = df.collect()
+    per_group: dict[int, int] = {}
+    for r in rows:
+        per_group[r["o_custkey"]] = per_group.get(r["o_custkey"], 0) + 1
+    assert all(n <= 3 for n in per_group.values())
+    # groups with >=3 orders yield exactly 3
+    from engine.session import T as _T
+
+    sizes = {
+        r["o_custkey"]: r["n"]
+        for r in _T(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for g, n in per_group.items():
+        assert n == min(3, sizes[g]), (g, n, sizes[g])
+    again = QUERIES["sample_per_group"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_wiki_parse_roundtrip(spark):
+    parsed = QUERIES["wiki_parse_lines"](spark, SF_SMOKE)
+    from engine.session import T as _T
+
+    orig = _T(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, orig.collect()))
