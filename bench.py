@@ -32,7 +32,8 @@ def main() -> None:
         queries = {k: v for k, v in queries.items() if k in set(only.split(","))}
 
     # warm-up: JVM/codegen/parquet footer caches
-    materialize(queries["agg_groupby_q1"](spark, sf_dir))
+    warm = queries.get("agg_groupby_q1") or next(iter(queries.values()))
+    materialize(warm(spark, sf_dir))
 
     per_query: dict[str, float] = {}
     for key in sorted(queries):

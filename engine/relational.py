@@ -1134,3 +1134,43 @@ def sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@register("agg_approx_quantiles")  # rows-only: sketch internals differ
+def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via percentile_approx) next to
+    the exact percentiles it approximates — the mergeable-sketch path
+    for 100 TB (exact percentile needs a full sort per group; the
+    sketch is one partial-aggregable pass)."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "approx_pcts"
+            ),
+            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+            .alias("exact_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            F.transform("approx_pcts", lambda x: dround(x, 2)).alias("approx_pcts"),
+            F.transform("exact_pcts", lambda x: dround(x, 2)).alias("exact_pcts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("sample_stratified")  # rows-only: Bernoulli RNG is engine-specific
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sampling (dataset-mixing primitive): per-stratum
+    Bernoulli fractions via sampleBy with a fixed seed, summarized to a
+    stable small schema. At 100 TB this is a narrow pass — no shuffle."""
+    ev = T(spark, sf, "events")
+    fractions = {"view": 0.5, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count("*").alias("sampled_cnt"))
+        .orderBy("event_type")
+    )

@@ -34,3 +34,27 @@ def test_entry_smoke(spark):
     df = se.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_dround_matches_duckdb_round_on_random_doubles(spark, duck):
+    """Cross-engine rounding sweep: dround must equal DuckDB ROUND on a
+    large seeded sample including adversarial near-boundary values."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(20000)]
+    # adversarial: values at exact .005 decimal boundaries
+    vals += [round(rng.uniform(-1000, 1000), 2) + 0.005 for _ in range(5000)]
+    from engine.canon import dround
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", dround(F.col("v"), 2).alias("r")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TEMP TABLE _rvals(i BIGINT, v DOUBLE)")
+    duck.executemany("INSERT INTO _rvals VALUES (?, ?)", list(enumerate(vals)))
+    want = dict(duck.execute("SELECT i, ROUND(v, 2) FROM _rvals").fetchall())
+    bad = [(i, got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
