@@ -79,21 +79,20 @@ def kmeans_fit(
     means = _initial_means(emb)
     dim = len(means[0])
     it = 0
+    # `averageVectors` [H] as ONE hash aggregate with `dim` column sums:
+    # at 1B×64 input, exploding to (row × dim) before the shuffle would
+    # move 64× the data; per-dimension F.sum aggregates keep the shuffle
+    # at k rows × dim columns with map-side partial aggregation.
+    avg_aggs = [
+        F.avg(F.element_at("embedding", i + 1)).alias(f"m{i}") for i in range(dim)
+    ]
     while it < max_iter:
         it += 1
         assigned = _assign(emb, means)
-        rows = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
+        rows = assigned.groupBy("cluster").agg(*avg_aggs).collect()
         new_means = [list(m) for m in means]  # empty cluster keeps its mean
-        acc: dict[int, list[float]] = {}
         for r in rows:
-            acc.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]
-        for c, vec in acc.items():
-            new_means[c] = vec
+            new_means[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
         shift = sum(
             (a - b) ** 2 for old, new in zip(means, new_means) for a, b in zip(old, new)
         )

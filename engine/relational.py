@@ -1174,3 +1174,102 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("sampled_cnt"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew + co-location techniques as first-class, oracle-proven operators
+# --------------------------------------------------------------------------
+
+_SKEW_JOIN_SQL = """
+    SELECT hot_key, COUNT(*) AS cnt, ROUND(SUM(value) * 100) / 100 AS sum_value,
+           r_name
+    FROM (SELECT CASE WHEN user_id < 120 THEN 0 ELSE user_id END AS hot_key,
+                 value
+          FROM events) e
+    JOIN (SELECT r_regionkey, r_name FROM region) r
+      ON e.hot_key % 5 = r.r_regionkey
+    GROUP BY hot_key, r_name
+"""
+
+
+@register("join_salted_skew", sql=_SKEW_JOIN_SQL)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-handling via salting, proven correct: a synthetic hot key
+    (80% of events collapse to key 0) joins a small dim. The dim side is
+    exploded into SALT copies and the fact side scatters across them, so
+    no single reducer owns the hot key. The oracle is the PLAIN join —
+    salting must be invisible in the result. (AQE skew-join handles the
+    shuffle-join case automatically; explicit salting is the pattern for
+    aggregations and for engines/paths AQE can't reach.)"""
+    salt_n = 8
+    ev = T(spark, sf, "events").select(
+        F.when(F.col("user_id") < 120, 0).otherwise(F.col("user_id")).alias("hot_key"),
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).alias("salt"),
+    )
+    dim = T(spark, sf, "region").select(
+        "r_regionkey", "r_name", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt")
+    )
+    joined = ev.join(
+        dim,
+        (F.pmod(F.col("hot_key"), F.lit(5)) == F.col("r_regionkey"))
+        & (ev.salt == dim.salt),
+    )
+    # first-level agg keyed by (hot_key, salt) — the salted partial —
+    # then the final merge per hot_key
+    partial = joined.groupBy("hot_key", "r_name", ev.salt).agg(
+        F.count("*").alias("c"), F.sum("value").alias("s")
+    )
+    return partial.groupBy("hot_key", "r_name").agg(
+        F.sum("c").alias("cnt"), dround(F.sum("s"), 2).alias("sum_value")
+    ).select("hot_key", "cnt", "sum_value", "r_name")
+
+
+_BUCKETED_JOIN_SQL = """
+    SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice) * 100) / 100 AS sum_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_totalprice
+"""
+
+
+@register("join_bucketed_colocated", sql=_BUCKETED_JOIN_SQL)
+def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-located join via bucketing, proven correct against the plain
+    join: both sides written bucketBy(16, key) once, then joined WITHOUT
+    a shuffle — the physical plan has no Exchange above the scans
+    (asserted in tests/test_plans.py). This is the pre-partitioning
+    lesson of the reference's pair-RDD chapter (SURVEY.md §4.1) in its
+    modern form: at 100 TB, bucketing the fact tables on the join key
+    once amortizes every subsequent join/aggregation on that key."""
+    out = scratch_dir("bucketed")
+    sf_tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o_name, l_name = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
+    for name, table, key in (
+        (o_name, "orders", "o_orderkey"),
+        (l_name, "lineitem", "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                T(spark, sf, table)
+                .write.mode("overwrite")
+                .option("path", f"{out}/{name}")
+                .bucketBy(16, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    # force the sort-merge path: at toy scale AQE would broadcast (adding
+    # a BroadcastExchange); the property being demonstrated is the
+    # shuffle-free SMJ over co-bucketed scans, which is what survives
+    # when BOTH sides are fact-sized
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_items"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -88,3 +88,19 @@ def test_csv_reread_uses_explicit_schema(spark):
 def test_sink_partitioned_prunes_partitions(spark):
     p = plan(spark, "sink_parquet_partitioned")
     assert "PartitionFilters" in p, p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    p = plan(spark, "join_bucketed_colocated")
+    # co-located: the join and the groupBy reuse the bucket partitioning
+    assert "Exchange" not in p, p
+    assert "SortMergeJoin" in p, p
+
+
+def test_salted_join_result_plain(spark):
+    # correctness delegated to the oracle; here: the salt column must
+    # not leak into the output schema
+    from .conftest import SF_SMOKE as _SF
+
+    df = QUERIES["join_salted_skew"](spark, _SF)
+    assert "salt" not in df.columns
