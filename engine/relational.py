@@ -1273,3 +1273,41 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
             dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "agg_null_semantics",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(o_orderpriority, '5-LOW')) AS n_not_low,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus <> 'P'
+                                   THEN o_totalprice END), 0) * 100) / 100
+             AS sum_nonpending,
+           ROUND(AVG(NULLIF(o_totalprice, 0.0)) * 100) / 100 AS avg_nonzero,
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_null_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-handling contract: COUNT(col) skips nulls, COUNT(*) doesn't;
+    SUM/AVG ignore nulls; COALESCE restores a zero for all-null groups —
+    identical ANSI semantics on both engines, pinned by the oracle."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))).alias("n_not_low"),
+        dround(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") != "P", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("sum_nonpending"),
+        dround(F.avg(F.nullif(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+            "avg_nonzero"
+        ),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("n_null_prio"),
+    )

@@ -413,3 +413,58 @@ def wiki_parse_lines(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.length("text").alias("text_len"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+
+
+@register(
+    "pipeline_pretrain_filter",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             n_chars / (LEN(STRING_SPLIT(text, ' ')) * 1.0) AS avg_tok
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000 AND avg_tok BETWEEN 2 AND 12
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text))
+                                  ORDER BY doc_id) AS rn
+        FROM kept) t
+      WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_tokens) * 100) / 100 AS avg_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def pipeline_pretrain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end pretraining-data pipeline: quality filter → exact
+    dedup → per-language token budget. The composition is the point —
+    each stage is one of this engine's operators, fused by Catalyst into
+    a single scan + one window shuffle + one aggregation (no
+    materialization between stages)."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        (F.col("n_chars") / (F.size(toks) * F.lit(1.0))).alias("avg_tok"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(20, 1000) & F.col("avg_tok").between(2, 12)
+    )
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        dround(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
