@@ -307,3 +307,51 @@ def fn_struct(spark: SparkSession, sf: str) -> DataFrame:
         s.getField("val").alias("val"),
         F.to_json(s).alias("s_json"),
     )
+
+
+@register(
+    "fn_bitwise",
+    sql="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 4096 AS b_or,
+           XOR(l_orderkey, l_partkey) AS b_xor,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise family (bucketing/sharding arithmetic at scale)."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+    )
+
+
+@register(
+    "fn_hash",
+    sql="""
+    SELECT p_partkey,
+           MD5(p_name) AS h_md5,
+           SHA256(p_name) AS h_sha256,
+           LENGTH(MD5(p_brand)) AS md5_len
+    FROM part
+    """,
+)
+def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Cryptographic digests (content-addressing / dedup keys): md5 and
+    sha-256 hex agree across engines byte-for-byte."""
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.length(F.md5("p_brand")).alias("md5_len"),
+    )

@@ -1311,3 +1311,43 @@ def agg_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
         ).alias("n_null_prio"),
     )
+
+
+@register(
+    "agg_string_concat",
+    sql="""
+    SELECT o_orderpriority,
+           STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (string_agg/listagg): built from
+    sorted distinct collect so both engines emit identical strings."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register("scan_orc_roundtrip")  # rows-only: DuckDB reads no ORC
+def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Second columnar source format: write ORC, re-read, aggregate —
+    same pushdown/pruning machinery as parquet (Spark native reader)."""
+    out = scratch_dir("orc_roundtrip")
+    o = T(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )

@@ -371,3 +371,73 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         .filter(cos >= 0.95)
         .select("a", "b", dround(cos, 6).alias("cos"))
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: cluster
+    id = smallest doc_id reachable. Each iteration is one join + one
+    min-aggregation (large-star/small-star style); converges in
+    O(log n) iterations on duplicate-cluster graphs (which are tiny and
+    dense). Driver loop carries only the convergence flag.
+
+    pairs: (a, b) undirected edges."""
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .cache()
+    )
+    # labels start as self
+    labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        # candidate label via neighbors: min(label of y) for each x
+        neigh = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register("dedup_clusters")  # rows-only: iterative fixpoint
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS from pair evidence: n-gram-Jaccard pairs →
+    connected components → one keeper per cluster (min doc_id). This is
+    the step that turns pairwise similarity into an actual dedup
+    decision; at 100 TB the components run over the candidate-pair
+    output, which is orders of magnitude smaller than the corpus."""
+    pairs = dedup_ngram_jaccard(spark, sf).select("a", "b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("label").alias("keeper_doc_id"), "cluster_size", "members"
+        )
+        .orderBy("keeper_doc_id")
+    )

@@ -289,3 +289,66 @@ def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     # memory sink in update mode appends one row per key per batch;
     # the running maximum is the final count
     return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python worker
+    env (its state-server protocol is proto-based); absent here, so the
+    operator gates itself (SURVEY.md §2: transformWithState primary,
+    applyInPandasWithState the documented fallback)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register("stream_stateful_tws")  # rows-only
+def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """Same running per-user count via the Spark 4 transformWithState
+    API (StatefulProcessor + typed value state, RocksDB-backed) — the
+    successor to applyInPandasWithState with finer state/timer control.
+    Falls back to the applyInPandasWithState implementation when the
+    protobuf dependency is missing (this container), so the operator
+    surface is available everywhere and upgrades itself when the
+    dependency exists."""
+    if not _tws_available():
+        return stream_stateful_count(spark, sf)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "cnt": [total]})
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    path = _replay_dir(spark, sf, late=False)
+    s = _read_stream(spark, path)
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("cnt", LongType())]
+    )
+    updates = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    mem = _run_to_memory(updates, "update")
+    return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")

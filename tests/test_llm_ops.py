@@ -118,3 +118,36 @@ def test_multimodal_decode_shape(spark):
     # deterministic: same input → same fake dimensions
     again = QUERIES["multimodal_decode"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_connected_components_planted_chain(spark):
+    from engine.similarity import connected_components
+
+    # chain 1-2-3, pair 10-11, isolated pairless nodes don't appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    comp = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_on_planted(spark):
+    from engine.similarity import _shingles, connected_components
+    from pyspark.sql import functions as F
+
+    docs = _planted_docs(spark)
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    comp = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    for i in range(5):
+        assert comp.get(1000 + i) == i  # exact dup joins base cluster
+        assert comp.get(2000 + i) == i  # near dup shares shingles -> same cluster

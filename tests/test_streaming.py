@@ -83,3 +83,18 @@ def test_session_window_batch_matches_gaps_and_islands(spark):
         .collect()
     }
     assert per_user_sess == per_user_batch
+
+
+def test_tws_stateful_count_equals_batch(spark):
+    stream = {
+        r["user_id"]: r["cnt"]
+        for r in QUERIES["stream_stateful_tws"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: r["cnt"]
+        for r in T(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stream == batch
