@@ -355,3 +355,28 @@ def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
         F.sha2("p_name", 256).alias("h_sha256"),
         F.length(F.md5("p_brand")).alias("md5_len"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE STRING_SPLIT(text, ' ')[1:3] END AS arr
+      FROM documents
+    )
+    SELECT doc_id, UNNEST(arr) AS token FROM t WHERE LEN(arr) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS token FROM t WHERE LEN(arr) = 0
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """explode_outer edge semantics: empty arrays keep their row with a
+    NULL element (plain explode would drop them — silently losing
+    documents in a pipeline)."""
+    d = T(spark, sf, "documents")
+    arr = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select("doc_id", F.explode_outer(arr).alias("token"))

@@ -1351,3 +1351,101 @@ def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dround(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery family (Catalyst rewrite machinery) + recursion
+# --------------------------------------------------------------------------
+
+_SUB_SCALAR_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           ROUND((o_totalprice - (SELECT AVG(o_totalprice) FROM orders)) * 100)
+             / 100 AS diff_from_avg
+    FROM orders
+"""
+
+
+@register("sub_scalar", sql=_SUB_SCALAR_SQL)
+def sub_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery — Catalyst plans the inner agg once
+    and broadcasts the single value into the projection."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUB_SCALAR_SQL)
+
+
+_SUB_IN_SQL = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+"""
+
+
+@register("sub_in", sql=_SUB_IN_SQL)
+def sub_in(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-subquery — rewritten to a left-semi join by the optimizer."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    T(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SUB_IN_SQL)
+
+
+_SUB_CORR_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("sub_correlated", sql=_SUB_CORR_SQL)
+def sub_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (orders 50% above the
+    customer's own average) — decorrelated into an aggregate + join;
+    never an n² rescan."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUB_CORR_SQL)
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE r(n) AS (
+      SELECT 0
+      UNION ALL
+      SELECT n + 1 FROM r WHERE n < 24
+    )
+    SELECT n, n_name FROM r JOIN nation ON n_nationkey = n
+"""
+
+
+@register("sql_recursive_cte", sql=_RCTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a 25-step ladder joined
+    back to nation — iteration expressed in SQL rather than a driver
+    loop."""
+    T(spark, sf, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RCTE_SQL)
+
+
+_BAND_SQL = """
+    SELECT t.lo, t.hi, COUNT(*) AS cnt,
+           ROUND(SUM(e.value) * 100) / 100 AS sum_value
+    FROM (VALUES (0.0, 100.0), (100.0, 300.0), (300.0, 600.0)) t(lo, hi)
+    JOIN events e ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.lo, t.hi
+"""
+
+
+@register("join_broadcast_nl", sql=_BAND_SQL)
+def join_broadcast_nl(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure-inequality (band/histogram) join: no equi key exists, so the
+    only sane physical plan is BroadcastNestedLoopJoin with the tiny
+    band table broadcast (asserted in tests/test_plans.py) — the fact
+    side streams through once."""
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [(0.0, 100.0), (100.0, 300.0), (300.0, 600.0)], "lo double, hi double"
+        )
+    )
+    ev = T(spark, sf, "events")
+    return (
+        ev.join(bands, (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+    )

@@ -101,8 +101,11 @@ def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     WITH e AS ({EVENTS_US_SQL}),
     flagged AS (
       SELECT user_id, ts, value,
+             -- strictly greater: Spark merges an event at exactly
+             -- prev_ts + gap (inclusive session extent, verified in
+             -- tests/test_streaming.py boundary test)
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM e

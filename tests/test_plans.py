@@ -104,3 +104,15 @@ def test_salted_join_result_plain(spark):
 
     df = QUERIES["join_salted_skew"](spark, _SF)
     assert "salt" not in df.columns
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    p = plan(spark, "join_broadcast_nl")
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # the correlated agg must become an aggregate+join, not a per-row
+    # rescan: plan contains a HashAggregate keyed by the correlation col
+    p = plan(spark, "sub_correlated")
+    assert "HashAggregate" in p and "o_custkey" in p, p

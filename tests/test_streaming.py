@@ -98,3 +98,51 @@ def test_tws_stateful_count_equals_batch(spark):
         .collect()
     }
     assert stream == batch
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Spark session extents are INCLUSIVE of start+gap: an event at
+    exactly 30min after the previous MERGES; 1µs beyond starts a new
+    session. The gaps-and-islands oracle must use strict `>` to match
+    (engine/streaming.py stream_session SQL)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),                  # at gap -> merges
+        (2, base),
+        (2, base + dt.timedelta(minutes=30, microseconds=1)),  # beyond -> new
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r["user_id"], []).append(r["cnt"])
+    assert per_user[1] == [2]
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_asof_view_at_exact_purchase_ts_counts(spark):
+    """join_asof tie rule: a view with ts == purchase ts is 'prior'."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base, 7, "purchase", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=1), 8, "purchase", 1.0, "{}"),  # no view
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import engine.relational as R
+    from unittest import mock
+
+    with mock.patch.object(R, "T", lambda s, sf, name: df):
+        out = {r["purchase_id"]: r["view_id"] for r in R.join_asof(spark, "x").collect()}
+    assert out == {2: 1, 3: None}
