@@ -184,3 +184,26 @@ def so_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
         "size",
         "med_vec",
     )
+
+
+@register("so_kmeans_ml")  # rows-only: library implementation, seeded
+def so_kmeans_ml(spark: SparkSession, sf: str) -> DataFrame:
+    """The library counterpart of so_kmeans (SURVEY.md §2 A18: both the
+    semantics-faithful manual loop AND pyspark.ml.clustering.KMeans):
+    same k, seeded init, summarized to the same schema shape. The manual
+    loop is the declared reference port; this one is what you'd actually
+    deploy (DataFrame-native, tree-aggregated updates)."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = MLKMeans(k=K, seed=42, maxIter=MAX_ITER, tol=1e-4).fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy("prediction")
+        .agg(F.count("*").alias("size"), F.count_distinct("label").alias("n_labels"))
+        .withColumnRenamed("prediction", "cluster")
+        .orderBy("cluster")
+    )

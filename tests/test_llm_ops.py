@@ -151,3 +151,9 @@ def test_dedup_clusters_on_planted(spark):
     for i in range(5):
         assert comp.get(1000 + i) == i  # exact dup joins base cluster
         assert comp.get(2000 + i) == i  # near dup shares shingles -> same cluster
+
+
+def test_kmeans_ml_variant_reasonable(spark):
+    rows = QUERIES["so_kmeans_ml"](spark, SF_SMOKE).collect()
+    assert sum(r["size"] for r in rows) == 500
+    assert 2 <= len(rows) <= 10

@@ -189,3 +189,90 @@ def test_wiki_parse_roundtrip(spark):
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, orig.collect()))
+
+
+# --- hypothesis property tests (SURVEY.md §5.2 layer 3) ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "row", "x", "y", "javascripted"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_prop_wiki_rankers_agree(spark, docs):
+    """Property: on ANY document set, the three ranking plan shapes
+    return identical (term, cnt, rank) triples."""
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    lex = ["spark", "join", "row"]
+    res = [
+        sorted(map(tuple, fn(spark, df, lex).collect()))
+        for fn in (rank_naive_docs, rank_index_docs, rank_reduce_docs)
+    ]
+    assert res[0] == res[1] == res[2]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=5400), min_size=1, max_size=12)
+)
+def test_prop_session_window_equals_gaps_and_islands(spark, gaps):
+    """Property: F.session_window sessionization equals the lag-based
+    gaps-and-islands formulation for ANY event spacing (30-min gap)."""
+    import datetime as dt
+
+    ts = [dt.datetime(2024, 1, 1)]
+    for g in gaps:
+        ts.append(ts[-1] + dt.timedelta(seconds=g))
+    df = spark.createDataFrame([(1, t) for t in ts], "user_id long, ts timestamp")
+
+    sw = sorted(
+        (r["w"]["start"], r["cnt"])
+        for r in df.groupBy(F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    from pyspark.sql import Window as W
+
+    lagged = df.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+                W.partitionBy("user_id").orderBy("ts")
+            ) > 1800)
+            | F.lag("ts").over(W.partitionBy("user_id").orderBy("ts")).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_s").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    gi = sorted(
+        (r["start"], r["cnt"])
+        for r in lagged.groupBy("sess")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert sw == gi
