@@ -44,6 +44,9 @@ def main() -> None:
         except Exception as exc:  # keep the sweep alive; surface the failure
             per_query[key] = -1.0
             print(f"BENCH_FAIL {key}: {exc}", file=sys.stderr)
+        # isolate timings: drop caches a query left behind so later keys
+        # aren't measured under another key's memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     print(

@@ -380,3 +380,71 @@ def fn_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
     ).otherwise(F.slice(F.split("text", " "), 1, 3))
     return d.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@register(
+    "fn_array_lambda",
+    sql="""
+    SELECT doc_id,
+           LIST_SORT(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                                    t -> UPPER(t)))[1:5] AS up5,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 4))
+             AS n_long,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'spark')) > 0
+             AS has_spark,
+           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                   t -> LENGTH(t))) AS total_len
+    FROM documents
+    """,
+)
+def fn_array_lambda(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / exists /
+    aggregate with lambdas) — the Catalyst-native replacement for what
+    would otherwise be per-row Python UDFs."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.slice(
+            F.sort_array(F.transform(F.array_distinct(toks), lambda t: F.upper(t))),
+            1,
+            5,
+        ).alias("up5"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_len"),
+    )
+
+
+@register(
+    "fn_interval",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
+           DATEDIFF('month', DATE '1995-01-01', o_orderdate) AS months_since,
+           CAST(o_orderdate + INTERVAL 3 HOUR + INTERVAL 30 MINUTE AS TIMESTAMP)
+             AS plus_3h30m
+    FROM orders
+    """,
+)
+def fn_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval arithmetic family. Month arithmetic is calendar-aware on
+    both engines (Jan 31 + 1 month = Feb 28/29); month-diff is the
+    integer date_part difference (Spark's fractional months_between is
+    engine-specific, so the canonical surface is the integer form)."""
+    o = T(spark, sf, "orders")
+    months_since = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 2).alias("plus_2mo"),
+        F.date_sub("o_orderdate", 45).alias("minus_45d"),
+        months_since.cast("long").alias("months_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 HOURS 30 MINUTES")).alias(
+            "plus_3h30m"
+        ),
+    )

@@ -1449,3 +1449,37 @@ def join_broadcast_nl(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lo", "hi")
         .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@register(
+    "agg_unpivot",
+    sql="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val * 100) / 100 AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    ) t
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide → long) — the inverse of agg_pivot, via the
+    native DataFrame.unpivot (planned as Expand: one pass, no union of
+    rescans — the oracle's UNION ALL spells out the semantics)."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.replace(F.col("metric"), F.lit("l_"), F.lit("")).alias("metric"),
+        dround(F.col("val"), 2).alias("val"),
+    )

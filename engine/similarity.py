@@ -407,6 +407,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # localCheckpoint truncates the per-iteration lineage chain —
+        # without it the plan (and its recompute cost on executor loss)
+        # grows linearly with iterations
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -414,7 +418,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.cache()
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
