@@ -355,3 +355,43 @@ def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
     )
     mem = _run_to_memory(updates, "update")
     return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
+
+
+@register("stream_stream_join")  # rows-only
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to views by the
+    same user within the preceding 5 minutes — both sides streaming,
+    both watermarked (the watermark + the join's time bound is what lets
+    Spark evict view state; without them state grows forever). On the
+    in-order replay every batch-join pair emits, asserted against the
+    batch band join in tests."""
+    path = _replay_dir(spark, sf, late=False)
+    v = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    p = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id")
+    )
+    return _run_to_memory(joined, "append")

@@ -146,3 +146,15 @@ def test_asof_view_at_exact_purchase_ts_counts(spark):
     with mock.patch.object(R, "T", lambda s, sf, name: df):
         out = {r["purchase_id"]: r["view_id"] for r in R.join_asof(spark, "x").collect()}
     assert out == {2: 1, 3: None}
+
+
+def test_stream_stream_join_equals_batch_band_join(spark):
+    stream = {
+        (r["view_id"], r["purchase_id"])
+        for r in QUERIES["stream_stream_join"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["view_id"], r["purchase_id"])
+        for r in QUERIES["join_range_interval"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
