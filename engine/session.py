@@ -51,6 +51,25 @@ def get_spark(app_name: str = "engine") -> SparkSession:
     )
 
 
+def tune(spark: SparkSession) -> None:
+    """Session invariants the engine owns (SURVEY.md §4.3), applied to
+    whatever session the caller hands us (the driver's is unconfigured):
+
+    - timezone pinned to UTC: Spark interprets timestamp literals and
+      date_trunc via session tz, DuckDB (the oracle) uses naive
+      timestamps — UTC makes them agree on any machine.
+    - shuffle parallelism right-sized when the session still has the
+      stock default: 200 shuffle partitions (and thus 200 streaming
+      state store shards) is overhead-dominated at local scale factors.
+      AQE coalesces batch shuffles, but streaming state partitioning is
+      fixed at query start, so this must run before the first streaming
+      plan — every table loader AND the stream reader call it. On a
+      real cluster these come from spark-submit conf instead."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects outright (PARQUET_TYPE_ILLEGAL). We read the raw int64 nanos
@@ -80,21 +99,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Parquet scan → Catalyst gets pushdown,
     column pruning, and row-group skipping for free.
 
-    Pins the session timezone to UTC: Spark interprets timestamp
-    literals and date_trunc via session tz, DuckDB (the oracle) uses
-    naive timestamps — UTC makes them agree on any machine, including
-    the driver's own SparkSession which we don't configure.
-
-    Also right-sizes shuffle parallelism when the session still has the
-    stock default: 200 shuffle partitions (and thus 200 streaming state
-    store shards) is overhead-dominated at local scale factors — AQE
-    coalesces batch shuffles, but streaming state partitioning is fixed
-    at query start, so it must be set before the first plan. On a real
-    cluster this comes from spark-submit conf instead (engine rule,
-    SURVEY.md §4.3)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    Applies :func:`tune` first — see its docstring."""
+    tune(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -193,6 +193,12 @@ _REPLAY_SCHEMA = (
 
 
 def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    from engine.session import tune
+
+    # state-store shard count freezes at query start — tune() must run
+    # even when the replay fixture already exists and no batch loader
+    # has touched this session yet
+    tune(spark)
     # 4 files per trigger → 2 main batches + the late batch: still a
     # genuine multi-batch run (watermark advances between batches) at
     # half the micro-batch scheduling overhead of smaller triggers
