@@ -146,3 +146,40 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "sample_idx", "frame_no")
     )
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for audio feature extraction. The DSP is the
+    stub (deterministic pseudo-features from the byte stream — swap for
+    librosa/torchaudio); the batch shape, schema, and vectorized column
+    handling are the real contract."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        # STUB: pretend 16kHz 16-bit mono; "rms" from byte-sum fakery
+        duration = n_bytes / 32000.0
+        rms = pdf["payload"].map(lambda p: (sum(p[:256]) % 1000) / 1000.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "duration_s": duration.round(4),
+                "rms": rms.round(4),
+                "n_bytes": n_bytes,
+            }
+        )
+
+
+@register("multimodal_audio_features")  # rows-only: stubbed DSP
+def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature extraction over the audio rows (decode → features is the
+    other half of the multimodal checklist next to resize/frame-sample):
+    filter to the media type FIRST so only audio bytes flow into the
+    Python stage."""
+    media = media_table(spark, sf).filter(F.col("mime") == "audio/wav")
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "payload")
+        .mapInPandas(
+            _audio_feature_batches,
+            schema="doc_id long, duration_s double, rms double, n_bytes long",
+        )
+    )

@@ -70,7 +70,9 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     ).select("doc_id", _shingles().alias("sh"))
     shingled = shingled.filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(shingled)
+    # cache: the self-join consumes feats TWICE — uncached, the whole
+    # shingle+hash pipeline would be recomputed for each side
+    feats = tf.transform(shingled).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
