@@ -35,18 +35,25 @@ def main() -> None:
     warm = queries.get("agg_groupby_q1") or next(iter(queries.values()))
     materialize(warm(spark, sf_dir))
 
+    # BASELINE.md protocol: BENCH_RUNS=3 gives per-query medians; the
+    # default single run keeps the driver's per-round sweep fast
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "1")))
     per_query: dict[str, float] = {}
     for key in sorted(queries):
-        t0 = time.perf_counter()
+        times = []
         try:
-            materialize(queries[key](spark, sf_dir))
-            per_query[key] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(queries[key](spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+                # isolate timings: drop caches a query left behind so
+                # later keys aren't measured under its memory pressure
+                spark.catalog.clearCache()
+            per_query[key] = round(sorted(times)[len(times) // 2], 3)
         except Exception as exc:  # keep the sweep alive; surface the failure
             per_query[key] = -1.0
             print(f"BENCH_FAIL {key}: {exc}", file=sys.stderr)
-        # isolate timings: drop caches a query left behind so later keys
-        # aren't measured under another key's memory pressure
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
 
     total = round(sum(v for v in per_query.values() if v >= 0), 3)
     print(

@@ -1483,3 +1483,108 @@ def agg_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         F.replace(F.col("metric"), F.lit("l_"), F.lit("")).alias("metric"),
         dround(F.col("val"), 2).alias("val"),
     )
+
+
+@register(
+    "agg_bool",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 45) AS n_heavy,
+           BOOL_AND(l_quantity > 0) AS all_positive,
+           BOOL_OR(l_discount > 0.09) AS any_high_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregate family: count_if / every / any — filtered
+    counting without a pre-filter shuffle."""
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 45).alias("n_heavy"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_high_disc"),
+    )
+
+
+@register(
+    "win_latest_per_key",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e) t
+    WHERE rn = 1
+    """,
+)
+def win_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest record per key (the CDC/SCD compaction pattern): one
+    window shuffle keyed by user; Spark executes the rn=1 filter as
+    WindowGroupLimit — no per-group full sort."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+@register(
+    "ts_gapfill",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                      max(date_trunc('hour', ts)) AS hi FROM e),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    )
+    SELECT grid.event_type, epoch_us(grid.h) AS hour_us,
+           COALESCE(hourly.cnt, 0) AS cnt
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling: build the dense (type × hour) grid with
+    sequence()+explode, left-join the sparse hourly counts, zero-fill.
+    The grid is generated, never materialized from data — at scale the
+    dense grid is bounds-sized, not data-sized."""
+    ev = T(spark, sf, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )

@@ -447,3 +447,36 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("keeper_doc_id")
     )
+
+
+@register(
+    "dedup_editdistance",
+    sql="""
+    SELECT a.p_partkey AS a, b.p_partkey AS b,
+           LEVENSHTEIN(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON SUBSTR(a.p_name, 1, 3) = SUBSTR(b.p_name, 1, 3)
+     AND a.p_partkey < b.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs, prefix-blocked: the 3-char prefix
+    equi-join is the blocking key (the cheap stand-in for phonetic/
+    sorted-neighborhood blocking), levenshtein only runs within blocks —
+    never across the full n² pair space."""
+    p = T(spark, sf, "part")
+    a = p.select(
+        F.col("p_partkey").alias("a"), F.col("p_name").alias("na"),
+        F.substring("p_name", 1, 3).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"),
+        F.substring("p_name", 1, 3).alias("blk"),
+    )
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        a.join(b, ["blk"])
+        .filter((F.col("a") < F.col("b")) & (dist <= 3))
+        .select("a", "b", dist.alias("dist"))
+    )
