@@ -448,3 +448,27 @@ def fn_interval(spark: SparkSession, sf: str) -> DataFrame:
             "plus_3h30m"
         ),
     )
+
+
+@register(
+    "fn_variant",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json → semi-structured value with
+    typed path extraction (try_variant_get). Unlike get_json_object's
+    per-access string re-parse, VARIANT parses once into a binary form
+    — the right layout for JSON-heavy 100 TB scans. Missing paths →
+    NULL via the try_ variant."""
+    ev = T(spark, sf, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+    )
