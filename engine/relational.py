@@ -1588,3 +1588,49 @@ def ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
         )
     )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (second composite flagship): segment-filtered
+    customer ⋈ orders ⋈ lineitem with opposing date predicates, grouped
+    revenue, global top-10. Every filter is pushed below its join; the
+    top-10 plans as TakeOrderedAndProject over the rounded sort key."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
