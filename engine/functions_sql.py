@@ -472,3 +472,30 @@ def fn_variant(spark: SparkSession, sf: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "long").alias("k"),
         F.try_variant_get(v, "$.missing", "long").alias("missing"),
     )
+
+
+@register(
+    "fn_trig",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_discount) * 1e10) / 1e10 AS s,
+           ROUND(COS(l_discount) * 1e10) / 1e10 AS c,
+           ROUND(ATAN2(l_discount, l_tax + 0.001) * 1e10) / 1e10 AS at2,
+           ROUND(EXP(l_discount) * 1e10) / 1e10 AS ex,
+           ROUND(DEGREES(l_discount) * 1e10) / 1e10 AS deg
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
+    """Trig/exponential family, canonicalized at 1e-10 (libm functions
+    are not correctly-rounded and differ across engines at the ulp)."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.sin("l_discount"), 10).alias("s"),
+        dround(F.cos("l_discount"), 10).alias("c"),
+        dround(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.001), 10).alias("at2"),
+        dround(F.exp("l_discount"), 10).alias("ex"),
+        dround(F.degrees("l_discount"), 10).alias("deg"),
+    )

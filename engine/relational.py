@@ -1634,3 +1634,48 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q10_returned_items",
+    sql="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue,
+           ROUND(MAX(c_acctbal) * 100) / 100 AS acctbal
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (third composite): which customers returned the
+    most revenue in a year — returnflag filter pushed into the lineitem
+    scan, nation broadcast, top-20 as TakeOrderedAndProject."""
+    c = T(spark, sf, "customer")
+    n = F.broadcast(T(spark, sf, "nation"))
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            dround(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
