@@ -25,3 +25,28 @@ def dround(col: Column | str, scale: int = 0) -> Column:
         return F.round(col, 0)
     p = F.lit(float(10**scale))
     return F.round(col * p, 0) / p
+
+
+def joined(arr: Column, sep: str = ",") -> Column:
+    """Array → delimiter-joined string (elements cast to string first).
+
+    Query outputs must be scalar-typed: the driver's canonicalizer
+    pandas-sorts result columns, and Python lists are unhashable there —
+    an array-typed output column crashes the correctness harness. Join
+    on the Spark side, ARRAY_TO_STRING/STRING_AGG on the oracle side.
+    """
+    return F.concat_ws(sep, F.transform(arr, lambda x: x.cast("string")))
+
+
+def floordiv_sql(expr: str, d: int) -> Column:
+    """Floor division on longs in exact integer arithmetic, from a SQL
+    expression string.
+
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors —
+    they disagree on negative values (pre-1970 epochs). ``pmod`` makes
+    the numerator an exact multiple of ``d``, where truncation == floor;
+    staying in long ``div`` arithmetic avoids the double-precision loss
+    that ``F.floor(col / d)`` would hit for epoch-nanos magnitudes
+    (~1e18 > 2^53).
+    """
+    return F.expr(f"(({expr}) - pmod(({expr}), {d})) div {d}")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.canon import dround
+from engine.canon import dround, joined
 from engine.registry import register
 from engine.session import T
 
@@ -42,7 +42,7 @@ from engine.session import T
            REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
            p_name LIKE '%ol%' AS has_ol,
            REGEXP_MATCHES(p_name, 'w.dget') AS re_widget,
-           STRING_SPLIT(p_name, ' ') AS tokens
+           ARRAY_TO_STRING(STRING_SPLIT(p_name, ' '), '|') AS tokens
     FROM part
     """,
 )
@@ -61,7 +61,7 @@ def fn_string(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
         F.col("p_name").like("%ol%").alias("has_ol"),
         F.col("p_name").rlike("w.dget").alias("re_widget"),
-        F.split("p_name", " ").alias("tokens"),
+        joined(F.split("p_name", " "), "|").alias("tokens"),
     )
 
 
@@ -182,10 +182,12 @@ _LEX_LIT = "['spark', 'query', 'join']"
     SELECT doc_id,
            LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
-           LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS uniq_sorted,
-           STRING_SPLIT(text, ' ')[1:3] AS first3,
-           LIST_SORT(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
-                                    {_LEX_LIT})) AS lex_hits
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), '|')
+             AS uniq_sorted,
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], '|') AS first3,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(
+             LIST_DISTINCT(STRING_SPLIT(text, ' ')), {_LEX_LIT})), '|'), '')
+             AS lex_hits
     FROM documents
     """,
 )
@@ -199,12 +201,16 @@ def fn_array(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(toks)).alias("uniq_sorted"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(
-            F.array_intersect(
-                F.array_distinct(toks), F.array(F.lit("spark"), F.lit("query"), F.lit("join"))
-            )
+        joined(F.sort_array(F.array_distinct(toks)), "|").alias("uniq_sorted"),
+        joined(F.slice(toks, 1, 3), "|").alias("first3"),
+        joined(
+            F.sort_array(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(F.lit("spark"), F.lit("query"), F.lit("join")),
+                )
+            ),
+            "|",
         ).alias("lex_hits"),
     )
 
@@ -244,7 +250,7 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
             F.size(F.map_keys(F.col("m"))).alias("n_sources"),
             F.element_at(F.col("m"), "src0").alias("src0_cnt"),
-            F.sort_array(F.map_keys(F.col("m"))).alias("sources"),
+            joined(F.sort_array(F.map_keys(F.col("m")))).alias("sources"),
         )
         .orderBy("lang")
     )
@@ -386,8 +392,9 @@ def fn_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
     "fn_array_lambda",
     sql="""
     SELECT doc_id,
-           LIST_SORT(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
-                                    t -> UPPER(t)))[1:5] AS up5,
+           ARRAY_TO_STRING(
+             LIST_SORT(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                                      t -> UPPER(t)))[1:5], '|') AS up5,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 4))
              AS n_long,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'spark')) > 0
@@ -405,10 +412,15 @@ def fn_array_lambda(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.slice(
-            F.sort_array(F.transform(F.array_distinct(toks), lambda t: F.upper(t))),
-            1,
-            5,
+        joined(
+            F.slice(
+                F.sort_array(
+                    F.transform(F.array_distinct(toks), lambda t: F.upper(t))
+                ),
+                1,
+                5,
+            ),
+            "|",
         ).alias("up5"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
         F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),

@@ -113,11 +113,17 @@ def run_kmeans(
     return _assign(emb, means).select("vec_id", "label", "cluster"), means, it
 
 
-ASSIGN_PARQUET = None  # set lazily; absolute path shared with the oracle
+def _sf_tag(sf: str) -> str:
+    return sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
 
 
-def _assign_path() -> str:
-    return scratch_dir("kmeans") + "/assignments"
+def _assign_path(sf_tag: str) -> str:
+    """Per-scale-factor assignment materialization (ADVICE r1: a shared
+    path would let an sf0.1 bench run clobber the sf0.01 assignments the
+    oracle reads). The oracle contract runs at sf0.01, so the oracle SQL
+    pins that tag; the Spark query must run before the oracle in the
+    same filesystem (it writes the parquet the oracle reads)."""
+    return scratch_dir("kmeans") + f"/assignments_{sf_tag}"
 
 
 @register("so_kmeans")  # rows-only: iterative, not SQL-expressible
@@ -136,7 +142,7 @@ def so_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "so_cluster_stats",
     sql=f"""
-    WITH a AS (SELECT * FROM read_parquet('{_assign_path()}/*.parquet')),
+    WITH a AS (SELECT * FROM read_parquet('{_assign_path("sf0_01")}/*.parquet')),
     sizes AS (
       SELECT cluster, COUNT(*) AS size,
              ROUND(MEDIAN(vec_id) * 100) / 100 AS med_vec
@@ -161,7 +167,7 @@ def so_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     compute stats from that file, so the oracle checks the stats logic
     exactly even though the iterative loop itself is rows-only."""
     assigned, _means, _it = run_kmeans(spark, sf)
-    path = _assign_path()
+    path = _assign_path(_sf_tag(sf))
     assigned.write.mode("overwrite").parquet(path)
     a = spark.read.parquet(path)
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.canon import dround
+from engine.canon import dround, joined
 from engine.registry import register
 from engine.session import T
 
@@ -25,7 +25,7 @@ LANG_SPREAD = 50000  # StackOverflow.scala `langSpread` [H]
     "so_grouped",
     sql="""
     SELECT o_orderkey, COUNT(*) AS n_items,
-           LIST_SORT(LIST(l_linenumber)) AS lines
+           STRING_AGG(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS lines
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderkey
     """,
@@ -42,7 +42,7 @@ def so_grouped(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+            joined(F.sort_array(F.collect_list("l_linenumber"))).alias("lines"),
         )
     )
 

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from engine.canon import dround
+from engine.canon import dround, floordiv_sql, joined
 from engine.registry import register
 from engine.session import EVENTS_US_SQL, T, scratch_dir
 
@@ -602,20 +602,22 @@ def agg_groupby_q1(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS total, COUNT(*) AS cnt
     FROM lineitem
     GROUP BY l_partkey
-    HAVING SUM(l_extendedprice) > 100000.0
+    HAVING ROUND(SUM(l_extendedprice) * 100) / 100 > 100000.0
     """,
 )
 def agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING compares the CANONICALIZED sum on both engines: raw double
+    sums are accumulation-order dependent (Spark's partial aggregation
+    vs DuckDB's sequential sum can differ by ulps), so a group straddling
+    the threshold could otherwise pass on one engine only."""
     li = T(spark, sf, "lineitem")
     return (
         li.groupBy("l_partkey")
         .agg(
             dround(F.sum("l_extendedprice"), 2).alias("total"),
             F.count("*").alias("cnt"),
-            F.sum("l_extendedprice").alias("_raw"),
         )
-        .filter(F.col("_raw") > 100000.0)
-        .drop("_raw")
+        .filter(F.col("total") > 100000.0)
     )
 
 
@@ -713,17 +715,19 @@ def agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     sql="""
-    SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+    SELECT l_orderkey,
+           STRING_AGG(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS lines
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
     """A9 port (groupByKey materializing per-key values) — made
     deterministic with sort_array. Bounded per group (≤7 lineitems/order)
-    so safe at scale; unbounded collect_list would not be."""
+    so safe at scale; unbounded collect_list would not be. Output joined
+    to a scalar string (driver canonicalizer rejects array columns)."""
     li = T(spark, sf, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+        joined(F.sort_array(F.collect_list("l_linenumber"))).alias("lines")
     )
 
 
@@ -910,7 +914,7 @@ def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE frame over epoch seconds: sliding 1-hour sum per user."""
     ev = T(spark, sf, "events").withColumn(
-        "secs", (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+        "secs", floordiv_sql("unix_micros(ts)", 1000000)
     )
     w = (
         Window.partitionBy("user_id")
@@ -940,7 +944,7 @@ def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 def win_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
     """A-table lineage: per-key neighbor access — inter-event gaps."""
     ev = T(spark, sf, "events").withColumn(
-        "secs", (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+        "secs", floordiv_sql("unix_micros(ts)", 1000000)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -1143,22 +1147,19 @@ def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     for 100 TB (exact percentile needs a full sort per group; the
     sketch is one partial-aggregable pass)."""
     li = T(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "approx_pcts"
-            ),
-            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-            .alias("exact_pcts"),
-        )
-        .select(
-            "l_returnflag",
-            F.transform("approx_pcts", lambda x: dround(x, 2)).alias("approx_pcts"),
-            F.transform("exact_pcts", lambda x: dround(x, 2)).alias("exact_pcts"),
-        )
-        .orderBy("l_returnflag")
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+        .alias("exact_pcts"),
     )
+    # scalar columns only (driver canonicalizer rejects array columns)
+    cols = ["l_returnflag"]
+    for i, tag in enumerate(("p50", "p90", "p99"), start=1):
+        cols.append(dround(F.element_at("approx_pcts", i), 2).alias(f"approx_{tag}"))
+        cols.append(dround(F.element_at("exact_pcts", i), 2).alias(f"exact_{tag}"))
+    return agged.select(*cols).orderBy("l_returnflag")
 
 
 @register("sample_stratified")  # rows-only: Bernoulli RNG is engine-specific
@@ -1390,7 +1391,8 @@ def sub_in(spark: SparkSession, sf: str) -> DataFrame:
 _SUB_CORR_SQL = """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
     FROM orders o
-    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2
+    WHERE o.o_totalprice > (SELECT ROUND(AVG(o2.o_totalprice) * 1.5 * 100) / 100
+                            FROM orders o2
                             WHERE o2.o_custkey = o.o_custkey)
 """
 

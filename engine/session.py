@@ -84,7 +84,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer division on the long — going through double would lose
     # precision (epoch-ns ~1.7e18 exceeds double's exact-int range)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")))
 
 
 #: DuckDB-side canonical events relation (microsecond-truncated ts),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine.canon import dround
+from engine.canon import dround, joined
 from engine.registry import register
 from engine.session import T
 
@@ -65,9 +65,14 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     bucket join). df-parameterized for the planted-duplicate tests."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingled = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).select("doc_id", _shingles().alias("sh"))
+    shingled = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        # guard BEFORE shingling: for <5 tokens the sequence bound goes
+        # negative and F.slice(toks, 0, 5) throws at runtime — the
+        # size(sh) filter below runs too late to prevent that
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", _shingles().alias("sh"))
+    )
     shingled = shingled.filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # cache: the self-join consumes feats TWICE — uncached, the whole
@@ -95,17 +100,28 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_pairs(T(spark, sf, "documents")).orderBy("a", "b")
 
 
-_JACCARD_PAIRS_SQL = """
+#: hot-shingle document-frequency cap: shingles appearing in more than
+#: this many documents are dropped from BOTH the inverted index and the
+#: per-doc counts (a "stop-shingle" list, applied identically on the
+#: oracle side). Without it one ubiquitous shingle makes the candidate
+#: self-join quadratic in corpus size.
+JACCARD_MAX_DF = 100
+
+_JACCARD_PAIRS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT doc_id,
              UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
                GENERATE_SERIES(1, LEN(t) - 4),
                i -> ARRAY_TO_STRING(t[i:i+4], ' ')))) AS s
       FROM toks WHERE LEN(t) >= 5
     ),
+    hot AS (
+      SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {JACCARD_MAX_DF}
+    ),
+    sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
@@ -121,18 +137,24 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-@register("dedup_ngram_jaccard", sql=_JACCARD_PAIRS_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram (5-shingle) Jaccard pairs ≥ 0.5. Candidate pairs come
-    from a self-join on shared shingles — equivalent to an inverted
-    index, so cost scales with shared-shingle pairs, not n². (At 100 TB
-    you'd cap hot shingles by document frequency first.)"""
-    d = T(spark, sf, "documents")
-    sh = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
+    """Exact 5-shingle Jaccard pairs ≥ 0.5 over the capped shingle
+    vocabulary (shingles with doc-frequency > max_df are dropped before
+    the self-join — and from the per-doc counts, so the Jaccard value is
+    exact over the reduced vocabulary on both engines)."""
+    sh_all = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
     )
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    # cache: consumed by counts AND both sides of the candidate self-join
+    sh = sh_all.join(F.broadcast(hot), "s", "left_anti").cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -149,6 +171,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("a", "b", dround(jac, 4).alias("jaccard"))
     )
+
+
+@register("dedup_ngram_jaccard", sql=_JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram (5-shingle) Jaccard pairs ≥ 0.5. Candidate pairs come
+    from a self-join on shared shingles — an inverted index, so cost
+    scales with shared-shingle pairs, not n² — over the df-capped
+    vocabulary (JACCARD_MAX_DF): one stop-shingle can no longer make
+    the candidate join quadratic."""
+    return jaccard_pairs(T(spark, sf, "documents"))
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
@@ -189,7 +221,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = simhash_df(T(spark, sf, "documents"))
     return (
         d.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            joined(F.sort_array(F.collect_list("doc_id"))).alias("docs"),
+        )
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
     )
@@ -349,7 +384,7 @@ _EMB_NEARDUP_SQL = """
     SELECT a.vec_id AS a, b.vec_id AS b,
            ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.95
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 >= 0.95
 """
 
 
@@ -367,11 +402,13 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
     )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    # threshold on the ROUNDED cosine: raw float comparisons near the
+    # cutoff are ulp-sensitive across engines (ADVICE r1)
+    cos = dround(_cosine(F.col("va"), F.col("vb")), 6)
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
         .filter(cos >= 0.95)
-        .select("a", "b", dround(cos, 6).alias("cos"))
+        .select("a", "b", cos.alias("cos"))
     )
 
 
@@ -440,7 +477,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         comp.groupBy("label")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            joined(F.sort_array(F.collect_list("node"))).alias("members"),
         )
         .select(
             F.col("label").alias("keeper_doc_id"), "cluster_size", "members"
@@ -464,19 +501,33 @@ def dedup_editdistance(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance near-dup pairs, prefix-blocked: the 3-char prefix
     equi-join is the blocking key (the cheap stand-in for phonetic/
     sorted-neighborhood blocking), levenshtein only runs within blocks —
-    never across the full n² pair space."""
+    never across the full n² pair space.
+
+    Within-block cost control (result set unchanged, so the oracle is
+    untouched): (1) |len(a)-len(b)| <= 3 pre-filter — edit distance is
+    bounded below by the length gap, so this prunes pairs without
+    running levenshtein; (2) banded levenshtein with threshold=4 —
+    O(k·n) with early exit instead of O(n²) per pair (returns -1 when
+    the distance exceeds the bound, which the <=3 filter rejects)."""
     p = T(spark, sf, "part")
     a = p.select(
         F.col("p_partkey").alias("a"), F.col("p_name").alias("na"),
         F.substring("p_name", 1, 3).alias("blk"),
+        F.length("p_name").alias("la"),
     )
     b = p.select(
         F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"),
         F.substring("p_name", 1, 3).alias("blk"),
+        F.length("p_name").alias("lb"),
     )
-    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    dist = F.levenshtein(F.col("na"), F.col("nb"), 4)
     return (
         a.join(b, ["blk"])
-        .filter((F.col("a") < F.col("b")) & (dist <= 3))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 3)
+            & (dist >= 0)
+            & (dist <= 3)
+        )
         .select("a", "b", dist.alias("dist"))
     )
