@@ -116,3 +116,23 @@ def test_correlated_subquery_is_decorrelated(spark):
     # rescan: plan contains a HashAggregate keyed by the correlation col
     p = plan(spark, "sub_correlated")
     assert "HashAggregate" in p and "o_custkey" in p, p
+
+
+def test_q5_supplier_dims_are_broadcast(spark):
+    """Q5 shape: supplier/nation/region all ride broadcast joins; the
+    only sort-merge-eligible shuffle joins are on the fact keys."""
+    p = plan(spark, "join_q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_q2_argmin_uses_window_group_limit(spark):
+    """Q2 shape: per-part argmin must prune via WindowGroupLimit, not a
+    full per-group sort of every (part, supplier) cost row."""
+    p = plan(spark, "join_q2_min_cost_supplier")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_q7_nation_filter_before_fact_shuffle(spark):
+    """Q7 shape: both nation arms are broadcast-joined."""
+    p = plan(spark, "join_q7_nation_volume")
+    assert p.count("BroadcastHashJoin") >= 2, p
