@@ -503,31 +503,44 @@ def dedup_editdistance(spark: SparkSession, sf: str) -> DataFrame:
     sorted-neighborhood blocking), levenshtein only runs within blocks —
     never across the full n² pair space.
 
-    Within-block cost control (result set unchanged, so the oracle is
-    untouched): (1) |len(a)-len(b)| <= 3 pre-filter — edit distance is
-    bounded below by the length gap, so this prunes pairs without
-    running levenshtein; (2) banded levenshtein with threshold=4 —
-    O(k·n) with early exit instead of O(n²) per pair (returns -1 when
-    the distance exceeds the bound, which the <=3 filter rejects)."""
-    p = T(spark, sf, "part")
-    a = p.select(
-        F.col("p_partkey").alias("a"), F.col("p_name").alias("na"),
+    Dictionary-coded distance (r1 fix — this key was the slowest
+    non-streaming query): the name column is massively low-cardinality
+    (64 distinct values over 20k rows at sf0.1), so the quadratic
+    levenshtein work runs over DISTINCT NAMES only (≤ |dict|² per
+    block, with a |len gap| ≤ 3 pre-filter and banded levenshtein),
+    then the qualifying name pairs — broadcast-sized — expand back to
+    row pairs via two equi-joins. Row-pair output is unchanged, so the
+    oracle is untouched; cost drops from O(rows²·len²) levenshtein
+    evals to O(dict²) evals + an output-sized join. At 100 TB the same
+    shape holds whenever the blocked column is dictionary-compressible;
+    for truly high-cardinality keys the distinct() is a no-op and this
+    degrades gracefully to the r1 plan."""
+    p = T(spark, sf, "part").select("p_partkey", "p_name")
+    names = p.select("p_name").distinct()
+    a_n = names.select(
+        F.col("p_name").alias("na"),
         F.substring("p_name", 1, 3).alias("blk"),
         F.length("p_name").alias("la"),
     )
-    b = p.select(
-        F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"),
+    b_n = names.select(
+        F.col("p_name").alias("nb"),
         F.substring("p_name", 1, 3).alias("blk"),
         F.length("p_name").alias("lb"),
     )
     dist = F.levenshtein(F.col("na"), F.col("nb"), 4)
+    # ordered name pairs INCLUDING na == nb (same-name rows are dist-0
+    # duplicates) and both directions (the a < b key filter below needs
+    # either name on either side)
+    name_pairs = (
+        a_n.join(b_n, ["blk"])
+        .filter((F.abs(F.col("la") - F.col("lb")) <= 3) & (dist >= 0) & (dist <= 3))
+        .select("na", "nb", dist.alias("dist"))
+    )
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
     return (
-        a.join(b, ["blk"])
-        .filter(
-            (F.col("a") < F.col("b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= 3)
-            & (dist >= 0)
-            & (dist <= 3)
-        )
-        .select("a", "b", dist.alias("dist"))
+        a.join(F.broadcast(name_pairs), "na")
+        .join(b, "nb")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "dist")
     )

@@ -157,3 +157,32 @@ def test_kmeans_ml_variant_reasonable(spark):
     rows = QUERIES["so_kmeans_ml"](spark, SF_SMOKE).collect()
     assert sum(r["size"] for r in rows) == 500
     assert 2 <= len(rows) <= 10
+
+
+def test_jaccard_hot_shingle_df_cap(spark):
+    """Planted stop-shingle: a shingle shared by EVERY doc must be
+    dropped by the df cap (max_df) — pairs related only through the hot
+    shingle disappear, while genuinely-duplicate pairs survive with
+    their Jaccard computed over the capped vocabulary."""
+    from engine.similarity import jaccard_pairs
+
+    rng = random.Random(7)
+    # a universal 5-token prefix => one shingle in every document
+    stop = "the quick brown fox jumps"
+    rows = [(i, stop + " " + _doc(rng)) for i in range(30)]
+    rows.append((1000, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, max_df=10)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    # the exact dup survives at jaccard 1.0 over the capped vocabulary
+    assert got.get((0, 1000)) == 1.0
+    # unrelated docs share ONLY hot shingles -> no pair may appear
+    unrelated = [k for k in got if k != (0, 1000)]
+    assert not unrelated, f"hot-shingle-only pairs leaked: {unrelated[:5]}"
+
+    # without the cap the same corpus yields no extra >=0.5 pairs either
+    # (threshold prunes them) but the CANDIDATE join is what the cap
+    # bounds; assert the capped index really dropped the stop shingles:
+    uncapped = jaccard_pairs(docs, max_df=10**9)
+    assert {(r["a"], r["b"]) for r in uncapped.collect()} >= set(got)
