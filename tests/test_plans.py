@@ -136,3 +136,11 @@ def test_q7_nation_filter_before_fact_shuffle(spark):
     """Q7 shape: both nation arms are broadcast-joined."""
     p = plan(spark, "join_q7_nation_volume")
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_pctrank_bucketed_no_single_partition_exchange(spark):
+    """The bucketed percent_rank must never funnel the fact table
+    through a SinglePartition exchange (the plain variant's weakness)."""
+    p = plan(spark, "win_pctrank_bucketed")
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(bucket" in p, p
