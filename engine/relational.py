@@ -1740,3 +1740,125 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("join_q4_exists_priority", sql=_Q4_SQL)
+def join_q4_exists_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts gated by an EXISTS
+    correlated to the order row (any lineitem shipped after the order
+    date). The EXISTS plans as a LEFT SEMI join on orderkey — one
+    shuffle, no row duplication, no decorrelation rescan."""
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    T(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    HAVING ROUND(SUM(l_quantity) * 100) / 100 > 150.0
+"""
+
+
+@register("join_q18_large_orders", sql=_Q18_SQL)
+def join_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders). Spark-first refinement of
+    the textbook plan: aggregate lineitem FIRST (partial map-side sums
+    on orderkey), filter to the rare big orders, THEN join the
+    dimension rows — the join input shrinks from every lineitem to the
+    qualifying orders only. HAVING compares the canonicalized sum
+    (cross-engine ulp policy, see agg_having)."""
+    li = T(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dround(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_SALTED_AGG_SQL = """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+@register("agg_salted_skew", sql=_SALTED_AGG_SQL)
+def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase SALTED aggregation on a skewed low-cardinality key
+    (event_type: a handful of values over the whole fact table), proven
+    exactly equal to the plain groupBy by the oracle.
+
+    Phase 1 groups on (key, salt) — 16-way fan-out puts the hot key on
+    16 reducers instead of one; phase 2 merges the 16 partials per key
+    (tiny). SUM/COUNT re-aggregate losslessly; the same shape carries
+    any algebraic aggregate. Spark's partial aggregation already does
+    this WITHIN a task — explicit salting is for when one reducer's
+    MERGE side is the bottleneck at 100 TB."""
+    ev = T(spark, sf, "events")
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("c").alias("cnt"), dround(F.sum("s"), 2).alias("sum_value")
+    )
+
+
+@register("agg_hll_mergeable")  # rows-only: sketch binary is engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    """Datasketches HLL as a FIRST-CLASS mergeable aggregate: per-type
+    sketches built with hll_sketch_agg, then MERGED (hll_union_agg) into
+    a global estimate — the pattern that lets 100 TB distinct-counts be
+    computed incrementally (per partition / per day) and unioned later,
+    which approx_count_distinct alone cannot (its sketch isn't exposed).
+    Emits per-type estimate + exact for the property test, and the
+    union-of-sketches estimate vs the global exact."""
+    ev = T(spark, sf, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_t = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_all")
+    ).crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_all")))
+    return (
+        per_t.crossJoin(F.broadcast(merged))
+        .select("event_type", "approx_users", "exact_users", "approx_all", "exact_all")
+        .orderBy("event_type")
+    )

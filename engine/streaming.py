@@ -421,3 +421,29 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         return _run_to_memory(joined, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register("stream_static_join")  # rows-only: streaming run
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC join: the streaming fact side joins a static
+    dimension (nation, via user_id % 25 as the affinity key). The static
+    side broadcasts — NO state store is involved (unlike stream-stream
+    joins): each micro-batch hash-joins against the in-memory dim, the
+    canonical shape for enriching a 100 TB/day stream with slowly
+    changing dimensions. Summarized per nation; equals the batch join
+    exactly on the in-order replay (asserted in tests)."""
+    path = _replay_dir(spark, sf, late=False)
+    s = _read_stream(spark, path, files_per_trigger=_REPLAY_FILES)
+    dim = F.broadcast(
+        T(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    enriched = (
+        s.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+        .join(dim, F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+    out = _run_to_memory(enriched, "complete")
+    return out.select(
+        "n_name", "cnt", dround("sum_value", 2).alias("sum_value")
+    ).orderBy("n_name")

@@ -158,3 +158,30 @@ def test_stream_stream_join_equals_batch_band_join(spark):
         for r in QUERIES["join_range_interval"](spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_stream_static_join_equals_batch(spark):
+    """The stream-static enrichment must equal the equivalent batch
+    join+agg exactly (same data, in-order replay)."""
+    from engine.canon import dround
+    from engine.registry import all_queries
+    from engine.session import T
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        (r["n_name"]): (r["cnt"], r["sum_value"])
+        for r in all_queries()["stream_static_join"](spark, SF_SMOKE).collect()
+    }
+    ev = T(spark, SF_SMOKE, "events")
+    dim = T(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    want = {
+        r["n_name"]: (r["cnt"], r["sum_value"])
+        for r in (
+            ev.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+            .join(dim, F.col("nk") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_value"))
+        ).collect()
+    }
+    assert got == want
