@@ -1862,3 +1862,39 @@ def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "approx_users", "exact_users", "approx_all", "exact_all")
         .orderBy("event_type")
     )
+
+
+_FUNNEL_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    seqs AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, LENGTH(seq) AS n_events,
+           REGEXP_MATCHES(seq, 'v.*c.*p') AS funnel_vcp,
+           REGEXP_MATCHES(seq, 'v.*p') AS funnel_vp
+    FROM seqs
+"""
+
+
+@register("win_funnel_sequence", sql=_FUNNEL_SQL)
+def win_funnel_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analysis: per user, the event-initial sequence in event
+    time (listagg WITHIN GROUP — Spark 4), then ordered-subsequence
+    regexes (view→click→purchase). One shuffle on user_id; the regex is
+    per-user-row, not per-event. The classic product-analytics op that
+    usually gets pushed to a specialized engine — native here."""
+    ev = T(spark, sf, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substr(event_type, 1, 1), '') "
+            "WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.col("seq").rlike("v.*c.*p").alias("funnel_vcp"),
+        F.col("seq").rlike("v.*p").alias("funnel_vp"),
+    )

@@ -544,3 +544,72 @@ def dedup_editdistance(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "dist")
     )
+
+
+_SORTED_NEIGHBORHOOD_SQL = """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    ranked AS (
+      SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rk FROM names
+    ),
+    cand AS (
+      SELECT a.p_name AS na, b.p_name AS nb,
+             LEVENSHTEIN(a.p_name, b.p_name) AS dist
+      FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + 5
+      WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+    )
+    SELECT LEAST(pa.p_partkey, pb.p_partkey) AS a,
+           GREATEST(pa.p_partkey, pb.p_partkey) AS b, dist
+    FROM cand
+    JOIN part pa ON pa.p_name = cand.na
+    JOIN part pb ON pb.p_name = cand.nb
+    UNION ALL
+    SELECT pa.p_partkey AS a, pb.p_partkey AS b, 0 AS dist
+    FROM part pa JOIN part pb
+      ON pa.p_name = pb.p_name AND pa.p_partkey < pb.p_partkey
+"""
+
+
+@register("dedup_sorted_neighborhood", sql=_SORTED_NEIGHBORHOOD_SQL)
+def dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the OTHER classic dedup blocking,
+    complementing dedup_editdistance's prefix blocks): sort the DISTINCT
+    name dictionary, compare each name to its next 5 lexicographic
+    neighbors, keep pairs with edit distance <= 3, then expand name
+    pairs back to row pairs (+ all same-name row pairs at distance 0).
+
+    Sorted-neighborhood catches near-dups whose first characters differ
+    (prefix blocking misses those) as long as they sort nearby. The
+    dictionary rank here is a single small sort; for a high-cardinality
+    key at 100 TB, replace it with range-partitioned rank + offset merge
+    (the win_pctrank_bucketed construction)."""
+    p = T(spark, sf, "part").select("p_partkey", "p_name")
+    names = p.select("p_name").distinct()
+    rk = Window.orderBy("p_name")  # dictionary-sized: single-sort OK
+    ranked = names.withColumn("rk", F.row_number().over(rk))
+    a_n = ranked.select(F.col("p_name").alias("na"), F.col("rk").alias("ra"))
+    b_n = ranked.select(F.col("p_name").alias("nb"), F.col("rk").alias("rb"))
+    dist = F.levenshtein(F.col("na"), F.col("nb"), 4)
+    cand = (
+        a_n.join(
+            b_n,
+            (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 5),
+        )
+        .filter((dist >= 0) & (dist <= 3))
+        .select("na", "nb", dist.alias("dist"))
+    )
+    pa = p.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    pb = p.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    cross_name = (
+        pa.join(F.broadcast(cand), "na")
+        .join(pb, "nb")
+        .select(
+            F.least("ka", "kb").alias("a"),
+            F.greatest("ka", "kb").alias("b"),
+            "dist",
+        )
+    )
+    same_name = (
+        pa.join(pb, (F.col("na") == F.col("nb")) & (F.col("ka") < F.col("kb")))
+        .select(F.col("ka").alias("a"), F.col("kb").alias("b"), F.lit(0).alias("dist"))
+    )
+    return cross_name.unionAll(same_name)

@@ -468,3 +468,47 @@ def pipeline_pretrain_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         dround(F.avg("n_tokens"), 2).alias("avg_tokens"),
     )
+
+
+_REPETITION_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+                            i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' '))
+               AS grams
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    )
+    SELECT doc_id, LEN(grams) AS n_grams,
+           LEN(LIST_DISTINCT(grams)) AS n_uniq,
+           ROUND((1.0 - LEN(LIST_DISTINCT(grams)) / LEN(grams)) * 1e4) / 1e4
+             AS rep_ratio
+    FROM sh
+"""
+
+
+@register("text_repetition_ratio", sql=_REPETITION_SQL)
+def text_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition ratio over 3-gram shingles — the
+    standard pretrain quality signal for loop/boilerplate text (docs
+    repeating the same phrases score high and get filtered). Entirely
+    native array expressions: one narrow pass, no shuffle, no UDF."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.size(F.array_distinct("grams")).alias("n_uniq"),
+            dround(
+                1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 4
+            ).alias("rep_ratio"),
+        )
+    )
