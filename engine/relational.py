@@ -1898,3 +1898,146 @@ def win_funnel_sequence(spark: SparkSession, sf: str) -> DataFrame:
         F.col("seq").rlike("v.*c.*p").alias("funnel_vcp"),
         F.col("seq").rlike("v.*p").alias("funnel_vp"),
     )
+
+
+_ASOF_TOL_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           (SELECT v.event_id FROM v
+             WHERE v.user_id = p.user_id AND v.ts <= p.ts
+               AND v.ts >= p.ts - INTERVAL 10 MINUTE
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+    FROM p
+"""
+
+
+@register("join_asof_tolerance", sql=_ASOF_TOL_SQL)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof semantics:
+    match only if the prior view is within 10 minutes). Same union +
+    window-carry formulation as join_asof — the tolerance is a residual
+    null-out on the carried timestamp, not a different join plan, so the
+    100 TB shape is unchanged."""
+    e = T(spark, sf, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("vid"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vid"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("vid", "pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        v.unionByName(p)
+        .withColumn("view_id", F.last("vid", ignorenulls=True).over(w))
+        .withColumn(
+            "view_ts",
+            F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+    in_tol = F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    return carried.select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.when(in_tol, F.col("view_id")).alias("view_id"),
+    )
+
+
+_ASOF_FWD_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           (SELECT v.event_id FROM v
+             WHERE v.user_id = p.user_id AND v.ts >= p.ts
+             ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) AS next_view_id
+    FROM p
+"""
+
+
+@register("join_asof_forward", sql=_ASOF_FWD_SQL)
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join (first view at/after each purchase — "what did
+    the user do next"): the mirror window, first ignorenulls over
+    [currentRow, unbounded). A view at the exact purchase instant counts
+    as next (kind 0 at equal ts sorts before kind 1 in the backward
+    variant; here the frame starts at the purchase row, and views at the
+    same ts sort AFTER it via kind 1 < kind 0 reversal — see ordering)."""
+    e = T(spark, sf, "events")
+    # purchases get kind 0 so at equal ts the frame [current, ...] still
+    # contains same-instant views (kind 1) ahead of them
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("vid"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("vid"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("vid", "pid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        v.unionByName(p)
+        .withColumn("next_view_id", F.first("vid", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("pid").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            "next_view_id",
+        )
+    )
+
+
+_MERGE_SCHEMA_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+"""
+
+
+@register("scan_parquet_schema_evolution", sql=_MERGE_SCHEMA_SQL)
+def scan_parquet_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution across parquet generations: an old slice written
+    WITHOUT o_orderpriority and a new slice WITH it, read back as one
+    relation via mergeSchema — old rows surface NULL for the added
+    column. This is the day-to-day reality of a 100 TB lake (columns
+    appear over time; re-writing history is not an option). mergeSchema
+    costs a footer read per file — at scale you'd pin the merged schema
+    in a catalog instead, which is why it's off by default."""
+    out = scratch_dir("schema_evolution") + "/" + sf.rstrip("/").rsplit("/", 1)[-1]
+    o = T(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(out + "/gen=0")
+    new.write.mode("overwrite").parquet(out + "/gen=1")
+    back = spark.read.option("mergeSchema", True).parquet(out + "/gen=0", out + "/gen=1")
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")

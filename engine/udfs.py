@@ -123,3 +123,27 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT t.doc_id, t.token FROM docs_udtf_v v, "
         "LATERAL tokenize_udtf(v.doc_id, v.text) t"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    sql=f"""
+    SELECT user_id, {_CLASSIFY_SQL} AS status, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (useArrow=True): keeps the
+    per-row Python signature but ships batches over Arrow instead of
+    pickled rows — the drop-in acceleration for legacy row UDFs that
+    can't be rewritten as pandas_udf. Completes the performance ladder
+    (row-pickle → arrow-row → pandas-batch)."""
+
+    @udf(returnType="string", useArrow=True)
+    def classify(uid: int) -> str:
+        return "working" if uid % 3 < 2 else "idle"
+
+    ev = T(spark, sf, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("cnt")).select(
+        "user_id", classify("user_id").alias("status"), "cnt"
+    )
