@@ -430,6 +430,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev_sum = None
     for _ in range(max_iter):
         # candidate label via neighbors: min(label of y) for each x
         neigh = (
@@ -450,15 +451,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # without it the plan (and its recompute cost on executor loss)
         # grows linearly with iterations
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # min-label propagation only ever DECREASES labels, so the label
+        # sum is a strictly monotone convergence witness — one cheap
+        # aggregate instead of a join + count per iteration
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        converged = prev_sum is not None and new_sum == prev_sum
+        prev_sum = new_sum
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     edges.unpersist()
     return labels

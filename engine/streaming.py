@@ -214,18 +214,29 @@ def _read_stream(
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
-    sink; returns the sink table."""
+    sink; returns the sink table.
+
+    Runs with 8 state shards (shuffle partitions freeze into the state
+    layout at query start): at replay scale 32 shards is pure per-batch
+    state-store commit overhead — a real cluster sizes this to
+    keys/executor via submit conf instead. Restored after the run so
+    batch queries keep the session setting."""
     _MEM_COUNTER[0] += 1
     name = f"stream_mem_{_MEM_COUNTER[0]}"
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -383,12 +394,6 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     at replay scale dominated."""
     path = _replay_dir(spark, sf, late=False)
     src = _read_stream(spark, path, files_per_trigger=_REPLAY_FILES)
-    # 8 state shards for the replay: shard count freezes at query start,
-    # and a two-sided join keeps 4 state stores per shard — 32 shards is
-    # pure commit overhead at replay scale (a real cluster sizes this
-    # via conf to keys/executor instead). Restored after the run.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     v = (
         src
         .filter(F.col("event_type") == "view")
@@ -417,10 +422,7 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id")
     )
-    try:
-        return _run_to_memory(joined, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _run_to_memory(joined, "append")
 
 
 @register("stream_static_join")  # rows-only: streaming run
