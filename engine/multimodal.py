@@ -183,3 +183,48 @@ def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
             schema="doc_id long, duration_s double, rms double, n_bytes long",
         )
     )
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for perceptual hashing. A real pHash decodes
+    the image, downsamples to 8×8 luma, and takes the DCT sign bits;
+    the STUB derives a deterministic 64-bit value from the payload bytes
+    (8-byte strides xor-folded) — the batch shape, schema, and the
+    per-blob Python loop are exactly what the real kernel has."""
+    for pdf in batches:
+        hashes = []
+        for p in pdf["payload"]:
+            h = 0
+            for i in range(0, min(len(p), 512), 8):
+                h ^= int.from_bytes(p[i : i + 8].ljust(8, b"\0"), "little")
+            hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+
+@register("multimodal_phash_dedup")  # rows-only: stubbed decode kernel
+def multimodal_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash dedup over the binary media column: pHash per
+    blob (Arrow-batched mapInPandas, decode stubbed — see module
+    docstring), then bucket groupBy on the 64-bit hash; buckets with >1
+    doc are duplicate candidates. The image analogue of dedup_simhash:
+    at 100 TB the hash pass is narrow (no shuffle), and the only shuffle
+    moves (doc_id, phash) pairs — never the blobs themselves."""
+    media = media_table(spark, sf).filter(F.col("mime") == "image/png")
+    hashed = media.repartition("doc_id").mapInPandas(
+        _phash_batches, "doc_id long, phash long"
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("phash")
+    )

@@ -2041,3 +2041,30 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     new.write.mode("overwrite").parquet(out + "/gen=1")
     back = spark.read.option("mergeSchema", True).parquet(out + "/gen=0", out + "/gen=1")
     return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+_UNION_BY_NAME_SQL = """
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS c_mktsegment
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT c_custkey AS o_orderkey, c_acctbal AS o_totalprice,
+           NULL AS o_orderpriority, c_mktsegment
+    FROM customer WHERE c_custkey % 100 = 0
+"""
+
+
+@register("set_union_by_name", sql=_UNION_BY_NAME_SQL)
+def set_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-aligned union where
+    each side NULL-fills the other's missing columns — the safe way to
+    stack heterogeneous slices (positional UNION silently mismatches
+    columns when schemas drift)."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    c = T(spark, sf, "customer").filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("o_orderkey"),
+        F.col("c_acctbal").alias("o_totalprice"),
+        "c_mktsegment",
+    )
+    return o.unionByName(c, allowMissingColumns=True)

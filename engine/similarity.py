@@ -613,3 +613,39 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("ka").alias("a"), F.col("kb").alias("b"), F.lit(0).alias("dist"))
     )
     return cross_name.unionAll(same_name)
+
+
+_RANGE_SEARCH_SQL = """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(LIST_COSINE_SIMILARITY(q.e, c.e) * 1e6) / 1e6 AS cos
+    FROM q, c
+    WHERE q.vec_id <> c.vec_id
+      AND ROUND(LIST_COSINE_SIMILARITY(q.e, c.e) * 1e6) / 1e6 >= 0.2
+"""
+
+
+@register("sim_range_search", sql=_RANGE_SEARCH_SQL)
+def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE similarity search (all neighbors with cosine >= τ, the dual
+    of top-k): broadcast query set × corpus, threshold on the ROUNDED
+    similarity (ulp policy). Unlike top-k there is no window at all —
+    a pure narrow filter, embarrassingly parallel at any scale."""
+    emb = T(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
+    cos = dround(_cosine(F.col("qe"), F.col("ce")), 6)
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(cos >= 0.2)
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
