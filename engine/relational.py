@@ -2068,3 +2068,146 @@ def set_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
     )
     return o.unionByName(c, allowMissingColumns=True)
+
+
+_REGR_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT user_id,
+           ROUND(REGR_SLOPE(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6
+             AS slope,
+           ROUND(REGR_INTERCEPT(value, epoch_us(ts) / 1000000.0) * 1e4) / 1e4
+             AS intercept,
+           ROUND(CORR(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6 AS r,
+           COUNT(*) AS n
+    FROM e GROUP BY user_id HAVING COUNT(*) >= 3
+"""
+
+
+@register("agg_regression", sql=_REGR_SQL)
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user linear trend of event value over time via the native
+    regression aggregates (regr_slope/regr_intercept/corr) — one
+    partial-aggregable pass (each is sums/products underneath), vs the
+    applyInPandas formulation that would materialize each group. The
+    time axis is epoch SECONDS as double: epoch-micros as double would
+    square to ~1e30 and lose the slope in catastrophic cancellation —
+    canonicalized at 1e6/1e4 because the final divisions are
+    accumulation-order sensitive across engines."""
+    ev = T(spark, sf, "events")
+    x = (F.unix_micros("ts") / F.lit(1000000.0))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            dround(F.regr_slope("value", x), 6).alias("slope"),
+            dround(F.regr_intercept("value", x), 4).alias("intercept"),
+            dround(F.corr("value", x), 6).alias("r"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+
+
+_SCD1_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 4 != 0
+    ),
+    changes AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                THEN 'updated'
+                WHEN c.o_orderkey IS NOT NULL THEN 'inserted'
+                ELSE 'unchanged' END AS change_kind
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+"""
+
+
+@register("merge_upsert_scd1", sql=_SCD1_SQL)
+def merge_upsert_scd1(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE/upsert (SCD type 1, latest-wins) without a table format:
+    base ⟗ changes full-outer on the key, changed columns COALESCE to
+    the change side, rows tagged inserted/updated/unchanged. This is
+    exactly what Delta/Iceberg MERGE INTO compiles to underneath (join
+    on the merge key + per-column resolution); with neither format in
+    the environment, the engine expresses the plan directly. One shuffle
+    on the key; at 100 TB the base side would be bucketed on the key so
+    only the (small) change batch shuffles."""
+    o = T(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full").select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(
+            F.col("c.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull(),
+            "updated",
+        )
+        .when(F.col("c.o_orderkey").isNotNull(), "inserted")
+        .otherwise("unchanged")
+        .alias("change_kind"),
+    )
+
+
+_DPP_SQL = """
+    WITH dim AS (SELECT * FROM (VALUES ('R', 'keep'), ('A', 'drop'), ('N', 'drop'))
+                 t(flag, label) WHERE label = 'keep')
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY l_returnflag
+"""
+
+
+@register("join_dynamic_partition_pruning", sql=_DPP_SQL)
+def join_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a parquet table
+    PARTITIONED on the join key; the dim side's filter is only known at
+    runtime (it's read from a file, not a literal), so Catalyst injects
+    a DynamicPruningSubquery into the fact scan's PartitionFilters —
+    the fact table reads ONLY the surviving partition directories.
+    At 100 TB this is the difference between scanning one date/region
+    partition and scanning the lake. Plan shape pinned in
+    tests/test_plans.py (dynamicpruningexpression present)."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out = scratch_dir("dpp") + f"/lineitem_{tag}"
+    dim_path = scratch_dir("dpp") + f"/dim_{tag}"
+    import os
+
+    if not os.path.exists(out + "/_SUCCESS"):
+        T(spark, sf, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(out)
+    if not os.path.exists(dim_path + "/_SUCCESS"):
+        spark.createDataFrame(
+            [("R", "keep"), ("A", "drop"), ("N", "drop")], "flag string, label string"
+        ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(out)
+    dim = F.broadcast(
+        spark.read.parquet(dim_path).filter(F.col("label") == "keep")
+    )
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -144,3 +144,11 @@ def test_pctrank_bucketed_no_single_partition_exchange(spark):
     p = plan(spark, "win_pctrank_bucketed")
     assert "SinglePartition" not in p, p
     assert "hashpartitioning(bucket" in p, p
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The partitioned-fact join must carry a DynamicPruningSubquery in
+    its PartitionFilters — the fact scan reads only surviving partition
+    directories."""
+    p = plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in p.lower(), p
