@@ -2211,3 +2211,57 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
             dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+_BLOOM_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+"""
+
+
+@register("join_runtime_bloom_filter", sql=_BLOOM_SQL)
+def join_runtime_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime bloom-filter join (InjectRuntimeFilter): the selective
+    filter on orders builds a bloom filter that is pushed into the
+    LINEITEM scan as might_contain(l_orderkey) — fact rows that cannot
+    match drop before the shuffle. This is the shuffle-join counterpart
+    of DPP: when BOTH sides are fact-sized (no broadcast possible at
+    100 TB), the bloom filter is what keeps the big side's shuffle
+    proportional to matching rows. Broadcast is disabled inside this
+    query only — the rule correctly skips broadcastable joins, but at
+    toy scale everything is broadcastable, which would hide the shape
+    being demonstrated. Plan gated in tests/test_plans.py."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        o = T(spark, sf, "orders").filter(F.col("o_totalprice") > 400000.0)
+        li = T(spark, sf, "lineitem")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("cnt"),
+                dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+        )
+        # materialize the physical plan while the confs are active —
+        # QueryExecution caches it, so the bloom filter survives the
+        # conf restore below (plans are lazy; without this the plan
+        # would be compiled later under default confs)
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thr,
+        )

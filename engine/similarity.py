@@ -649,3 +649,66 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
         .filter(cos >= 0.2)
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
+
+
+@register("sim_ann_partitioned_probe")  # rows-only: approximate (cell pruning)
+def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF index made PHYSICAL: the corpus is materialized to
+    parquet PARTITIONED BY coarse cell (one directory per k-means cell),
+    and each probe reads only its nprobe=3 cell directories — the cell
+    filter is a literal IN-list, so partition pruning happens at scan
+    planning (PartitionFilters, no data touched outside probed cells).
+    This is what sim_cosine_topk_ivf's equi-join becomes at 100 TB:
+    the layout IS the index. Same centroids (memoized per sf), same
+    results as the join formulation — asserted in tests."""
+    import math
+    import os
+
+    from engine.kmeans import run_kmeans
+    from engine.session import scratch_dir
+
+    emb = T(spark, sf, "embeddings")
+    assigned, means, _ = run_kmeans(spark, sf)
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out = scratch_dir("ann_index") + f"/corpus_{tag}"
+    if not os.path.exists(out + "/_SUCCESS"):
+        (
+            emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                _as_double("embedding").alias("ce"),
+                F.col("cluster").alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(out)
+        )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+
+    def top_cells(qrow):
+        def dist(c):
+            return sum((x - y) ** 2 for x, y in zip(qrow, c))
+
+        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
+
+    qrows = q.collect()  # 5 rows — driver-sized by definition
+    probe = spark.createDataFrame(
+        [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
+        "query_id long, cell int",
+    )
+    wanted_cells = sorted({c for r in qrows for c in top_cells(r["qe"])})
+    corpus = spark.read.parquet(out).filter(F.col("cell").isin(wanted_cells))
+    scored = (
+        q.join(F.broadcast(probe), "query_id")
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(_cosine(F.col("qe"), F.col("ce")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)

@@ -186,3 +186,19 @@ def test_jaccard_hot_shingle_df_cap(spark):
     # bounds; assert the capped index really dropped the stop shingles:
     uncapped = jaccard_pairs(docs, max_df=10**9)
     assert {(r["a"], r["b"]) for r in uncapped.collect()} >= set(got)
+
+
+def test_ann_partitioned_probe_matches_ivf_join(spark):
+    """The physical (partition-pruned) IVF probe must return exactly the
+    join-formulated IVF results (same memoized centroids)."""
+    from .conftest import SF_SMOKE
+
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in QUERIES["sim_ann_partitioned_probe"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in QUERIES["sim_cosine_topk_ivf"](spark, SF_SMOKE).collect()
+    }
+    assert a == b

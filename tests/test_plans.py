@@ -152,3 +152,22 @@ def test_dynamic_partition_pruning_fires(spark):
     directories."""
     p = plan(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The selective-dim shuffle join must push a bloom filter into the
+    fact scan (might_contain on the join key)."""
+    from engine.registry import all_queries
+    from .conftest import SF_SMOKE
+
+    df = all_queries()["join_runtime_bloom_filter"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in p, p
+
+
+def test_ann_probe_prunes_cell_partitions(spark):
+    """The ANN probe scan must carry cell IN (...) PartitionFilters —
+    only probed cell directories are read."""
+    p = plan(spark, "sim_ann_partitioned_probe")
+    rs = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert rs and any("cell" in ln and "IN" in ln for ln in rs), p
