@@ -2265,3 +2265,91 @@ def join_runtime_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_thr,
         )
+
+
+_MAXBY_SQL = """
+    SELECT event_type, top_event_id, top_value, bottom_event_id
+    FROM (
+      SELECT event_type, event_id AS top_event_id,
+             ROUND(value, 2) AS top_value,
+             FIRST_VALUE(event_id) OVER (PARTITION BY event_type
+                 ORDER BY value ASC, event_id ASC) AS bottom_event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+"""
+
+
+@register("agg_max_by", sql=_MAXBY_SQL)
+def agg_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates): the event carrying the
+    extreme value per type, tie-broken deterministically by packing
+    (value, event_id) into an orderable struct — bare max_by on a
+    non-unique ordering key is nondeterministic on BOTH engines, so the
+    contract is the struct ordering (mirrored as ORDER BY value, id in
+    the oracle's window formulation). One partial-aggregable pass —
+    at scale this replaces the rank-window latest/extreme-per-key when
+    only the argmax row is needed."""
+    ev = T(spark, sf, "events")
+    ordkey = F.struct("value", "event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ordkey).alias("top_event_id"),
+        dround(F.max_by("value", ordkey), 2).alias("top_value"),
+        F.min_by("event_id", ordkey).alias("bottom_event_id"),
+    )
+
+
+_TRY_ARITH_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
+           CAST(l_quantity AS BIGINT) // NULLIF(CAST(l_tax * 100 AS BIGINT), 0)
+             AS q_div_tax,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_int
+    FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+@register("fn_try_arith", sql=_TRY_ARITH_SQL)
+def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """try_* arithmetic under ANSI mode (Spark 4 default): division by
+    zero yields NULL instead of aborting the job — one malformed row
+    can't kill a 100 TB pass. DuckDB's plain operators return NULL via
+    NULLIF guards; Spark's try_divide does it natively."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_discount")).alias("price_per_disc"),
+        F.try_divide(
+            F.col("l_quantity").cast("long"),
+            (F.col("l_tax") * 100).cast("long"),
+        ).cast("long").alias("q_div_tax"),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+    )
+
+
+_COLLATE_SQL = """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE LOWER(n_name) = 'nation_3'
+    GROUP BY n_name
+"""
+
+
+@register("fn_collation_lcase", sql=_COLLATE_SQL)
+def fn_collation_lcase(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 collations: UTF8_LCASE makes the EQUALITY itself
+    case-insensitive (collation travels with the type through joins and
+    aggregations) — vs wrapping every comparison in LOWER(), which
+    blocks index/stats use and is easy to forget on one side. The
+    oracle mirrors with LOWER()."""
+    c = T(spark, sf, "customer")
+    n = F.broadcast(T(spark, sf, "nation"))
+    lcase_name = F.collate(F.col("n_name"), "UTF8_LCASE")
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(lcase_name == F.lit("NATION_3").try_cast("string"))
+        .groupBy(F.col("n_name").cast("string").alias("n_name"))
+        .agg(F.count("*").alias("n_customers"))
+    )

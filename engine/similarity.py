@@ -392,19 +392,39 @@ _EMB_NEARDUP_SQL = """
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.95), candidate-limited to
     same-label cells — the coarse-quantization trick that keeps this an
-    equi-join + residual instead of an n² cross join."""
+    equi-join + residual instead of an n² cross join.
+
+    Norms are precomputed ONCE PER ROW before the join (they're
+    pair-invariant); per-pair work is just the dot product — at B
+    same-label candidates per row that's a 3× reduction in the
+    quadratic-stage flops, same IEEE value (dot/(sqrt·sqrt) in the same
+    order as before)."""
     emb = T(spark, sf, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ),
     )
     a = emb.select(
-        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
+        F.col("vec_id").alias("a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     # threshold on the ROUNDED cosine: raw float comparisons near the
     # cutoff are ulp-sensitive across engines (ADVICE r1)
-    cos = dround(_cosine(F.col("va"), F.col("vb")), 6)
+    cos = dround(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
         .filter(cos >= 0.95)
