@@ -399,8 +399,8 @@ def fn_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
              AS n_long,
            LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'spark')) > 0
              AS has_spark,
-           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
-                                   t -> LENGTH(t))) AS total_len
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                        t -> LENGTH(t))) AS BIGINT) AS total_len
     FROM documents
     """,
 )

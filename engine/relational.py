@@ -1345,7 +1345,8 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
                                    THEN o_totalprice END), 0) * 100) / 100
              AS sum_nonpending,
            ROUND(AVG(NULLIF(o_totalprice, 0.0)) * 100) / 100 AS avg_nonzero,
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_null_prio
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_prio
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2073,11 +2074,11 @@ def set_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
 _REGR_SQL = f"""
     WITH e AS ({EVENTS_US_SQL})
     SELECT user_id,
-           ROUND(REGR_SLOPE(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6
+           ROUND(REGR_SLOPE(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6 + 0.0
              AS slope,
-           ROUND(REGR_INTERCEPT(value, epoch_us(ts) / 1000000.0) * 1e4) / 1e4
+           ROUND(REGR_INTERCEPT(value, epoch_us(ts) / 1000000.0) * 1e4) / 1e4 + 0.0
              AS intercept,
-           ROUND(CORR(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6 AS r,
+           ROUND(CORR(value, epoch_us(ts) / 1000000.0) * 1e6) / 1e6 + 0.0 AS r,
            COUNT(*) AS n
     FROM e GROUP BY user_id HAVING COUNT(*) >= 3
 """
@@ -2098,9 +2099,11 @@ def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            dround(F.regr_slope("value", x), 6).alias("slope"),
-            dround(F.regr_intercept("value", x), 4).alias("intercept"),
-            dround(F.corr("value", x), 6).alias("r"),
+            # + 0.0 maps IEEE -0.0 to 0.0 (DuckDB REGR_SLOPE can emit
+            # -0.0 where Spark emits 0.0 — same fixup on both engines).
+            (dround(F.regr_slope("value", x), 6) + F.lit(0.0)).alias("slope"),
+            (dround(F.regr_intercept("value", x), 4) + F.lit(0.0)).alias("intercept"),
+            (dround(F.corr("value", x), 6) + F.lit(0.0)).alias("r"),
             F.count("*").alias("n"),
         )
         .filter(F.col("n") >= 3)
@@ -2303,8 +2306,8 @@ def agg_max_by(spark: SparkSession, sf: str) -> DataFrame:
 _TRY_ARITH_SQL = """
     SELECT l_orderkey, l_linenumber,
            l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
-           CAST(l_quantity AS BIGINT) // NULLIF(CAST(l_tax * 100 AS BIGINT), 0)
-             AS q_div_tax,
+           CAST(l_quantity AS BIGINT)
+             // NULLIF(CAST(ROUND(l_tax * 100) AS BIGINT), 0) AS q_div_tax,
            TRY_CAST(l_returnflag AS INTEGER) AS flag_int
     FROM lineitem WHERE l_linenumber = 1
 """
@@ -2321,9 +2324,12 @@ def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.try_divide("l_extendedprice", F.col("l_discount")).alias("price_per_disc"),
+        # explicit ROUND on both engines: bare CAST(x*100 AS BIGINT)
+        # rounds in DuckDB but truncates in Spark — they only agreed on
+        # the current data by luck (l_tax grid has no .5 boundary).
         F.try_divide(
             F.col("l_quantity").cast("long"),
-            (F.col("l_tax") * 100).cast("long"),
+            F.round(F.col("l_tax") * 100, 0).cast("long"),
         ).cast("long").alias("q_div_tax"),
         F.col("l_returnflag").try_cast("int").alias("flag_int"),
     )

@@ -436,7 +436,7 @@ def wiki_parse_lines(spark: SparkSession, sf: str) -> DataFrame:
         FROM kept) t
       WHERE rn = 1
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_tokens) * 100) / 100 AS avg_tokens
     FROM deduped GROUP BY lang
     """,

@@ -1,5 +1,19 @@
-"""Pre-flight mirror of the driver's DuckDB-oracle comparison:
-row-count + column-name schema + order-insensitive canonical values."""
+"""Pre-flight mirror of the driver's DuckDB-oracle comparison.
+
+The driver canonicalizes BOTH result sets through pandas
+(``spark_df.toPandas()`` vs ``duck.execute(sql).df()``) and hashes
+type-tagged values, so dtype coercions that pandas applies — e.g.
+DuckDB HUGEINT → float64 while Spark emits int64 — are VISIBLE to the
+driver.  Round 2 proved a ``fetchall()``-based pre-flight is blind to
+that class (pre-flight green, driver red on ``fn_array_lambda`` /
+``pipeline_pretrain_filter``).  This version fetches through pandas on
+both sides and tags cells by their numpy dtype, so a pandas-level
+int-vs-float divergence fails locally before the driver ever runs.
+
+Known driver tolerance kept: DATE vs midnight-TIMESTAMP compare equal
+(``fn_date`` / ``fn_interval`` were driver-green in r2 despite that
+formatting diff).
+"""
 
 from __future__ import annotations
 
@@ -7,55 +21,69 @@ import datetime
 import math
 from decimal import Decimal
 
+import numpy as np
+import pandas as pd
+
 
 def _cell(v):
-    if v is None:
+    # pandas nulls: None, NaN, NaT — all canonicalize to None so an
+    # int64-with-nulls→float64 column still value-matches on non-nulls.
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, bool):
-        return ("b", v)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
     if isinstance(v, Decimal):
         v = float(v)
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return ("f", "nan")
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+            return None
+        # deliberately NOT normalizing -0.0: the driver may hash reprs,
+        # so a -0.0 vs 0.0 divergence must fail here first (queries are
+        # responsible for emitting an unsigned zero on both engines).
         return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", v)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is None and v.time() == datetime.time(0):
+            return ("d", v.date().isoformat())
         return ("t", v.isoformat())
     if isinstance(v, datetime.date):
         return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return ("a", tuple(_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _cell(x)) for k, x in v.items())))
     return ("s", str(v))
 
 
-def canon(colnames, rows):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    cols = [colnames[i] for i in order]
-    out = sorted(
-        (tuple(_cell(r[i]) for i in order) for r in rows), key=lambda t: repr(t)
-    )
-    return cols, out
+def canon_pdf(pdf: pd.DataFrame):
+    """Sort columns by name, type-tag every cell, sort rows — the
+    order-insensitive canonical form the driver hashes."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort(key=repr)
+    return cols, rows
 
 
 def compare(spark_df, duck_con, sql, key=""):
-    srows = spark_df.collect()
-    scols = spark_df.columns
-    res = duck_con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    spdf = spark_df.toPandas()
+    dpdf = duck_con.execute(sql).df()
 
-    assert sorted(scols) == sorted(dcols), (
-        f"{key}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{key}: column mismatch spark={sorted(spdf.columns)} "
+        f"duck={sorted(dpdf.columns)}"
     )
-    assert len(srows) == len(drows), (
-        f"{key}: row count spark={len(srows)} duck={len(drows)}"
+    assert len(spdf) == len(dpdf), (
+        f"{key}: row count spark={len(spdf)} duck={len(dpdf)}"
     )
-    _, sc = canon(scols, [tuple(r) for r in srows])
-    _, dc = canon(dcols, drows)
+    _, sc = canon_pdf(spdf)
+    _, dc = canon_pdf(dpdf)
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
         raise AssertionError(f"{key}: value mismatch, first diffs: {diffs}")

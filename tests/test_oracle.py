@@ -36,6 +36,20 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_output_types_pandas_safe(key, duck):
+    """Permanent gate for the r2 failure class: DuckDB HUGEINT output
+    columns coerce to float64 in the driver's pandas canonicalizer while
+    Spark emits int64 → guaranteed hash mismatch.  DESCRIBE every oracle
+    and reject HUGEINT (and other pandas-lossy types) at the source."""
+    desc = duck.execute(f"DESCRIBE {ORACLES[key]}").fetchall()
+    bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+    assert not bad, (
+        f"{key}: HUGEINT output column(s) {bad} — add CAST(... AS BIGINT) "
+        f"in the oracle SQL (DuckDB SUM(BIGINT)/LIST_SUM type as HUGEINT)"
+    )
+
+
 def test_dround_matches_duckdb_round_on_random_doubles(spark, duck):
     """Cross-engine rounding sweep: dround must equal DuckDB ROUND on a
     large seeded sample including adversarial near-boundary values."""
