@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T, scratch_dir
+from engine.session import T, data_fingerprint, scratch_cache, scratch_dir
 
 K = 10
 ETA = 20.0  # StackOverflow.scala `kmeansEta` [H]
@@ -106,10 +106,13 @@ def run_kmeans(
     spark: SparkSession, sf: str
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Fit (memoized per sf_dir) + assign over the embeddings table."""
-    emb = T(spark, sf, "embeddings").cache()
-    if sf not in _MEANS_CACHE:
-        _MEANS_CACHE[sf] = kmeans_fit(emb)
-    means, it = _MEANS_CACHE[sf]
+    # tracked cache (freed before the next query) — the iterative fit
+    # scans emb once per round, and the returned assignment re-reads it
+    emb = scratch_cache(T(spark, sf, "embeddings"))
+    memo = (sf, data_fingerprint(sf, "embeddings"))
+    if memo not in _MEANS_CACHE:
+        _MEANS_CACHE[memo] = kmeans_fit(emb)
+    means, it = _MEANS_CACHE[memo]
     return _assign(emb, means).select("vec_id", "label", "cluster"), means, it
 
 

@@ -8,6 +8,7 @@ rows-only check (non-SQL-expressible ops: LSH, k-means, true streaming).
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 
@@ -117,7 +118,18 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+            # free caches the PREVIOUS query left alive for its consumer
+            # (queries run sequentially in the driver sweep; no query
+            # calls another registered query, only unwrapped helpers)
+            from engine.session import drain_scratch_caches
+
+            drain_scratch_caches()
+            return fn(spark, sf)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 
 from engine.canon import dround, floordiv_sql, joined
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, scratch_dir
+from engine.session import EVENTS_US_SQL, T, data_fingerprint, scratch_dir
 
 # --------------------------------------------------------------------------
 # Scans / sources / sinks
@@ -2189,7 +2189,13 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB this is the difference between scanning one date/region
     partition and scanning the lake. Plan shape pinned in
     tests/test_plans.py (dynamicpruningexpression present)."""
-    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    # memo path includes a source-data fingerprint: _SUCCESS alone would
+    # silently serve a stale partitioned copy after testdata regeneration
+    tag = (
+        sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + "_"
+        + data_fingerprint(sf, "lineitem")
+    )
     out = scratch_dir("dpp") + f"/lineitem_{tag}"
     dim_path = scratch_dir("dpp") + f"/dim_{tag}"
     import os

@@ -119,3 +119,49 @@ def scratch_dir(subdir: str) -> str:
     p = pathlib.Path(__file__).resolve().parent.parent / ".scratch" / subdir
     p.mkdir(parents=True, exist_ok=True)
     return str(p)
+
+
+#: caches created while BUILDING a query whose lifetime must extend past
+#: the function return (the returned DataFrame still references them) —
+#: drained by the registry right before the NEXT query is built, so a
+#: 155-query driver sweep doesn't accumulate executor storage for the
+#: whole session (r2 driver bench: late-sweep queries ran 2–5× slower
+#: than the same queries benched in isolation).
+_SCRATCH_CACHES: list[DataFrame] = []
+
+
+def scratch_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + track for deferred :func:`drain_scratch_caches`."""
+    _SCRATCH_CACHES.append(df.cache())
+    return df
+
+
+def drain_scratch_caches() -> None:
+    while _SCRATCH_CACHES:
+        try:
+            _SCRATCH_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
+def data_fingerprint(sf_dir: str, table: str) -> str:
+    """mtime+size fingerprint of a source parquet. Memoized scratch
+    artifacts (IVF corpus, DPP partitioned fact) embed it in their path
+    so regenerated testdata or a changed upstream can never be served a
+    stale index (_SUCCESS-only memoization reused blindly — ADVICE r2)."""
+    import hashlib
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / f"{table}.parquet"
+    try:
+        if p.is_dir():
+            stats = sorted(
+                (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                for f in p.iterdir()
+            )
+        else:
+            st = p.stat()
+            stats = [(p.name, st.st_mtime_ns, st.st_size)]
+    except OSError:
+        stats = []
+    return hashlib.sha1(repr(stats).encode()).hexdigest()[:10]

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround, joined
 from engine.registry import register
-from engine.session import T
+from engine.session import T, data_fingerprint, scratch_cache
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -76,8 +76,9 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     shingled = shingled.filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # cache: the self-join consumes feats TWICE — uncached, the whole
-    # shingle+hash pipeline would be recomputed for each side
-    feats = tf.transform(shingled).cache()
+    # shingle+hash pipeline would be recomputed for each side. Tracked
+    # (not bare .cache()) so the registry frees it before the next query.
+    feats = scratch_cache(tf.transform(shingled))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
@@ -153,8 +154,9 @@ def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
         .filter(F.col("df") > max_df)
         .select("s")
     )
-    # cache: consumed by counts AND both sides of the candidate self-join
-    sh = sh_all.join(F.broadcast(hot), "s", "left_anti").cache()
+    # cache: consumed by counts AND both sides of the candidate
+    # self-join; tracked so the registry frees it before the next query
+    sh = scratch_cache(sh_all.join(F.broadcast(hot), "s", "left_anti"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -689,8 +691,12 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = T(spark, sf, "embeddings")
     assigned, means, _ = run_kmeans(spark, sf)
+    # memo path includes a source-data fingerprint: _SUCCESS alone would
+    # silently serve a stale index after testdata regeneration
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    out = scratch_dir("ann_index") + f"/corpus_{tag}"
+    out = scratch_dir("ann_index") + (
+        f"/corpus_{tag}_{data_fingerprint(sf, 'embeddings')}"
+    )
     if not os.path.exists(out + "/_SUCCESS"):
         (
             emb.join(assigned.select("vec_id", "cluster"), "vec_id")
