@@ -142,6 +142,18 @@ def so_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def materialize_assignments(spark: SparkSession, sf: str) -> str:
+    """Write the converged (vec_id, label, cluster) assignment to parquet
+    and return the path. Shared by every oracled query that blocks or
+    aggregates on k-means cells: BOTH engines read this one file, so the
+    oracle checks the downstream logic exactly even though the iterative
+    fit itself is rows-only."""
+    assigned, _means, _it = run_kmeans(spark, sf)
+    path = _assign_path(_sf_tag(sf))
+    assigned.write.mode("overwrite").parquet(path)
+    return path
+
+
 @register(
     "so_cluster_stats",
     sql=f"""
@@ -165,14 +177,10 @@ def so_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 )
 def so_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     """`clusterResults` [H]: per final cluster — dominant label (mode,
-    deterministic tie-break), dominant %, size, exact median. The
-    assignments are materialized to parquet first and BOTH engines
-    compute stats from that file, so the oracle checks the stats logic
-    exactly even though the iterative loop itself is rows-only."""
-    assigned, _means, _it = run_kmeans(spark, sf)
-    path = _assign_path(_sf_tag(sf))
-    assigned.write.mode("overwrite").parquet(path)
-    a = spark.read.parquet(path)
+    deterministic tie-break), dominant %, size, exact median (computed
+    from the shared materialized assignment, see
+    :func:`materialize_assignments`)."""
+    a = spark.read.parquet(materialize_assignments(spark, sf))
 
     sizes = a.groupBy("cluster").agg(
         F.count("*").alias("size"),

@@ -381,11 +381,25 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
 
 
-_EMB_NEARDUP_SQL = """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+def _kmeans_assign_path_sf001() -> str:
+    from engine.kmeans import _assign_path
+
+    return _assign_path("sf0_01")
+
+
+_EMB_NEARDUP_SQL = f"""
+    WITH asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_kmeans_assign_path_sf001()}/*.parquet')
+    ),
+    e AS (
+      SELECT e.vec_id, e.label, a.cluster AS cell, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN asg a USING (vec_id)
+    )
     SELECT a.vec_id AS a, b.vec_id AS b,
            ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 AS cos
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM e a JOIN e b
+      ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 >= 0.95
 """
 
@@ -393,33 +407,46 @@ _EMB_NEARDUP_SQL = """
 @register("dedup_embedding", sql=_EMB_NEARDUP_SQL)
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.95), candidate-limited to
-    same-label cells — the coarse-quantization trick that keeps this an
-    equi-join + residual instead of an n² cross join.
+    same IVF CELL (k-means coarse quantization, the shared materialized
+    assignment — see engine.kmeans.materialize_assignments) with label
+    as a residual predicate.
+
+    Blocking on cells, not labels, is the scale fix (VERDICT r2): label
+    has a FIXED cardinality (10), so label-blocking is O(N²/10) — a
+    scale-killer; the cell count is a free parameter that grows with the
+    corpus (k ≈ √N at 100 TB), bounding the candidate set per row at
+    ~N/k. The oracle reads the same assignment parquet, so both engines
+    see identical cells (the Spark query must run before the oracle —
+    same contract as so_cluster_stats).
 
     Norms are precomputed ONCE PER ROW before the join (they're
-    pair-invariant); per-pair work is just the dot product — at B
-    same-label candidates per row that's a 3× reduction in the
-    quadratic-stage flops, same IEEE value (dot/(sqrt·sqrt) in the same
-    order as before)."""
-    emb = T(spark, sf, "embeddings").select(
-        "vec_id",
-        "label",
-        _as_double("embedding").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ),
+    pair-invariant); per-pair work is just the dot product."""
+    from engine.kmeans import materialize_assignments
+
+    asg_path = materialize_assignments(spark, sf)
+    asg = spark.read.parquet(asg_path).select("vec_id", F.col("cluster").alias("cell"))
+    emb = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .join(asg, "vec_id")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
     )
     a = emb.select(
         F.col("vec_id").alias("a"), F.col("label").alias("la"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
+        F.col("cell").alias("ca"), F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("b"), F.col("label").alias("lb"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        F.col("cell").alias("cb"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -428,7 +455,12 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     # cutoff are ulp-sensitive across engines (ADVICE r1)
     cos = dround(dot / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("a") < F.col("b")),
+        )
         .filter(cos >= 0.95)
         .select("a", "b", cos.alias("cos"))
     )

@@ -171,3 +171,15 @@ def test_ann_probe_prunes_cell_partitions(spark):
     p = plan(spark, "sim_ann_partitioned_probe")
     rs = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert rs and any("cell" in ln and "IN" in ln for ln in rs), p
+
+
+def test_dedup_embedding_blocks_on_cell_equijoin(spark):
+    """Embedding dedup must candidate-block via an EQUI-join on the IVF
+    cell id (+ label residual) — never a cartesian/label-only join whose
+    candidate set is O(N²/10) at fixed label cardinality (VERDICT r2)."""
+    p = plan(spark, "dedup_embedding")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    # formatted mode details: "Left keys [2]: [ca#N, la#N]"
+    key_lines = [ln for ln in p.splitlines() if "keys" in ln.lower()]
+    assert any("ca#" in ln and "la#" in ln for ln in key_lines), p
