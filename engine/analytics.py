@@ -1,0 +1,514 @@
+"""Round-3 breadth: the remaining classic TPC-H query shapes adapted to
+the driver's star schema (no partsupp / commitdate — predicates adapted,
+shapes preserved), batch sessionization, and two more LLM-data-pipeline
+ops (benchmark decontamination, weighted source mixing).
+
+Scale design notes (100 TB posture):
+- q6: pure scan-side query — every predicate reaches PushedFilters, the
+  aggregate is a two-phase partial/final pair; zero shuffle of data rows.
+- q9/q12/q14/q16/q19: the fact table shuffles at most once (or not at
+  all when the dim side broadcasts); dims are broadcast explicitly.
+- q11: the global scalar is one extra reduction, broadcast back into
+  the HAVING filter — never a driver-side loop.
+- sessionization: two stacked windows per user (lag → flag → running
+  sum) — one shuffle on user_id, state linear in events per user.
+- decontamination: the eval side is tiny by construction (a benchmark),
+  so the shingle join is a BROADCAST join — the 100 TB train corpus
+  never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import EVENTS_US_SQL, T
+
+
+def _exact_sum2(expr: Column, scale: int = 10_000) -> Column:
+    """Sum a fixed-decimal money expression EXACTLY: per-row scale to
+    integer units (l_extendedprice has 2 decimals, discount factors 2
+    more → exact at 1e4), sum as BIGINT, divide once, round to cents.
+    Double summation is accumulation-order dependent — engines disagree
+    at half-cent boundaries (the summary.py _AVG1 lesson); integer sums
+    are order-free and identical everywhere."""
+    units = F.sum(dround(expr * scale, 0).cast("long"))
+    return dround(units / F.lit(float(scale)), 2)
+
+
+#: oracle-side mirror of _exact_sum2
+_EXACT_SUM2 = (
+    "ROUND(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT))"
+    " / CAST({scale} AS DOUBLE) * 100) / 100"
+)
+
+# --------------------------------------------------------------------------
+# TPC-H remainder (adapted to the available schema)
+# --------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_EXACT_SUM2.format(expr="l_extendedprice * l_discount", scale=10000)}
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", sql=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: filter-only revenue forecast. The showcase for
+    scan-side execution — every predicate (date range, discount band,
+    quantity cap) reaches the parquet scan's PushedFilters, so at 100 TB
+    the query reads row-group statistics, not rows, wherever possible;
+    the aggregate is a partial/final HashAggregate pair with no row
+    shuffle (plan-gated in tests/test_plans.py)."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            _exact_sum2(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_Q9_SQL = f"""
+    SELECT n_name,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {_EXACT_SUM2.format(expr="l_extendedprice * (1 - l_discount)", scale=10000)}
+             AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+"""
+
+
+@register("q9_product_profit", sql=_Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation and year over a part-name
+    filter). part/supplier/nation broadcast (the p_name filter shrinks
+    part further before the hint); lineitem joins orders on the order
+    key — the only shuffle of fact-sized data."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(
+        T(spark, sf, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    )
+    s = F.broadcast(T(spark, sf, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(T(spark, sf, "nation").select("n_nationkey", "n_name"))
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _exact_sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "profit"
+            )
+        )
+    )
+
+
+_Q11_SQL = """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, cents / CAST(100 AS DOUBLE) AS part_value
+    FROM pv
+    WHERE cents * 1000 > (SELECT CAST(SUM(cents) AS BIGINT) FROM pv)
+"""
+
+
+@register("q11_important_stock", sql=_Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value vs a fraction of the
+    GLOBAL total — a HAVING against a scalar subquery. The global sum is
+    one extra reduction over the already-grouped values, broadcast back
+    as a literal-like scalar; both sides of the comparison are rounded
+    first because the raw threshold compare is accumulation-order
+    sensitive across engines — so BOTH the per-part value and the
+    threshold compare run in exact integer cents (value_cents * 1000 >
+    total_cents ⟺ value > total/1000, no floats anywhere until the
+    output projection)."""
+    li = T(spark, sf, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            dround(F.col("l_extendedprice") * F.col("l_quantity") * 100, 0).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    thr = pv.agg(F.sum("cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("cents") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+_Q12_SQL = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+@register("q12_priority_by_status", sql=_Q12_SQL)
+def q12_priority_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-class line counts per line status; the
+    shipmode column doesn't exist in this schema, linestatus plays its
+    role). Conditional aggregation — both counters come out of ONE pass,
+    not two filtered subqueries; the date filter is pushed to the
+    lineitem scan before the join."""
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_SQL = """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)) * 1e4) / 1e4
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@register("q14_promo_revenue", sql=_Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a ratio of two conditional
+    sums in one aggregation pass over the date-filtered fact, part
+    broadcast. Rounded at 4 decimals: the ratio of two large sums is
+    stable far beyond that, while raw repr would expose accumulation
+    order."""
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = F.broadcast(T(spark, sf, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            dround(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#15'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_parts_supplier", sql=_Q16_SQL)
+def q16_parts_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per surviving part
+    config. The part-side filters (brand exclusion, type exclusion, size
+    IN-list) all prune the broadcast side BEFORE the join; distinct-count
+    expands to a two-level aggregate (dedup then count) that stays
+    partial-aggregable."""
+    p = F.broadcast(
+        T(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#15")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+    )
+    li = T(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q19_SQL = f"""
+    SELECT {_EXACT_SUM2.format(expr="l_extendedprice * (1 - l_discount)", scale=10000)}
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 31 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_discounted_revenue", sql=_Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands over an equi-join. The OR-of-ANDs stays a RESIDUAL on the
+    p_partkey equi-join (never a nested-loop); Catalyst additionally
+    derives the common l_quantity range for scan pushdown."""
+    li = T(spark, sf, "lineitem")
+    p = F.broadcast(T(spark, sf, "part").select("p_partkey", "p_brand", "p_size"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            _exact_sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (the batch twin of stream_session)
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    flags AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flags
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+             AS duration_s
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("win_sessionize_gap", sql=_SESSIONIZE_SQL)
+def win_sessionize_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap: lag → new-
+    session flag → running sum = session id, then per-session rollup.
+    The batch twin of stream_session (same gap semantics, checkable
+    end-to-end by SQL). One shuffle on user_id; both windows and the
+    final aggregate share that partitioning, so the three stages
+    pipeline without re-shuffling. Ties broken by event_id so both
+    engines order identically."""
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline: decontamination + weighted source mixing + profiling
+# --------------------------------------------------------------------------
+
+_DECONTAM_SQL = """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(t) - 7),
+               i -> ARRAY_TO_STRING(t[i:i+7], ' ')))) AS s
+      FROM toks WHERE LEN(t) >= 8
+    ),
+    eval_grams AS (
+      SELECT DISTINCT s FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.s) AS BIGINT) AS n_shared_grams
+    FROM grams g JOIN eval_grams e USING (s)
+    WHERE g.doc_id % 97 != 0
+    GROUP BY g.doc_id
+"""
+
+
+@register("pipeline_decontaminate", sql=_DECONTAM_SQL)
+def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-gram with the eval set (here: doc_id % 97 == 0 stands in for the
+    benchmark). The eval shingle set is tiny BY CONSTRUCTION (benchmarks
+    are small), so it broadcasts — the 100 TB train side is filtered by
+    a broadcast hash join on the shingle and never shuffles; output is
+    per-doc shared-gram counts (the removal list)."""
+    d = T(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    d = d.filter(F.size("t") >= 8)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 8),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+                )
+            )
+        ).alias("s"),
+    )
+    eval_grams = F.broadcast(
+        grams.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_grams, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_grams"))
+    )
+
+
+_MIX_SQL = """
+    WITH w AS (
+      SELECT source, doc_id,
+             CAST(SUBSTR(source, 4) AS INTEGER) % 3 + 1 AS weight
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(MAX(weight) AS BIGINT) AS weight
+    FROM w GROUP BY source
+"""
+
+
+@register("pipeline_mix_sources", sql=_MIX_SQL)
+def pipeline_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source mixing for a training run: each source gets a
+    target weight (here derived from its id), documents are kept by a
+    DETERMINISTIC hash-free rule (doc_id mod) at weight/4 rate — the
+    same rows survive on any engine or cluster size, unlike rand()-based
+    sampleBy. Output: per-source kept/total — the mixing audit table.
+    One scan, one partial-aggregated shuffle on source."""
+    d = T(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 3 + 1).alias("weight"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("doc_id") % 4 < F.col("weight"), 1).otherwise(0)).alias(
+            "n_sampled"
+        ),
+        F.max("weight").cast("long").alias("weight"),
+    )
+
+
+_HIST_SQL = """
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY bucket
+"""
+
+
+@register("agg_hist_fixed_width", sql=_HIST_SQL)
+def agg_hist_fixed_width(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-distribution profiling (fixed-width histogram over doc
+    size) — the first thing a training-data pipeline computes per crawl
+    batch. Arithmetic bucketing (floor-div) instead of width_bucket so
+    the bucket rule is portable to any engine; partial-aggregable, one
+    tiny shuffle (≤ #buckets groups)."""
+    d = T(spark, sf, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

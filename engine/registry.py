@@ -33,6 +33,7 @@ _MODULES = (
     "engine.multimodal",
     "engine.streaming",
     "engine.relational",
+    "engine.analytics",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
@@ -86,6 +87,18 @@ _PRIORITY = (
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
+    # -- round-3 additions (SQL-oracled, new code verifies first)
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "win_sessionize_gap",
+    "pipeline_decontaminate",
+    "pipeline_mix_sources",
+    "agg_hist_fixed_width",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

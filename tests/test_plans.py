@@ -173,6 +173,33 @@ def test_ann_probe_prunes_cell_partitions(spark):
     assert rs and any("cell" in ln and "IN" in ln for ln in rs), p
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is scan-side by design: date range, discount band and quantity
+    cap must ALL reach the parquet scan's PushedFilters, and the global
+    aggregate must be a partial/final pair."""
+    p = plan(spark, "q6_forecast_revenue")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed\n{line}"
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The eval shingle set is benchmark-sized — the train corpus must
+    be filtered via a BroadcastHashJoin, never shuffled on the shingle."""
+    p = plan(spark, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q9_dims_broadcast(spark):
+    """part/supplier/nation must all broadcast in the Q9 star join —
+    the fact side shuffles at most once (for the orders join)."""
+    p = plan(spark, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
 def test_dedup_embedding_blocks_on_cell_equijoin(spark):
     """Embedding dedup must candidate-block via an EQUI-join on the IVF
     cell id (+ label residual) — never a cartesian/label-only join whose
