@@ -487,6 +487,88 @@ def pipeline_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_NULLSAFE_SQL = """
+    WITH dim AS (
+      SELECT * FROM (VALUES ('1-URGENT', 'hot'), (NULL, 'unknown'),
+                            ('5-LOW', 'cold')) t(prio, bucket)
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN dim ON o_orderpriority IS NOT DISTINCT FROM prio
+    GROUP BY bucket
+"""
+
+
+@register("join_null_safe", sql=_NULLSAFE_SQL)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    a NULL dim row instead of silently dropping — the semantics you want
+    when NULL is a real category (unclassified rows must land in an
+    'unknown' bucket, not vanish). Stays a hashable equi-join key in
+    Spark (EqualNullSafe is a join key, not a residual), dim broadcast."""
+    o = T(spark, sf, "orders")
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [("1-URGENT", "hot"), (None, "unknown"), ("5-LOW", "cold")],
+            "prio string, bucket string",
+        )
+    )
+    return (
+        o.join(dim, F.col("o_orderpriority").eqNullSafe(F.col("prio")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_LM_SCORE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           ROUND(SUM(CAST(ROUND(LN((vocab.cnt + 1.0) / (tot.n + tot.v)) * 1e6)
+                          AS BIGINT))
+                 / (COUNT(*) * 1e6) * 1e4) / 1e4 AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_toks
+    FROM toks t JOIN vocab ON t.w = vocab.w CROSS JOIN tot
+    GROUP BY t.doc_id
+"""
+
+
+@register("text_lm_score", sql=_LM_SCORE_SQL)
+def text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model quality score per document: token
+    log-probabilities from the corpus's OWN add-one-smoothed unigram
+    counts, averaged per doc — the classic cheap perplexity proxy for
+    pretrain filtering. Two passes: build vocab (one shuffle on token),
+    broadcast it (a natural-language unigram vocab is bounded, ~1e6
+    entries, broadcastable at any corpus size), then score docs with a
+    map-side join + one shuffle on doc_id. Per-token log-probs are
+    rounded to integer 1e-6 units BEFORE summing so both engines add
+    identical integers (float sum order and libm ulp diffs never reach
+    the hash)."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"), F.count("*").alias("v"))
+    units = dround(
+        F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))) * 1e6, 0
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", units.alias("u"))
+        .groupBy("doc_id")
+        .agg(
+            dround(F.sum("u") / (F.count("*") * 1e6), 4).alias("avg_logprob"),
+            F.count("*").alias("n_toks"),
+        )
+    )
+
+
 _HIST_SQL = """
     SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -99,6 +99,8 @@ _PRIORITY = (
     "pipeline_decontaminate",
     "pipeline_mix_sources",
     "agg_hist_fixed_width",
+    "join_null_safe",
+    "text_lm_score",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
