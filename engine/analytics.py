@@ -594,3 +594,306 @@ def agg_hist_fixed_width(spark: SparkSession, sf: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H remainder, part 2 (q8/q13/q15/q17/q22) + SCD2 history merge
+# --------------------------------------------------------------------------
+
+_Q8_SQL = """
+    WITH rev AS (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               AS units,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = cn.n_regionkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN units ELSE 0 END)
+                 / CAST(SUM(units) AS DOUBLE) * 1e4) / 1e4 AS mkt_share
+    FROM rev GROUP BY o_year
+"""
+
+
+@register("q8_market_share", sql=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue sold to one
+    region's customers, per year. Two independent dimension ARMS hang off
+    the fact row (customer→nation→region for the filter, supplier→nation
+    for the share tag) — all broadcast; the only fact-sized shuffle is
+    lineitem⋈orders. The share is a ratio of two exact-integer unit sums
+    (order-free), rounded at 4."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cn = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    sn = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_dim = F.broadcast(
+        c.join(cn, c.c_nationkey == cn.cn_key)
+        .join(r, cn.cn_region == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_dim = F.broadcast(
+        s.join(sn, s.s_nationkey == sn.sn_key).select("s_suppkey", "supp_nation")
+    )
+    units = dround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0).cast(
+        "long"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_dim, o.o_custkey == cust_dim.c_custkey)
+        .join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            units.alias("units"),
+            "supp_nation",
+        )
+    )
+    tgt = F.when(F.col("supp_nation") == "NATION_5", F.col("units")).otherwise(F.lit(0))
+    return rev.groupBy("o_year").agg(
+        dround(F.sum(tgt) / F.sum("units").cast("double") * 1e4, 0).alias("_t")
+    ).select("o_year", (F.col("_t") / 1e4).alias("mkt_share"))
+
+
+_Q13_SQL = """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority IS NOT NULL
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", sql=_Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    the zero bucket — the left join keeps order-less customers and
+    COUNT(col) (not COUNT(*)) gives them 0. The join-side filter lives
+    in the JOIN CONDITION, not WHERE (a WHERE would silently turn the
+    left join inner). Double aggregation: per-customer count (shuffle on
+    custkey) then histogram (tiny shuffle on the count value)."""
+    c = T(spark, sf, "customer").select("c_custkey")
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & F.col("o_orderpriority").isNotNull(),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           units / CAST(10000 AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE units = (SELECT MAX(units) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", sql=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregate compared against the MAX over the same aggregate. The
+    revenue CTE is computed once; its max is a one-row broadcast, not a
+    re-scan. Revenue is summed in exact integer units so 'equals max' is
+    an INTEGER comparison — no float-tie ambiguity across engines."""
+    li = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    units = dround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0).cast(
+        "long"
+    )
+    revenue = li.select(F.col("l_suppkey").alias("supplier_no"), units.alias("u")).groupBy(
+        "supplier_no"
+    ).agg(F.sum("u").alias("units"))
+    mx = revenue.agg(F.max("units").alias("mx"))
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("units") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("units") / 10_000.0).alias("total_revenue")
+        )
+    )
+
+
+_Q17_SQL = """
+    WITH pa AS (
+      SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) / 7.0 * 100) / 100 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("q17_small_qty_revenue", sql=_Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    order quantity. The correlated 'avg per this part' becomes one
+    grouped aggregate joined back on partkey (decorrelated by hand —
+    exactly what Catalyst does to the subquery form). The comparison is
+    deterministic cross-engine: quantities are integer-valued doubles,
+    so their sum (hence avg) is EXACT in IEEE double regardless of
+    order."""
+    li = T(spark, sf, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    p = F.broadcast(
+        T(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    cents = dround(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dround(F.sum(cents) / F.lit(100.0) / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+_Q22_SQL = """
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    pos AS (
+      SELECT CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM cents WHERE bal_cents > 0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(bal_cents) / CAST(100 AS DOUBLE) AS totacctbal
+    FROM cents e CROSS JOIN pos
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND bal_cents * n_pos > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = e.c_custkey)
+    GROUP BY c_nationkey
+"""
+
+
+@register("q22_sales_opportunity", sql=_Q22_SQL)
+def q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers (balance above the
+    positive-balance average) in target countries who never ordered —
+    scalar-subquery threshold + anti-join. The 'above average' test runs
+    ENTIRELY in integer cents (bal*n > total ⟺ bal > total/n), so the
+    float average never exists to disagree about; the no-orders test is
+    a LEFT ANTI join (one shuffle on custkey, or a broadcast of the
+    distinct custkeys if orders' key set fits)."""
+    c = T(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        dround(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("total_cents"), F.count("*").alias("n_pos")
+    )
+    o = T(spark, sf, "orders").select("o_custkey")
+    return (
+        c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+_SCD2_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate AS valid_from, 0 AS src
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    changes AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.05 * 100) / 100 AS o_totalprice,
+             o_orderdate + INTERVAL 30 DAY AS valid_from, 1 AS src
+      FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    SELECT o_orderkey, o_totalprice, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_orderkey
+                                  ORDER BY valid_from, src) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY o_orderkey
+                                  ORDER BY valid_from, src) IS NULL AS is_current
+    FROM unioned
+"""
+
+
+@register("merge_upsert_scd2", sql=_SCD2_SQL)
+def merge_upsert_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE as SCD TYPE 2 (full history): incoming changes don't
+    overwrite — they CLOSE the current row (valid_to = successor's
+    valid_from via LEAD) and open a new current one. One union + one
+    window over the merge key; no table format needed — this is the
+    plan Delta/Iceberg MERGE + history view compile to. At 100 TB the
+    base side is partitioned on the key and only the change batch
+    shuffles fully; ties broken by (valid_from, src) so both engines
+    order identically."""
+    o = T(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(0).alias("src"),
+    )
+    changes = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("valid_from"),
+        F.lit(1).alias("src"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from", "src")
+    nxt = F.lead("valid_from").over(w)
+    return (
+        base.unionByName(changes)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "valid_from",
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )

@@ -101,6 +101,12 @@ _PRIORITY = (
     "agg_hist_fixed_width",
     "join_null_safe",
     "text_lm_score",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_sales_opportunity",
+    "merge_upsert_scd2",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
