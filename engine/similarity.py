@@ -188,31 +188,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def simhash_df(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes, entirely in native
     expressions: per bit b, sign of Σ_tokens (bit b of xxhash64(token)
-    ? +1 : -1); the 64 signs pack into one BIGINT. One narrow pass —
-    no shuffle until the bucket groupBy."""
-    toks = F.array_distinct(F.split("text", " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(b: int):
-        # Σ tokens: +1 if bit b of the token hash is set, else -1
-        # (shift amounts must be Python ints — F.shiftright rejects Columns)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    # pack the 64 sign bits; bit 63 added as -2^63 to stay in BIGINT range
-    acc = F.lit(0).cast("long")
-    for b in range(63):
-        acc = acc + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    acc = acc + F.when(vote(63) > 0, F.lit(-(2**63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
+    ? +1 : -1); the 64 signs pack into one BIGINT. ONE traversal of the
+    token-hash array carrying an array<int>[64] vote accumulator
+    (zip_with against sequence(0,63)) — the per-bit-aggregate
+    formulation walked the array 64 times and compiled a 64×-larger
+    expression tree (this was the 4.2 s outlier of the r3 bench; the
+    Python F.shiftright wrapper rejects Column shift amounts, but the
+    SQL builtin accepts them, hence F.expr). shiftleft(1L, 63) wraps to
+    LONG_MIN in two's complement, so bit 63 needs no special case. No
+    shuffle until the bucket groupBy."""
+    return docs.withColumn(
+        "simhash",
+        F.expr(
+            """
+            aggregate(
+              zip_with(
+                aggregate(
+                  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                  array_repeat(0, 64),
+                  (acc, h) -> zip_with(acc, sequence(0, 63),
+                                       (a, b) -> a + if((shiftright(h, b) & 1) = 1,
+                                                        1, -1))
+                ),
+                sequence(0, 63),
+                (v, b) -> if(v > 0, shiftleft(1L, b), 0L)
+              ),
+              0L, (a, x) -> a + x)
+            """
+        ),
     )
-    return docs.withColumn("simhash", acc)
 
 
 @register("dedup_simhash")  # rows-only: hash function is engine-specific
