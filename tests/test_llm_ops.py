@@ -120,6 +120,31 @@ def test_multimodal_decode_shape(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_multimodal_phash_finds_planted_duplicate_groups(spark):
+    """The media generator aliases doc_id % 16 → identical BMPs; the
+    REAL pHash (decode → luma → DCT sign bits) must bucket exactly those
+    groups together."""
+    rows = QUERIES["multimodal_phash_dedup"](spark, SF_SMOKE).collect()
+    assert rows, "no duplicate buckets found"
+    for r in rows:
+        ids = [int(x) for x in r["docs"].split(",")]
+        # image/bmp rows are doc_id % 3 == 0; within a bucket all ids
+        # must share doc_id % 48 (same %16 class among %3==0 ids)
+        assert len({i % 48 for i in ids}) == 1, r
+
+
+def test_multimodal_audio_features_real_wav(spark):
+    """Audio features come from a REAL WAV decode: duration must match
+    the generator's formula and RMS a sine's amplitude/√2."""
+    rows = QUERIES["multimodal_audio_features"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:20]:
+        expect_s = 0.05 + (r["doc_id"] % 5) * 0.025
+        assert abs(r["duration_s"] - expect_s) < 1e-3, r
+        assert 0.2 < r["rms"] < 0.3, r
+        assert r["zcr"] > 0, r
+
+
 def test_connected_components_planted_chain(spark):
     from engine.similarity import connected_components
 
