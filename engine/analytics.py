@@ -897,3 +897,207 @@ def merge_upsert_scd2(spark: SparkSession, sf: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series linear interpolation (the missing half of ts_gapfill)
+# --------------------------------------------------------------------------
+
+_INTERP_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             ROUND(AVG(value) * 1e4) / 1e4 AS v
+      FROM e GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ),
+    bounds AS (
+      SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+      FROM e
+    ),
+    grid AS (
+      SELECT t.event_type, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN bounds
+    ),
+    joined AS (
+      SELECT g.event_type, g.h, hourly.v,
+             CAST(epoch_us(g.h) AS BIGINT) AS hus
+      FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type
+                                  AND g.h = hourly.h
+    ),
+    ctx AS (
+      SELECT event_type, h, hus, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+               OVER w_prev AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+               OVER w_next AS nh
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY hus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY event_type ORDER BY hus
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hus AS hour_us,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (hus - ph) / CAST(nh - ph AS DOUBLE)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END * 1e4) / 1e4 AS v_interp
+    FROM ctx
+"""
+
+
+@register("ts_interpolate_linear", sql=_INTERP_SQL)
+def ts_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation over time-series gaps — the numeric half of
+    gap handling (ts_gapfill zero-fills counts; metrics need values ON
+    the trend line). Dense hour grid (generated, bounds-sized), left
+    join the observed hourly averages, then each missing hour takes
+    pv + (nv-pv)·(t-tp)/(tn-tp) from the nearest observations on each
+    side via IGNORE NULLS frame windows (edges fall back to ffill/
+    bfill). One shuffle on event_type; both windows and the join share
+    that partitioning. Interpolation runs on PRE-ROUNDED observed
+    averages, so both engines interpolate identical inputs — the only
+    float ops on unrounded data are the per-hour AVGs, rounded at 1e-4
+    before use."""
+    ev = T(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dround(F.avg("value"), 4).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.unix_micros("h").alias("hus"), "v"
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hus")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hus")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("hus"))
+    ctx = j.select(
+        "event_type",
+        "hus",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hus") - F.col("ph"))
+            / (F.col("nh") - F.col("ph")).cast("double"),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        F.col("hus").alias("hour_us"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        dround(interp, 4).alias("v_interp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics: damped PageRank
+# --------------------------------------------------------------------------
+
+
+@register("graph_pagerank")  # rows-only: iterative float fixpoint
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 10 iterations) over a user-affinity
+    graph derived from events: within each (event_type, day) cohort,
+    users ordered by first occurrence form a ring (each points to the
+    next) — a deterministic multigraph where out-degree = #cohorts a
+    user participated in, which varies per user, so the stationary
+    distribution is non-uniform.
+
+    The canonical iterative-Spark shape (same discipline as
+    engine.kmeans): per iteration ONE join (ranks onto edges, partitioned
+    on src) + ONE aggregation (contributions by dst) + a map — the
+    driver loop carries only the iteration counter; ranks/edges never
+    leave the cluster. Edges are cached once (tracked, freed after the
+    query); at 100 TB both sides pre-partition on user so the join is
+    co-located every round. Output: top-20 users by rounded rank,
+    deterministic tie-break."""
+    from engine.session import scratch_cache
+
+    ev = T(spark, sf, "events").withColumn("day", F.date_trunc("day", "ts"))
+    # sparsify participation so cohort membership (hence degree) varies:
+    # a user joins a cohort only when they had >= 3 events in it that day
+    w = Window.partitionBy("event_type", "day").orderBy("first_ts", "user_id")
+    cohort = (
+        ev.groupBy("event_type", "day", "user_id")
+        .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_ev"))
+        .filter(F.col("n_ev") >= 3)
+        .withColumn("pos", F.row_number().over(w))
+    )
+    sized = cohort.withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type", "day"))
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    edges = scratch_cache(
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("b.pos") == (F.col("a.pos") % F.col("a.n")) + 1),
+        )
+        .filter(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = scratch_cache(edges.select(F.col("src").alias("user_id")).distinct())
+    n_nodes = nodes.count()  # driver-sized: one long
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(10):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.user_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.user_id == contribs.dst, "left")
+            .select(
+                "user_id",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # cut the 10-round lineage so the plan doesn't grow exponentially
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select("user_id", dround(F.col("rank") * 1e6, 0).alias("rank_ppm"))
+        .orderBy(F.col("rank_ppm").desc(), "user_id")
+        .limit(20)
+    )

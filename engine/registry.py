@@ -107,6 +107,9 @@ _PRIORITY = (
     "q17_small_qty_revenue",
     "q22_sales_opportunity",
     "merge_upsert_scd2",
+    "ts_interpolate_linear",
+    "stream_foreachbatch_upsert",
+    "graph_pagerank",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

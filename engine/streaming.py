@@ -449,3 +449,63 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "n_name", "cnt", dround("sum_value", 2).alias("sum_value")
     ).orderBy("n_name")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM e GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized aggregate via foreachBatch — the
+    canonical streaming-ETL sink pattern: each micro-batch computes its
+    partial aggregate and MERGES it into a persisted state table
+    (read previous state → union → re-aggregate → write new version;
+    with a table format this is MERGE INTO). State is aggregate-sized
+    (one row per event_type), so the merge cost is independent of
+    stream volume. Because count/sum are algebraic, the final state
+    must equal the one-shot batch aggregate — which is exactly the
+    ORACLE, making this the one true-streaming key with a full value-
+    hash check."""
+    path = _replay_dir(spark, sf, late=False)
+    tag = os.path.basename(sf.rstrip("/"))
+    base = scratch_dir(f"fb_upsert/{tag}")
+    state = {"cur": None}
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("sum_value")
+        )
+        if state["cur"] is not None:
+            prev = sp.read.parquet(state["cur"])
+            part = prev.unionByName(part).groupBy("event_type").agg(
+                F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value")
+            )
+        new_dir = f"{base}/v{epoch_id}"
+        part.write.mode("overwrite").parquet(new_dir)
+        state["cur"] = new_dir
+
+    from engine.session import tune
+
+    tune(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _read_stream(spark, path, files_per_trigger=4)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.read.parquet(state["cur"])
+    return final.select(
+        "event_type", "cnt", dround("sum_value", 2).alias("sum_value")
+    )
