@@ -1101,3 +1101,68 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank_ppm").desc(), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Pure range join at scale: time-bucket decomposition
+# --------------------------------------------------------------------------
+
+_RANGE_BUCKETED_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT a.event_id AS error_id, b.event_id AS purchase_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM e a JOIN e b
+      ON a.event_type = 'error' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 MINUTE
+"""
+
+
+@register("join_range_bucketed", sql=_RANGE_BUCKETED_SQL)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure interval join (purchases within 60 s after an error) with NO
+    equi key anywhere in the condition — the case that naively plans as
+    a nested-loop/cartesian and dies at scale. The scale decomposition:
+    quantize time into bucket = ⌊ts/60 s⌋; a match within 60 s can only
+    land in the error's OWN bucket or the next one, so the left side
+    explodes into those two bucket ids and the join becomes an
+    EQUI-join on bucket with the exact range check as a residual.
+    Cost: 2× left-side rows shuffled on a well-distributed key instead
+    of |A|×|B| comparisons; generalizes to any band via
+    ⌈band/bucket⌉+1 replicas. The oracle runs the naive formulation —
+    the decomposition must be invisible in the result. Plan-gated: no
+    nested loop, bucket id among the join keys."""
+    bucket_us = 60_000_000
+    ev = T(spark, sf, "events")
+    a = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.unix_micros("ts").alias("a_us"),
+        )
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    (F.col("a_us") / bucket_us).cast("long"),
+                    (F.col("a_us") / bucket_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("b_us"),
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") < F.col("a_us") + bucket_us)
+        )
+        .select(
+            "error_id",
+            "purchase_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )

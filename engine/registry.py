@@ -110,6 +110,7 @@ _PRIORITY = (
     "ts_interpolate_linear",
     "stream_foreachbatch_upsert",
     "graph_pagerank",
+    "join_range_bucketed",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

@@ -200,6 +200,16 @@ def test_q9_dims_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 3, p
 
 
+def test_range_bucketed_join_is_equijoin(spark):
+    """The pure interval join must decompose into an equi-join on the
+    time bucket — never a nested loop (the naive plan for a condition
+    with no equality)."""
+    p = plan(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+    key_lines = [ln for ln in p.splitlines() if "keys" in ln.lower()]
+    assert any("bkt" in ln for ln in key_lines), p
+
+
 def test_dedup_embedding_blocks_on_cell_equijoin(spark):
     """Embedding dedup must candidate-block via an EQUI-join on the IVF
     cell id (+ label residual) — never a cartesian/label-only join whose
