@@ -1166,3 +1166,85 @@ def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity runs
+# --------------------------------------------------------------------------
+
+_ISLANDS_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      FROM e WHERE event_type IN ('purchase', 'signup')
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                 * INTERVAL 1 DAY AS anchor
+      FROM days
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_days,
+           MIN(d) AS run_start, MAX(d) AS run_end
+    FROM isl GROUP BY user_id, anchor
+    HAVING COUNT(*) >= 3
+"""
+
+
+@register("win_gaps_islands", sql=_ISLANDS_SQL)
+def win_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (≥3 days), via the rownum-difference trick — consecutive dates
+    minus their per-user row number collapse to one constant anchor, so
+    islands fall out of a plain groupBy. No self-join, no iteration:
+    one shuffle for the window, the groupBy reuses the same user
+    partitioning. The calendar twin of win_sessionize_gap (which cuts
+    on elapsed time, not calendar days)."""
+    ev = T(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    return (
+        isl.groupBy("user_id", "anchor")
+        .agg(
+            F.count("*").alias("run_days"),
+            F.min("d").alias("run_start"),
+            F.max("d").alias("run_end"),
+        )
+        .filter(F.col("run_days") >= 3)
+        .drop("anchor")
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (shared SQL text on both engines)
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT seg.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders JOIN customer cu ON cu.c_custkey = o_custkey
+      WHERE cu.c_mktsegment = seg.c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+"""
+
+
+@register("sub_lateral_topn", sql=_LATERAL_SQL)
+def sub_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
+    SQL-standard spelling of top-N-per-group; the IDENTICAL SQL text
+    runs on both engines (ANSI LATERAL, Spark ≥3.2 and DuckDB both
+    support it). Catalyst decorrelates this into the same
+    rank-window/limit shape as win_topk_per_group — proof that the
+    lateral syntax costs nothing vs the hand-written window. Ties
+    broken by o_orderkey so both engines pick identical rows."""
+    T(spark, sf, "customer").createOrReplaceTempView("customer")
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

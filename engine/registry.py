@@ -111,6 +111,8 @@ _PRIORITY = (
     "stream_foreachbatch_upsert",
     "graph_pagerank",
     "join_range_bucketed",
+    "win_gaps_islands",
+    "sub_lateral_topn",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
