@@ -1248,3 +1248,89 @@ def sub_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
     T(spark, sf, "customer").createOrReplaceTempView("customer")
     T(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# AQE runtime skew-join splitting, oracle-proven
+# --------------------------------------------------------------------------
+
+_AQE_SKEW_SQL = f"""
+    WITH e AS (SELECT CASE WHEN user_id < 120 THEN 0 ELSE user_id END AS hot_key,
+                      CAST(ROUND(value * 1e6) AS BIGINT) AS value_micros
+               FROM ({EVENTS_US_SQL})),
+    o AS (SELECT o_orderkey % 150 AS hot_key, o_orderpriority,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(value_micros) / CAST(1e6 AS DOUBLE) AS value_sum,
+           SUM(price_cents) / CAST(100 AS DOUBLE) AS price_sum
+    FROM e JOIN o USING (hot_key)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("join_aqe_skew", sql=_AQE_SKEW_SQL)
+def join_aqe_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime skew handling WITHOUT salting: 80% of events collapse
+    onto one hot key; AQE's OptimizeSkewedJoin observes the actual
+    shuffle-block sizes at stage boundary and SPLITS the oversized
+    partition across reducers (SortMergeJoin(skew=true), plan-gated).
+    The manual twin is join_salted_skew — this key shows the engine
+    doing it adaptively, which is the default posture at 100 TB (no
+    salt factor to mis-tune). Two prerequisites the demo encodes:
+    (1) multiple MAP tasks (the split unit is a map output — a
+    single-split input can't be skew-split), forced here by an upstream
+    repartition since the toy files are one split, and (2) NO
+    downstream operator requiring the join key's partitioning (the
+    group key is o_orderpriority, not hot_key — grouping by the join
+    key would veto the rule). Thresholds are forced low to trigger at
+    toy scale and restored after planning; sums run in exact integer
+    units so the re-partitioned aggregation order can't change the
+    result (which is the point: skew split must be invisible)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ev = (
+            T(spark, sf, "events")
+            .repartition(16, "event_id")
+            .select(
+                F.when(F.col("user_id") < 120, 0)
+                .otherwise(F.col("user_id"))
+                .alias("hot_key"),
+                dround(F.col("value") * 1e6, 0).cast("long").alias("value_micros"),
+            )
+        )
+        o = (
+            T(spark, sf, "orders")
+            .repartition(8, "o_orderkey")
+            .select(
+                (F.col("o_orderkey") % 150).alias("hot_key"),
+                "o_orderpriority",
+                dround(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                    "price_cents"
+                ),
+            )
+        )
+        return (
+            ev.join(o, "hot_key")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.sum("value_micros") / F.lit(1e6)).alias("value_sum"),
+                (F.sum("price_cents") / F.lit(100.0)).alias("price_sum"),
+            )
+        )
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

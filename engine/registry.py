@@ -113,6 +113,7 @@ _PRIORITY = (
     "join_range_bucketed",
     "win_gaps_islands",
     "sub_lateral_topn",
+    "join_aqe_skew",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

@@ -200,6 +200,32 @@ def test_q9_dims_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 3, p
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """With skew thresholds forced low, AQE must split the hot
+    partition at runtime: SortMergeJoin(skew=true) in the FINAL
+    adaptive plan. Confs are held by the test across execution (the
+    query fn restores to whatever the caller set, and AQE reads these
+    at execution time, not plan time)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = QUERIES["join_aqe_skew"](spark, SF_SMOKE)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
 def test_range_bucketed_join_is_equijoin(spark):
     """The pure interval join must decompose into an equi-join on the
     time bucket — never a nested loop (the naive plan for a condition
