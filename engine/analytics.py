@@ -1094,8 +1094,10 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-        # cut the 10-round lineage so the plan doesn't grow exponentially
-        ranks = ranks.localCheckpoint(eager=False)
+        # cut the lineage EAGERLY each round: with lazy checkpoints the
+        # final action compiles all 10 rounds as one giant DAG (11.8 s at
+        # sf0.1, mostly planning); eager = 10 tiny node-sized jobs
+        ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.select("user_id", dround(F.col("rank") * 1e6, 0).alias("rank_ppm"))
         .orderBy(F.col("rank_ppm").desc(), "user_id")
