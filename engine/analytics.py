@@ -1336,3 +1336,84 @@ def join_aqe_skew(spark: SparkSession, sf: str) -> DataFrame:
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+# --------------------------------------------------------------------------
+# Exact distinct at scale via bitmaps; composite quality gate
+# --------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_bitmap_distinct", sql=_BITMAP_SQL)
+def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregation (Spark 3.5 bitmap_*
+    family): keys bucket into 32k-bit bitmaps, per-bucket bitmaps OR
+    together (partial-aggregable, mergeable), final count sums the set
+    bits. This is the exact-COUNT(DISTINCT) scale path when HLL's
+    approximation isn't acceptable: the shuffle carries fixed-size
+    bitmaps, never the key stream, and bitmaps persist/merge across
+    partitions or days like HLL sketches do (agg_hll_mergeable's exact
+    twin). The oracle is plain COUNT(DISTINCT) — the bitmap machinery
+    must be invisible."""
+    li = T(spark, sf, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_supp")
+    )
+
+
+_QUALITY_GATE_SQL = """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN n_chars > 480 THEN 'too_long'
+                WHEN uniq_ratio < 0.55 THEN 'repetitive'
+                WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+                ELSE 'keep' END AS verdict,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(uniq_ratio * 1e4) / 1e4 AS uniq_ratio
+    FROM scored
+"""
+
+
+@register("pipeline_quality_composite", sql=_QUALITY_GATE_SQL)
+def pipeline_quality_composite(spark: SparkSession, sf: str) -> DataFrame:
+    """The pretrain quality GATE as one operator: every document gets a
+    verdict with a REASON CODE (first failing rule wins: length bounds →
+    repetition → language), not just a boolean — reason distributions
+    are how pipeline regressions get caught in production. All signals
+    are native expressions computed in one projection over one scan; at
+    100 TB this is a narrow map with zero shuffles (the verdict
+    histogram downstream is a tiny aggregate)."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    verdict = (
+        F.when(n_tokens < 15, "too_short")
+        .when(F.col("n_chars") > 480, "too_long")
+        .when(uniq_ratio < 0.55, "repetitive")
+        .when(~F.col("lang").isin("en", "de", "fr"), "lang_filtered")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        n_tokens.cast("long").alias("n_tokens"),
+        dround(uniq_ratio, 4).alias("uniq_ratio"),
+    )

@@ -114,6 +114,8 @@ _PRIORITY = (
     "win_gaps_islands",
     "sub_lateral_topn",
     "join_aqe_skew",
+    "agg_bitmap_distinct",
+    "pipeline_quality_composite",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
