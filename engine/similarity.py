@@ -484,6 +484,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .cache()
     )
+    # right-size the per-iteration shuffles to the EDGE count: candidate
+    # pairs are orders of magnitude smaller than the corpus, and looping
+    # 32-partition shuffles over a few hundred edges is pure scheduler
+    # overhead (4.7 s → sub-second at sf0.1). Restored after the loop.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(2, min(int(prev_parts), n_edges // 20_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
     # labels start as self
     labels = edges.select(F.col("x").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -518,6 +527,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     return labels
 
@@ -529,7 +539,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     the step that turns pairwise similarity into an actual dedup
     decision; at 100 TB the components run over the candidate-pair
     output, which is orders of magnitude smaller than the corpus."""
-    pairs = dedup_ngram_jaccard(spark, sf).select("a", "b")
+    # the UNWRAPPED helper, not the registered dedup_ngram_jaccard: the
+    # registry wrapper drains scratch caches on entry, and a registered
+    # query must never re-enter another mid-build
+    pairs = jaccard_pairs(T(spark, sf, "documents")).select("a", "b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("label")
