@@ -1417,3 +1417,29 @@ def pipeline_quality_composite(spark: SparkSession, sf: str) -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         dround(uniq_ratio, 4).alias("uniq_ratio"),
     )
+
+
+_GROUPING_ID_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_grouping_flags", sql=_GROUPING_ID_SQL)
+def agg_grouping_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE with GROUPING() flags — the only correct way to tell a
+    subtotal row from a row whose group key is genuinely NULL, which
+    matters on THIS data: o_orderpriority has real NULLs, so the cube
+    emits both a (status, NULL, g_prio=0) row (the null-priority group)
+    and a (status, NULL, g_prio=1) row (the per-status subtotal) with
+    different counts. Consumers keying on NULL alone silently merge
+    them. Same partial-aggregable expansion as agg_cube underneath."""
+    o = T(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count("*").alias("cnt"),
+    )

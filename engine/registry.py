@@ -116,6 +116,7 @@ _PRIORITY = (
     "join_aqe_skew",
     "agg_bitmap_distinct",
     "pipeline_quality_composite",
+    "agg_grouping_flags",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
