@@ -1443,3 +1443,92 @@ def agg_grouping_flags(spark: SparkSession, sf: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("long").alias("g_prio"),
         F.count("*").alias("cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII masking, whole-file ingestion, training-sequence packing
+# --------------------------------------------------------------------------
+
+_MASK_SQL = """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             SUBSTR(text, 1, 40), '[A-Z]', 'X', 'g'),
+             '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_head,
+           CAST(LENGTH(regexp_replace(SUBSTR(text, 1, 40), '[^0-9]', '', 'g'))
+                AS BIGINT) AS n_digits
+    FROM documents
+"""
+
+
+@register("text_pii_mask", sql=_MASK_SQL)
+def text_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Data masking for redaction pipelines: Spark's mask() maps
+    uppercase→X, lowercase→x, digits→n in one JVM-side pass (the
+    pre-release step before text leaves a trust boundary), plus a
+    digit-count audit column. The oracle mirrors mask() with three
+    regexp_replace passes — same output, proving the masking contract is
+    engine-portable. Narrow map, zero shuffles."""
+    d = T(spark, sf, "documents")
+    head = F.substring("text", 1, 40)
+    return d.select(
+        "doc_id",
+        F.mask(head).alias("masked_head"),
+        F.length(F.regexp_replace(head, "[^0-9]", "")).cast("long").alias(
+            "n_digits"
+        ),
+    )
+
+
+_PACK_SQL = """
+    WITH toks AS (
+      SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM toks
+    )
+    SELECT source, CAST(start_off // 128 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM off GROUP BY source, seq_id
+"""
+
+
+@register("pipeline_pack_sequences", sql=_PACK_SQL)
+def pipeline_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing: documents concatenate (in stable
+    doc_id order) into fixed 128-token windows, each doc attributed to
+    the window containing its start offset — the op that turns a
+    filtered corpus into dense pretraining batches (padding waste is
+    what it eliminates). Packing is PER SOURCE: the running-offset
+    window partitions by source, so at 100 TB there is no global cumsum
+    bottleneck — each source packs independently (and shards of a huge
+    source would pack per shard). One shuffle on source; the rollup
+    reuses that partitioning."""
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.sum(n_tok).over(w) - n_tok).alias("start_off"),
+    )
+    return (
+        off.groupBy(
+            "source", F.floor(F.col("start_off") / 128).cast("long").alias("seq_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

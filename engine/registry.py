@@ -117,6 +117,8 @@ _PRIORITY = (
     "agg_bitmap_distinct",
     "pipeline_quality_composite",
     "agg_grouping_flags",
+    "text_pii_mask",
+    "pipeline_pack_sequences",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
