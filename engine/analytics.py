@@ -1532,3 +1532,55 @@ def pipeline_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+_WHOLETEXT_SQL = """
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_file, lang
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register("scan_wholetext_docs", sql=_WHOLETEXT_SQL)
+def scan_wholetext_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """One-document-per-file ingestion via the text source's wholetext
+    mode — the shape real corpus drops arrive in (a directory of .txt
+    files), where line-oriented reading would shred documents. Identity
+    (doc_id, lang) rides in the FILENAME and is recovered with
+    input_file_name() + regexp — the standard pattern when sidecar
+    metadata doesn't exist. The oracle checks content length per doc
+    against the source table, proving byte-faithful round trip. The
+    fixture (one file per doc) is a test-harness builder like the
+    streaming replay, fingerprinted against testdata regeneration."""
+    import os
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = (
+        sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + "_"
+        + data_fingerprint(sf, "documents")
+    )
+    out = scratch_dir("wholetext") + f"/{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            T(spark, sf, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "lang", "text")
+            .collect()  # fixture builder (bounded: 1 in 5 docs), not an operator
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r['doc_id']}_{r['lang']}.txt"), "w") as f:
+                f.write(r["text"])
+        open(marker, "w").close()
+    files = (
+        spark.read.option("wholetext", True)
+        .text(out, pathGlobFilter="*.txt")
+        .select(F.input_file_name().alias("path"), "value")
+    )
+    return files.select(
+        F.regexp_extract("path", r"doc_(\d+)_", 1).cast("long").alias("doc_id"),
+        F.length("value").cast("long").alias("n_chars_file"),
+        F.regexp_extract("path", r"doc_\d+_([a-z]+)\.txt", 1).alias("lang"),
+    )

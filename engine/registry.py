@@ -119,6 +119,7 @@ _PRIORITY = (
     "agg_grouping_flags",
     "text_pii_mask",
     "pipeline_pack_sequences",
+    "scan_wholetext_docs",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
