@@ -1584,3 +1584,86 @@ def scan_wholetext_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.length("value").cast("long").alias("n_chars_file"),
         F.regexp_extract("path", r"doc_\d+_([a-z]+)\.txt", 1).alias("lang"),
     )
+
+
+_FILTER_CLAUSE_SQL = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+             AS n_big,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderpriority
+                                                    = '1-URGENT'), 0)
+                 * 100) / 100 AS urgent_total,
+           ROUND(COALESCE(AVG(o_totalprice) FILTER (WHERE o_orderpriority
+                                                    IS NULL), 0)
+                 * 100) / 100 AS nullprio_avg
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("agg_filter_clause", sql=_FILTER_CLAUSE_SQL)
+def agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — conditional aggregation as the
+    standard spells it, one pass, no CASE WHEN scaffolding (and unlike
+    SUM(CASE...0 END), FILTER keeps true NULL-when-empty semantics,
+    COALESCEd explicitly here so both engines pin the empty-group
+    value). Identical SQL text runs on both engines; the DataFrame side
+    uses the same FILTER syntax through expr()."""
+    o = T(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_all"),
+        F.expr("COUNT(*) FILTER (WHERE o_totalprice > 200000)").alias("n_big"),
+        dround(
+            F.coalesce(
+                F.expr(
+                    "SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')"
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("urgent_total"),
+        dround(
+            F.coalesce(
+                F.expr("AVG(o_totalprice) FILTER (WHERE o_orderpriority IS NULL)"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("nullprio_avg"),
+    )
+
+
+_OHLC_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+           ROUND(arg_min(value, ts) * 1e4) / 1e4 AS open,
+           ROUND(MAX(value) * 1e4) / 1e4 AS high,
+           ROUND(MIN(value) * 1e4) / 1e4 AS low,
+           ROUND(arg_max(value, ts) * 1e4) / 1e4 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM e GROUP BY 1, 2
+"""
+
+
+@register("ts_downsample_ohlc", sql=_OHLC_SQL)
+def ts_downsample_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per type × hour) — the
+    canonical tick→bar compression, all four statistics in ONE
+    partial-aggregable pass: open/close are min_by/max_by on the
+    timestamp (argmin/argmax, no rank window), high/low plain extrema.
+    Tie-correctness rides on event timestamps being unique per group
+    (they are: microsecond event times); a production feed would
+    tie-break on a sequence id exactly like agg_max_by does."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .agg(
+            dround(F.min_by("value", "ts"), 4).alias("open"),
+            dround(F.max("value"), 4).alias("high"),
+            dround(F.min("value"), 4).alias("low"),
+            dround(F.max_by("value", "ts"), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )

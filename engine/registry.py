@@ -120,6 +120,8 @@ _PRIORITY = (
     "text_pii_mask",
     "pipeline_pack_sequences",
     "scan_wholetext_docs",
+    "agg_filter_clause",
+    "ts_downsample_ohlc",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
