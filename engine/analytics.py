@@ -1667,3 +1667,106 @@ def ts_downsample_ohlc(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_ticks"),
         )
     )
+
+
+_NOT_IN_TRAP_SQL = """
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+    ),
+    keys AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+        AS not_in_cnt,
+      CAST((SELECT COUNT(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.c_custkey))
+           AS BIGINT) AS not_exists_cnt
+"""
+
+
+@register("sub_not_in_null_trap", sql=_NOT_IN_TRAP_SQL)
+def sub_not_in_null_trap(spark: SparkSession, sf: str) -> DataFrame:
+    """The NOT IN null trap, pinned as an operator: when the subquery
+    produces even ONE NULL, `x NOT IN (...)` is never true (three-valued
+    logic — x <> NULL is unknown), so the count collapses to 0, while
+    NOT EXISTS gives the answer people actually meant. Both engines
+    implement the ANSI semantics identically — the oracle proves the
+    engine does NOT 'helpfully' fix the trap. The NOT IN side plans as a
+    null-aware anti join (Spark's NAAJ), the NOT EXISTS side as a plain
+    left anti."""
+    c = T(spark, sf, "customer").filter(F.col("c_custkey") % 100 == 0)
+    o = T(spark, sf, "orders").select(
+        F.when(F.col("o_orderkey") % 1000 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    c.createOrReplaceTempView("_probe")
+    o.createOrReplaceTempView("_keys")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT COUNT(*) FROM _probe
+                WHERE c_custkey NOT IN (SELECT k FROM _keys)) AS BIGINT)
+            AS not_in_cnt,
+          CAST((SELECT COUNT(*) FROM _probe p
+                WHERE NOT EXISTS (SELECT 1 FROM _keys WHERE k = p.c_custkey))
+               AS BIGINT) AS not_exists_cnt
+        """
+    )
+
+
+_MAP_LAMBDA_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             n_chars * 2 AS chars2,
+             LEN(STRING_SPLIT(text, ' ')) * 2 AS toks2
+      FROM documents
+    ),
+    ents AS (
+      SELECT doc_id,
+             LIST_FILTER([struct_pack(k := 'chars', v := chars2),
+                          struct_pack(k := 'toks',  v := toks2)],
+                         e -> e.v > 150) AS kept
+      FROM base
+    )
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(
+             LIST_TRANSFORM(kept, e -> CONCAT(e.k, '=', CAST(e.v AS VARCHAR))),
+             ','), '') AS kept_map,
+           CAST(LEN(kept) AS BIGINT) AS n_kept
+    FROM ents
+"""
+
+
+@register("fn_map_lambda", sql=_MAP_LAMBDA_SQL)
+def fn_map_lambda(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order functions WITH a value-hash oracle (fn_map is
+    rows-only): build a metrics map per document, transform_values,
+    map_filter, then canonicalize the surviving entries to a sorted
+    'k=v' string both engines can produce byte-identically (DuckDB has
+    no native map lambdas — its oracle mirrors with list-of-struct
+    lambdas, which is exactly what a map is underneath). Narrow
+    expressions, zero shuffles."""
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    m = F.create_map(
+        F.lit("chars"), F.col("n_chars").cast("long"),
+        F.lit("toks"), n_tok.cast("long"),
+    )
+    m2 = F.transform_values(m, lambda k, v: v * 2)
+    m3 = F.map_filter(m2, lambda k, v: v > 150)
+    ents = F.array_sort(F.map_entries(m3))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                ents, lambda e: F.concat_ws("=", e["key"], e["value"].cast("string"))
+            ),
+            ",",
+        ).alias("kept_map"),
+        F.size(F.map_keys(m3)).cast("long").alias("n_kept"),
+    )

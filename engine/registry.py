@@ -122,6 +122,8 @@ _PRIORITY = (
     "scan_wholetext_docs",
     "agg_filter_clause",
     "ts_downsample_ohlc",
+    "sub_not_in_null_trap",
+    "fn_map_lambda",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
