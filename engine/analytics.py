@@ -1770,3 +1770,124 @@ def fn_map_lambda(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("kept_map"),
         F.size(F.map_keys(m3)).cast("long").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map pandas transform, URL parsing, XML parsing
+# --------------------------------------------------------------------------
+
+_ZSCORE_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type)
+                 * 1e4) / 1e4 AS z
+    FROM e
+"""
+
+
+@register("udf_pandas_grouped_map", sql=_ZSCORE_SQL)
+def udf_pandas_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-MAP pandas transform (applyInPandas) — the missing
+    quadrant of the declared UDF surface (scalar / grouped-agg / table
+    fns exist): each event_type group arrives as ONE pandas DataFrame
+    and returns a same-shape frame, here z-score normalization. The
+    oracle computes identical semantics with window functions — which
+    is also the honest scale note: when the kernel IS expressible as
+    windows, windows win (no Python, no whole-group materialization);
+    applyInPandas earns its place only for genuinely imperative
+    per-group logic (model fits, dynamic programming). ddof=1 on both
+    sides (pandas default == STDDEV_SAMP)."""
+    import pandas as pd
+
+    ev = T(spark, sf, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std()  # ddof=1, matches STDDEV_SAMP
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": (z * 1e4).round() / 1e4,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+_URL_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             CONCAT('https://', source, '.example.com/docs/', doc_id,
+                    '?lang=', lang) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           SPLIT_PART(SPLIT_PART(url, '://', 2), '/', 1) AS host,
+           CONCAT('/', SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '://', 2), '?', 1),
+                                  '/', 2),
+                  '/', SPLIT_PART(SPLIT_PART(url, '?', 1), '/', -1)) AS path,
+           SPLIT_PART(url, '?', 2) AS query,
+           SPLIT_PART(SPLIT_PART(url, '?', 2), '=', 2) AS lang_param
+    FROM u
+"""
+
+
+@register("fn_url_parse", sql=_URL_SQL)
+def fn_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """URL decomposition with the native parse_url (HOST/PATH/QUERY +
+    query-parameter extraction) — crawl-data hygiene ops (host-level
+    dedup, per-domain quotas) start exactly here. DuckDB has no
+    parse_url, so the oracle rebuilds each component with split_part —
+    pinning that parse_url's contract matches naive string surgery on
+    well-formed URLs."""
+    d = T(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+_XML_SQL = """
+    WITH x AS (
+      SELECT doc_id,
+             CONCAT('<doc id="', doc_id, '"><lang>', lang, '</lang><len>',
+                    n_chars, '</len></doc>') AS xml
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([a-z]+)</lang>', 1) AS lang,
+           CAST(regexp_extract(xml, '<len>([0-9]+)</len>', 1) AS BIGINT)
+             AS n_chars
+    FROM x
+"""
+
+
+@register("fn_xml", sql=_XML_SQL)
+def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
+    """XML ingestion via Spark 4's native from_xml — schema-on-read over
+    an XML string column (the grown-up version of wiki_parse_lines'
+    regexp surgery). The oracle extracts the same fields by regexp,
+    proving the parser agrees with the textual content; at scale
+    from_xml beats regexp by handling nesting/escaping correctly."""
+    d = T(spark, sf, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id"), F.lit('"><lang>'), F.col("lang"),
+        F.lit("</lang><len>"), F.col("n_chars"), F.lit("</len></doc>"),
+    )
+    parsed = F.from_xml(xml, "lang STRING, len LONG")
+    return d.select(
+        "doc_id",
+        parsed["lang"].alias("lang"),
+        parsed["len"].alias("n_chars"),
+    )

@@ -124,6 +124,9 @@ _PRIORITY = (
     "ts_downsample_ohlc",
     "sub_not_in_null_trap",
     "fn_map_lambda",
+    "udf_pandas_grouped_map",
+    "fn_url_parse",
+    "fn_xml",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
