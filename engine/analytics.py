@@ -1891,3 +1891,147 @@ def fn_xml(spark: SparkSession, sf: str) -> DataFrame:
         parsed["lang"].alias("lang"),
         parsed["len"].alias("n_chars"),
     )
+
+
+_INTERSECT_ALL_SQL = """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT p FROM a INTERSECT ALL SELECT p FROM b
+    ) GROUP BY p
+"""
+
+
+@register("set_intersect_all", sql=_INTERSECT_ALL_SQL)
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL — bag (multiset) semantics: each value survives
+    min(count_a, count_b) times, vs the set-semantics INTERSECT that
+    collapses to one (set_intersect pins that variant). The engine plans
+    this as an aggregate of per-side counts, not a distinct-then-join —
+    the distinction matters whenever multiplicity is data (inventory
+    reconciliation, token-bag overlap)."""
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    return a.intersectAll(b).groupBy("p").agg(F.count("*").alias("n"))
+
+
+_NTH_VALUE_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT user_id,
+           CAST(MAX(CASE WHEN rn = 3 THEN event_id END) AS BIGINT)
+             AS third_event_id,
+           ROUND(MAX(CASE WHEN rn = 3 THEN value END) * 1e4) / 1e4
+             AS third_value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM e
+    ) GROUP BY user_id HAVING COUNT(*) >= 3
+"""
+
+
+@register("win_nth_value", sql=_NTH_VALUE_SQL)
+def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value over an ordered per-user frame (the third event each
+    user ever emitted — onboarding-funnel analytics). Spark's nth_value
+    needs the full-partition frame to see ahead; the oracle states the
+    same thing via the rank-then-pick identity. Ties broken by event_id
+    on both engines."""
+    ev = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cnt = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            F.nth_value("event_id", 3).over(w).alias("third_event_id"),
+            dround(F.nth_value("value", 3).over(w), 4).alias("third_value"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .drop("n")
+        .distinct()
+    )
+
+
+_E2E_SQL = """
+    WITH gated AS (
+      SELECT doc_id, source, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 15
+        AND n_chars <= 480
+        AND LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+            / LEN(STRING_SPLIT(text, ' ')) >= 0.55
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text))
+                                  ORDER BY doc_id) AS rn
+        FROM gated) t
+      WHERE rn = 1
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS off
+      FROM deduped
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT off // 128) AS BIGINT) AS n_sequences
+    FROM packed GROUP BY source
+"""
+
+
+@register("pipeline_e2e_pretrain", sql=_E2E_SQL)
+def pipeline_e2e_pretrain(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE pretrain data pipeline as one declarative DAG: quality
+    gate (length bounds + repetition) → exact dedup (keep lowest doc_id
+    per normalized text) → 128-token sequence packing → per-source
+    yield stats. No materialization between stages — Catalyst fuses the
+    gate into the scan, the dedup window and packing window both
+    partition within one shuffle family, and the rollup reuses the
+    packing partitioning. This is the engine's thesis in one query: the
+    pipeline steps exist as individually-oracled operators, and their
+    COMPOSITION stays a single optimized plan instead of four
+    checkpointed jobs."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    gated = d.filter(
+        (n_tok >= 15) & (F.col("n_chars") <= 480) & (uniq >= 0.55)
+    ).select("doc_id", "source", "text", n_tok.alias("n_tok"))
+    wdup = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = deduped.select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(woff) - F.col("n_tok")).alias("off"),
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct(F.floor(F.col("off") / 128)).alias("n_sequences"),
+    )

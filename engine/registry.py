@@ -127,6 +127,9 @@ _PRIORITY = (
     "udf_pandas_grouped_map",
     "fn_url_parse",
     "fn_xml",
+    "set_intersect_all",
+    "win_nth_value",
+    "pipeline_e2e_pretrain",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
