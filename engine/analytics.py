@@ -2035,3 +2035,138 @@ def pipeline_e2e_pretrain(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.count_distinct(F.floor(F.col("off") / 128)).alias("n_sequences"),
     )
+
+
+_MULTI_DISTINCT_SQL = """
+    SELECT CAST(COUNT(DISTINCT CASE WHEN o_orderstatus IS NOT NULL
+                                     AND o_orderpriority IS NOT NULL
+                                    THEN o_orderstatus || '|' || o_orderpriority
+                               END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+"""
+
+
+@register("agg_count_distinct_multi", sql=_MULTI_DISTINCT_SQL)
+def agg_count_distinct_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT a, b) — with the ANSI footgun pinned:
+    a row where ANY of the columns is NULL is EXCLUDED from the distinct
+    count (o_orderpriority has real NULLs, so (status, NULL) pairs
+    vanish), which surprises anyone expecting NULL-as-a-value grouping
+    semantics. Same expansion as single-column distinct underneath:
+    dedup shuffle then count, partial-aggregable."""
+    o = T(spark, sf, "orders")
+    return o.agg(
+        F.count_distinct("o_orderstatus", "o_orderpriority").alias("n_pairs"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_CSV_MALFORMED_SQL = None  # set below after the fixture-path helper
+
+
+def _malformed_csv_dir(spark: SparkSession, sf: str) -> str:
+    """Fixture: orders slice as CSV + 10 rows whose price column is not
+    a number (field count intact — the parser must flag, not skip)."""
+    import os
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = (
+        sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + "_"
+        + data_fingerprint(sf, "orders")
+    )
+    out = scratch_dir("csv_malformed") + f"/{tag}"
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            T(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()  # fixture builder (1 in 20 orders), not an operator
+        )
+        with open(os.path.join(out, "part-000.csv"), "w") as f:
+            for r in rows:
+                f.write(f"{r['o_orderkey']},{r['o_orderstatus']},{r['o_totalprice']}\n")
+            for i in range(10):
+                f.write(f"{900000000 + i},X,not_a_number_{i}\n")
+        open(marker, "w").close()
+    return out
+
+
+def _malformed_csv_path_sf001() -> str:
+    """Import-time oracle path for the driver's correctness scale
+    (sf0.01) — same static-path contract as so_cluster_stats: the Spark
+    query writes the fixture before the oracle reads it."""
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = "sf0_01_" + data_fingerprint("/root/testdata/sf0.01", "orders")
+    return scratch_dir("csv_malformed") + f"/{tag}"
+
+
+_CSV_MALFORMED_SQL = f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_malformed_csv_path_sf001()}/part-000.csv',
+                             header = false, all_varchar = true,
+                             columns = {{'k': 'VARCHAR', 's': 'VARCHAR',
+                                         'p': 'VARCHAR'}})
+    )
+    SELECT CAST(SUM(CASE WHEN TRY_CAST(p AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN TRY_CAST(p AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           SUM(CAST(ROUND(TRY_CAST(p AS DOUBLE) * 100) AS BIGINT))
+             / CAST(100 AS DOUBLE) AS good_total
+    FROM raw
+"""
+
+
+@register("scan_csv_malformed", sql=_CSV_MALFORMED_SQL)
+def scan_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input robustness — the ingestion property that decides
+    whether one bad row kills a 100 TB load: PERMISSIVE mode parses what
+    it can, NULLs what it can't, and captures the raw line in
+    _corrupt_record for quarantine (FAILFAST is the other posture; the
+    engine makes the choice explicit, never silent row-dropping). Output
+    is the audit triple (good count, corrupt count, good total in exact
+    cents); the oracle classifies the same file via TRY_CAST."""
+    path = _malformed_csv_dir(spark, sf)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("s", StringType()),
+            StructField("p", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-38523: corrupt-record queries need materialization
+    )
+    out = raw.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        (
+            F.sum(dround(F.col("p") * 100, 0).cast("long")) / F.lit(100.0)
+        ).alias("good_total"),
+    )
+    return out

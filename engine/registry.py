@@ -130,6 +130,8 @@ _PRIORITY = (
     "set_intersect_all",
     "win_nth_value",
     "pipeline_e2e_pretrain",
+    "agg_count_distinct_multi",
+    "scan_csv_malformed",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
