@@ -2170,3 +2170,70 @@ def scan_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("good_total"),
     )
     return out
+
+
+_DATASET_CARD_SQL = """
+    WITH t AS (
+      SELECT source, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    lang_dist AS (
+      SELECT source, lang, COUNT(*) AS c FROM t GROUP BY source, lang
+    ),
+    totals AS (
+      SELECT source, SUM(c) AS tot FROM lang_dist GROUP BY source
+    ),
+    ent AS (
+      SELECT ld.source,
+             ROUND(SUM(-(c * 1.0 / tot) * LN(c * 1.0 / tot)) * 1e4) / 1e4
+               AS lang_entropy,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM lang_dist ld JOIN totals ON ld.source = totals.source
+      GROUP BY ld.source
+    ),
+    tok AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+             ROUND(MEDIAN(n_tok) * 100) / 100 AS median_tokens,
+             CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+      FROM t GROUP BY source
+    )
+    SELECT tok.source, n_docs, total_tokens, min_tokens, median_tokens,
+           max_tokens, n_langs, lang_entropy
+    FROM tok JOIN ent ON tok.source = ent.source
+"""
+
+
+@register("pipeline_dataset_card", sql=_DATASET_CARD_SQL)
+def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The dataset CARD per source — the datasheet every corpus release
+    ships: volume (docs, tokens), length distribution (min/median/max),
+    and language diversity (count + Shannon entropy of the language
+    mix). Two aggregation families share the source partitioning (token
+    rollup; language histogram → entropy), joined at source granularity
+    — at 100 TB this is two partial-aggregable passes over one scan and
+    a tiny join. Entropy terms are probabilities of the SAME integer
+    counts on both engines, rounded at 1e-4."""
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    t = d.select("source", "lang", n_tok.alias("n_tok"))
+    tok = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        dround(F.median("n_tok"), 2).alias("median_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+    ld = t.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("source"))
+    ent = (
+        ld.select("source", (-p * F.log(p)).alias("term"))
+        .groupBy("source")
+        .agg(dround(F.sum("term"), 4).alias("lang_entropy"), F.count("*").alias("n_langs"))
+    )
+    return tok.join(ent, "source").select(
+        "source", "n_docs", "total_tokens", "min_tokens", "median_tokens",
+        "max_tokens", "n_langs", "lang_entropy",
+    )

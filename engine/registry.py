@@ -132,6 +132,7 @@ _PRIORITY = (
     "pipeline_e2e_pretrain",
     "agg_count_distinct_multi",
     "scan_csv_malformed",
+    "pipeline_dataset_card",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
