@@ -1072,32 +1072,42 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a.user_id") != F.col("b.user_id"))
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
     )
+    # pre-join out-degree onto edges ONCE — it's loop-invariant (the
+    # old formulation re-joined it all 10 rounds)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = scratch_cache(edges.join(out_deg, "src"))
     nodes = scratch_cache(edges.select(F.col("src").alias("user_id")).distinct())
     n_nodes = nodes.count()  # driver-sized: one long
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(10):
-        contribs = (
-            edges.join(out_deg, "src")
-            .join(ranks, edges.src == ranks.user_id)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.user_id == contribs.dst, "left")
-            .select(
-                "user_id",
-                (
-                    F.lit(0.15 / n_nodes)
-                    + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+    # right-size the loop's shuffles to the graph (the connected-
+    # components lesson: fixed 32-way shuffles over a node-sized
+    # frontier are pure scheduler overhead × iterations). Restored after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(2, min(int(prev_parts), n_nodes // 5_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        for _ in range(10):
+            contribs = (
+                edges_deg.join(ranks, edges_deg.src == ranks.user_id)
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
             )
-        )
-        # cut the lineage EAGERLY each round: with lazy checkpoints the
-        # final action compiles all 10 rounds as one giant DAG (11.8 s at
-        # sf0.1, mostly planning); eager = 10 tiny node-sized jobs
-        ranks = ranks.localCheckpoint(eager=True)
+            ranks = (
+                nodes.join(contribs, nodes.user_id == contribs.dst, "left")
+                .select(
+                    "user_id",
+                    (
+                        F.lit(0.15 / n_nodes)
+                        + 0.85 * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            # cut the lineage EAGERLY each round: with lazy checkpoints
+            # the final action compiles all 10 rounds as one giant DAG
+            ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         ranks.select("user_id", dround(F.col("rank") * 1e6, 0).alias("rank_ppm"))
         .orderBy(F.col("rank_ppm").desc(), "user_id")
