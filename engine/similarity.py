@@ -470,12 +470,25 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation: cluster
-    id = smallest doc_id reachable. Each iteration is one join + one
-    min-aggregation (large-star/small-star style); converges in
-    O(log n) iterations on duplicate-cluster graphs (which are tiny and
-    dense). Driver loop carries only the convergence flag.
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 200_000
+) -> DataFrame:
+    """Connected components with an ADAPTIVE physical strategy (the AQE
+    idea applied to an iterative algorithm): cluster id = smallest
+    doc_id reachable.
+
+    - Edge set ≤ driver_threshold: union-find on the driver. Candidate
+      pairs are orders of magnitude smaller than the corpus (that is
+      the point of blocking), so this is the same driver-sized-state
+      rule that lets k-means collect its k means — and it removes ~10
+      scheduler round-trips whose fixed latency dominated at test scale
+      (3.5 s → milliseconds for a 500-node graph).
+    - Larger: distributed min-label propagation, one join + one
+      min-aggregation per round, shuffles right-sized to the edge
+      count, label-sum as the monotone convergence witness.
+
+    Both paths compute the identical min-label fixpoint (equality is
+    asserted in tests on planted graphs).
 
     pairs: (a, b) undirected edges."""
     edges = (
@@ -484,12 +497,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .cache()
     )
-    # right-size the per-iteration shuffles to the EDGE count: candidate
-    # pairs are orders of magnitude smaller than the corpus, and looping
-    # 32-partition shuffles over a few hundred edges is pure scheduler
-    # overhead (4.7 s → sub-second at sf0.1). Restored after the loop.
     spark = pairs.sparkSession
     n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        rows = edges.collect()  # bounded by driver_threshold
+        for r in rows:
+            x, y = r["x"], r["y"]
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by MIN root so the representative is the
+                # smallest id — identical labels to the distributed path
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        return spark.createDataFrame(out, "node long, label long")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     target = max(2, min(int(prev_parts), n_edges // 20_000 + 2))
     spark.conf.set("spark.sql.shuffle.partitions", str(target))

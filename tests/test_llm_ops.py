@@ -156,6 +156,27 @@ def test_connected_components_planted_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find and the distributed min-label loop must
+    compute the IDENTICAL fixpoint (driver_threshold=0 forces the
+    distributed path on the same graph)."""
+    import random
+
+    from engine.similarity import connected_components
+
+    rng = random.Random(13)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        "a long, b long",
+    ).filter("a != b")
+    fast = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_dedup_clusters_on_planted(spark):
     from engine.similarity import _shingles, connected_components
     from pyspark.sql import functions as F
