@@ -133,6 +133,7 @@ _PRIORITY = (
     "agg_count_distinct_multi",
     "scan_csv_malformed",
     "pipeline_dataset_card",
+    "stream_stateful_session_timeout",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

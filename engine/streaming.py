@@ -509,3 +509,76 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return final.select(
         "event_type", "cnt", dround("sum_value", 2).alias("sum_value")
     )
+
+
+def _session_timeout_fn(key, pdfs, state: GroupState):
+    """Event-time-timeout sessionizer: state = (session_start_us,
+    last_seen_us, n_events). New events extend the open session or —
+    when they arrive after a closed gap — emit the finished session and
+    open a new one. The state TIMEOUT (watermark passing last_seen +
+    gap) closes the final session of an idle user, the case a
+    batch-at-a-time formulation can't express."""
+    GAP_US = 1800 * 1_000_000
+    rows = []
+    if state.hasTimedOut:
+        st, last, n = state.get
+        rows.append((key[0], st, n))
+        state.remove()
+    else:
+        ev_us = []
+        for pdf in pdfs:
+            ev_us.extend(int(v) for v in pdf["ts_us"])
+        ev_us.sort()
+        if state.exists:
+            st, last, n = state.get
+        else:
+            st, last, n = ev_us[0], ev_us[0], 0
+        for t in ev_us:
+            if t - last > GAP_US:
+                rows.append((key[0], st, n))
+                st, n = t, 0
+            n += 1
+            last = t
+        state.update((st, last, n))
+        # close the session when the watermark passes last + gap
+        state.setTimeoutTimestamp((last + GAP_US) // 1000)
+    yield pd.DataFrame(rows, columns=["user_id", "session_start_us", "n_events"])
+
+
+@register("stream_stateful_session_timeout")  # rows-only: arrival-order state
+def stream_stateful_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization as a CUSTOM stateful operator with EVENT-TIME
+    TIMEOUT — the state-lifecycle quadrant the other stream_* keys don't
+    cover (NoTimeout counters, built-in session_window). Sessions close
+    two ways: a later event arrives beyond the 30-min gap, or the
+    WATERMARK passes last_seen+gap and the state times out — the only
+    mechanism that ever closes an idle user's final session on an
+    unbounded stream (and exactly what bounds state size: every group
+    either advances or expires). Equivalence with the batch sessionizer
+    win_sessionize_gap is asserted in tests (same per-user session
+    counts on the in-order replay)."""
+    path = _replay_dir(spark, sf, late=False)
+    s = _read_stream(spark, path).withWatermark("ts", "10 minutes")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("st", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    sessions = s.groupBy("user_id").applyInPandasWithState(
+        _session_timeout_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = _run_to_memory(sessions, "append")
+    return out.orderBy("user_id", "session_start_us")

@@ -185,3 +185,32 @@ def test_stream_static_join_equals_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stateful_session_timeout_matches_batch_sessionizer(spark):
+    """Custom event-time-timeout sessionizer vs the batch sessionizer:
+    every CLOSED session must match; the only permitted difference is a
+    user's final session still open at stream end (the watermark never
+    passed its last_seen+gap — at most ONE missing session per user,
+    and it must be the last one)."""
+    from engine.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    qs = all_queries()
+    stream = qs["stream_stateful_session_timeout"](spark, SF_ORACLE)
+    batch = qs["win_sessionize_gap"](spark, SF_ORACLE)
+    s = {r["user_id"]: r["count"] for r in stream.groupBy("user_id").count().collect()}
+    b = {r["user_id"]: r["count"] for r in batch.groupBy("user_id").count().collect()}
+    assert set(s) <= set(b)
+    exact = mismatch = open_final = 0
+    for u, bc in b.items():
+        sc = s.get(u, 0)
+        if sc == bc:
+            exact += 1
+        elif sc == bc - 1:
+            open_final += 1
+        else:
+            mismatch += 1
+    assert mismatch == 0, f"{mismatch} users beyond the open-final-session rule"
+    assert exact >= 0.8 * len(b), (exact, open_final, len(b))
