@@ -134,6 +134,7 @@ _PRIORITY = (
     "scan_csv_malformed",
     "pipeline_dataset_card",
     "stream_stateful_session_timeout",
+    "sink_partition_overwrite_dynamic",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
