@@ -246,3 +246,24 @@ def test_dedup_embedding_blocks_on_cell_equijoin(spark):
     # formatted mode details: "Left keys [2]: [ca#N, la#N]"
     key_lines = [ln for ln in p.splitlines() if "keys" in ln.lower()]
     assert any("ca#" in ln and "la#" in ln for ln in key_lines), p
+
+
+def test_minhash_band_join_no_cartesian(spark):
+    """Native MinHash candidates must come from a bucket equi-join on
+    (band, hash) — never an all-pairs compare."""
+    p = plan(spark, "dedup_near_minhash")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    key_lines = [ln for ln in p.splitlines() if "keys" in ln.lower()]
+    assert any("band" in ln and "h#" in ln for ln in key_lines), p
+
+
+def test_pack_sequences_single_shuffle_family(spark):
+    """Sequence packing: the running-offset window and the rollup share
+    the source partitioning — exactly ONE exchange in the plan."""
+    import re
+
+    p = plan(spark, "pipeline_pack_sequences")
+    # formatted mode lists each node twice (tree + detail); count detail
+    # headers only
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_ex == 1, f"{n_ex} exchanges\n{p}"
