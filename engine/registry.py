@@ -135,6 +135,7 @@ _PRIORITY = (
     "pipeline_dataset_card",
     "stream_stateful_session_timeout",
     "sink_partition_overwrite_dynamic",
+    "dedup_substring_spans",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

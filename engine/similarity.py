@@ -851,3 +851,82 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+_SUBSTRING_SPANS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i:i+9], ' ') AS g
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 9)) AS u(i)
+      WHERE LEN(t) >= 10
+    ),
+    dup_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    flagged AS (
+      SELECT doc_id, pos FROM grams SEMI JOIN dup_grams USING (g)
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS anchor
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, anchor
+    HAVING MAX(pos) - MIN(pos) + 10 >= 15
+"""
+
+
+@register("dedup_substring_spans", sql=_SUBSTRING_SPANS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (the suffix-array method of 'Deduplicating
+    Training Data Makes Language Models Better', Lee et al. 2022,
+    re-expressed relationally): find maximal runs of ≥15 tokens that
+    appear verbatim in MORE THAN ONE document — the spans a pretrain
+    pipeline cuts out, which doc-level dedup can never see (two
+    different articles quoting the same boilerplate).
+
+    Spark-first decomposition of the suffix array: (1) every 10-token
+    shingle with its position; (2) shingles occurring in >1 distinct doc
+    (one aggregate — this is the suffix array's 'repeated prefix' set);
+    (3) a doc's CONSECUTIVE duplicated positions collapse to one span
+    via the rownum-difference islands trick; span length = run + 9. At
+    100 TB: two shuffles (gram aggregate, per-doc window) — no suffix
+    array materialization, no driver state; the gram aggregate is the
+    hot-shingle-cap candidate (JACCARD_MAX_DF) if a boilerplate gram
+    goes viral."""
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 10)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 9),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 10)),
+            )
+        ).alias("idx", "g"),
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    flagged = grams.join(dup_grams, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn("anchor", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "anchor")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + 10).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= 15)
+        .drop("anchor")
+    )
