@@ -2316,3 +2316,43 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(out)
     return back.select("day", "event_type", "n")
+
+
+_SPLIT_SQL = """
+    WITH assigned AS (
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM assigned GROUP BY source, split
+"""
+
+
+@register("sample_split_train_eval", sql=_SPLIT_SQL)
+def sample_split_train_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the split
+    every training pipeline needs, as a PURE FUNCTION of the document id
+    (same doc lands in the same split on any engine, any cluster size,
+    any day — rand()-based randomSplit can't promise any of that, and
+    leaking a doc across splits is the canonical eval bug). Here the
+    assignment key is doc_id mod 100 so the oracle can mirror it
+    exactly; production swaps in pmod(xxhash64(doc_id, seed), 100) for
+    the same determinism with hash diffusion — one narrow map either
+    way, zero shuffles before the audit rollup."""
+    d = T(spark, sf, "documents")
+    bucket = F.col("doc_id") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

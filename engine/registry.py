@@ -136,6 +136,7 @@ _PRIORITY = (
     "stream_stateful_session_timeout",
     "sink_partition_overwrite_dynamic",
     "dedup_substring_spans",
+    "sample_split_train_eval",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
