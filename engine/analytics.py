@@ -2356,3 +2356,159 @@ def sample_split_train_eval(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+_Q20_SQL = """
+    WITH avail AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk, SUM(l_quantity) AS availqty
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    demand AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk, SUM(l_quantity) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_4')
+      AND s_suppkey IN (
+        SELECT avail.sk
+        FROM avail JOIN demand ON avail.sk = demand.sk AND avail.pk = demand.pk
+        WHERE avail.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND avail.availqty > 0.5 * demand.qty96
+      )
+"""
+
+
+@register("q20_potential_promotion", sql=_Q20_SQL)
+def q20_potential_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp / availqty in the testdata, so
+    'stock on hand' derives from pre-1996 shipments): suppliers in two
+    target nations whose on-hand quantity of red parts exceeds half
+    their 1996 demand. The doubly-nested IN subqueries decorrelate into
+    two grouped aggregates over the SAME fact scan joined on
+    (suppkey, partkey) — co-partitioned, so the pair-join after the two
+    aggs is shuffle-free under AQE; the red-part filter is a broadcast
+    semi-join; the final supplier membership test is a semi-join against
+    a by-then tiny key set. l_quantity is integer-valued, so SUM and the
+    0.5* comparison are exact in IEEE double on both engines."""
+    li = T(spark, sf, "lineitem").select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+    red = F.broadcast(
+        T(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    li_red = li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+    avail = (
+        li_red.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("availqty"))
+    )
+    demand = (
+        li_red.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("d_suppkey"), F.col("l_partkey").alias("d_partkey")
+        )
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    qualifying = (
+        avail.join(
+            demand,
+            (avail.l_suppkey == demand.d_suppkey) & (avail.l_partkey == demand.d_partkey),
+        )
+        .filter(F.col("availqty") > 0.5 * F.col("qty96"))
+        .select(F.col("l_suppkey").alias("q_suppkey"))
+        .distinct()
+    )
+    na = F.broadcast(
+        T(spark, sf, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_4"))
+    )
+    return (
+        T(spark, sf, "supplier")
+        .join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("q_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+_Q21_SQL = """
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+"""
+
+
+@register("q21_suppliers_kept_waiting", sql=_Q21_SQL)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates in the testdata, so
+    'late' = shipped more than a year after the order date): per
+    supplier, the finalized multi-supplier orders where THIS supplier
+    was the only late one. The EXISTS becomes a left-semi join (same
+    order, different supplier) and the NOT EXISTS a left-anti join
+    against the late set itself — both shuffle on l_orderkey, the same
+    key the late set was deduped on, so the three hash exchanges line up
+    and AQE reuses the partitioning. supplier/nation are broadcast; no
+    correlated per-row subquery ever executes."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    ).distinct()
+    sole_late = (
+        late.join(
+            pairs,
+            (late.l_orderkey == pairs.p_orderkey) & (late.l_suppkey != pairs.p_suppkey),
+            "left_semi",
+        )
+        .join(
+            late.select(
+                F.col("l_orderkey").alias("x_orderkey"),
+                F.col("l_suppkey").alias("x_suppkey"),
+            ),
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_anti",
+        )
+    )
+    na = F.broadcast(
+        T(spark, sf, "nation").filter(
+            F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+        )
+    )
+    su = F.broadcast(
+        T(spark, sf, "supplier")
+        .join(na, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

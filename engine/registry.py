@@ -137,6 +137,8 @@ _PRIORITY = (
     "sink_partition_overwrite_dynamic",
     "dedup_substring_spans",
     "sample_split_train_eval",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
