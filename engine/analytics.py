@@ -2512,3 +2512,97 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+_TRIANGLES_SQL = """
+    WITH cohort AS (
+      SELECT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+    ),
+    pairs AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cohort a JOIN cohort b ON a.event_type = b.event_type AND a.day = b.day
+      WHERE a.user_id < b.user_id
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
+    GROUP BY user_id
+"""
+
+
+@register("graph_triangles", sql=_TRIANGLES_SQL)
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user triangle participation over the same user-affinity graph
+    as graph_pagerank's cohorts (users sharing a (event_type, day)
+    cohort with >= 3 events each are connected). Triangle counts are
+    orientation-invariant, so the oracle uses the textbook u < v
+    3-way self-join while the Spark plan runs COMPACT-FORWARD: every
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, wedges are enumerated only at each triangle's minimum
+    vertex in that total order, and closure is one equi-join back into
+    the oriented edge set. That orientation is THE scale trick — wedge
+    count drops from sum(deg^2) over hub vertices to near-optimal
+    (arboricity-bounded), because hubs (the skewed keys at 100 TB)
+    become wedge ENDPOINTS, never wedge centers. Three shuffles total:
+    edge dedup, the wedge self-join on the center, the closure join on
+    the (b, c) pair."""
+    ev = T(spark, sf, "events")
+    cohort = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.count("*").alias("n_ev"))
+        .filter(F.col("n_ev") >= 3)
+        .drop("n_ev")
+    )
+    a, b = cohort.alias("a"), cohort.alias("b")
+    und = (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("user_id"))
+        .unionAll(und.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("user_id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("user_id").alias("v"), F.col("deg").alias("deg_v"))
+    # orient low-(deg, id) -> high-(deg, id); carry the dst's rank key so
+    # the wedge's (b, c) ordering needs no extra degree join
+    lt_uv = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lt_uv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lt_uv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lt_uv, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("deg_dst").alias("deg_c")
+    )
+    wedges = o1.join(o2, o1.a == o2.a2).filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"], "left_semi").select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -139,6 +139,8 @@ _PRIORITY = (
     "sample_split_train_eval",
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
+    "dedup_lines_global",
+    "graph_triangles",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",

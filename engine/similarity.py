@@ -930,3 +930,67 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("span_tokens") >= 15)
         .drop("anchor")
     )
+
+
+_LINES_SQL = """
+    WITH segs AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT)),
+               i -> array_to_string(string_split(text, ' ')[i*10+1 : i*10+10], ' ')))
+               AS seg
+      FROM documents
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT CASE WHEN df > 1 THEN seg END) AS BIGINT)
+             AS n_boilerplate
+    FROM segs JOIN freq USING (seg)
+    GROUP BY source
+"""
+
+
+@register("dedup_lines_global", sql=_LINES_SQL)
+def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/C4-style GLOBAL line-level dedup: segment every document
+    into pseudo-paragraphs (consecutive 10-word windows — the testdata
+    has no newlines), count each segment's document frequency across
+    the WHOLE corpus, and drop segments seen in more than one document
+    (boilerplate: headers, footers, license blurbs). Audit rollup per
+    source: segments seen, segments dropped, distinct boilerplate.
+
+    100 TB posture: this is the canonical two-pass paragraph-hash
+    design — explode to (hash(seg), doc) pairs, one groupBy on the
+    segment key for document frequency, one shuffle join back to flag
+    drops. In production the join key is xxhash64(seg) (8 bytes, not
+    the text — here the raw segment keys the join so DuckDB mirrors it
+    exactly); the frequency side is heavy-hitter-skewed, so the flag
+    join benefits from AQE skew handling, and a `df > threshold`
+    pre-filter keeps the broadcast variant viable when boilerplate is
+    rare. The corpus itself shuffles once, as 10-word strings, not
+    full documents."""
+    d = T(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.count_distinct(F.when(F.col("df") > 1, F.col("seg"))).alias("n_boilerplate"),
+        )
+    )
