@@ -2606,3 +2606,58 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+_EWMA_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
+               AS mean_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(list_reduce(list(CAST(mean_v AS DOUBLE) ORDER BY h),
+                             (acc, x) -> 0.7 * acc + 0.3 * x), 4) AS ewma
+    FROM hourly GROUP BY event_type
+"""
+
+
+@register("ts_ewma", sql=_EWMA_SQL)
+def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per event type over the
+    hourly mean series — the classic smoothing that SQL windows cannot
+    express (EWMA is a sequential recurrence, not a frame aggregate).
+    Implemented as an ORDERED FOLD: collect the per-type hourly series
+    (bounded: hours-per-type, thousands of elements at any corpus
+    size — the fold is over the TIME dimension, not rows), sort once,
+    and F.aggregate() the recurrence acc <- 0.7*acc + 0.3*x. Both
+    engines fold identical ROUND-ed doubles in identical order with
+    identical IEEE ops, so the result is bit-reproducible — the inner
+    hourly mean is an exact integer-cents sum, never a float SUM race.
+    At 100 TB the hourly pre-aggregation is the data-sized step (one
+    partial-agg shuffle); the fold touches only the tiny series."""
+    ev = T(spark, sf, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            dround(
+                F.sum(dround(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)
+                / F.count("*"),
+                6,
+            ).alias("mean_v")
+        )
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.array_sort(F.collect_list(F.struct("h", "mean_v"))).alias("s"),
+    )
+    vals = F.transform(F.col("s"), lambda e: e["mean_v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.7) * acc + F.lit(0.3) * x,
+    )
+    return series.select(
+        "event_type", "n_hours", dround(ewma, 4).alias("ewma")
+    )

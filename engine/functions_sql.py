@@ -511,3 +511,37 @@ def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
         dround(F.exp("l_discount"), 10).alias("ex"),
         dround(F.degrees("l_discount"), 10).alias("deg"),
     )
+
+
+_REGEXP_SQL = """
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_extract(p_brand, '([A-Za-z]+)#([0-9]+)', 2) AS brand_num,
+           CASE WHEN regexp_matches(p_name, '(red|blue) ') THEN 1 ELSE 0 END
+             AS is_primary
+    FROM part
+"""
+
+
+@register("fn_regexp", sql=_REGEXP_SQL)
+def fn_regexp(spark: SparkSession, sf: str) -> DataFrame:
+    """Regexp function family: extract-all (canonicalized to a joined
+    string so the array never reaches the driver's scalarizer),
+    occurrence counting, global replace, group extraction, boolean
+    match. All native Catalyst expressions — regexes compile once per
+    task via codegen, no Python in the loop."""
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        joined(F.regexp_extract_all(F.col("p_name"), F.lit("([a-z]+)"), 1), "|").alias(
+            "words"
+        ),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("([aeiou])"), 1)).cast(
+            "long"
+        ).alias("n_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract(F.col("p_brand"), r"([A-Za-z]+)#([0-9]+)", 2).alias("brand_num"),
+        F.when(F.col("p_name").rlike("(red|blue) "), 1).otherwise(0).alias("is_primary"),
+    )

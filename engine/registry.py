@@ -141,6 +141,8 @@ _PRIORITY = (
     "q21_suppliers_kept_waiting",
     "dedup_lines_global",
     "graph_triangles",
+    "fn_regexp",
+    "ts_ewma",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
