@@ -267,3 +267,43 @@ def test_pack_sequences_single_shuffle_family(spark):
     # headers only
     n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_ex == 1, f"{n_ex} exchanges\n{p}"
+
+
+def test_triangles_no_cartesian_and_pushdown(spark):
+    # compact-forward must stay pure equi-joins: wedge join on the
+    # center, closure on the (b, c) pair — never a cartesian/NL join
+    p = plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q20_red_part_filter_is_broadcast_semi(spark):
+    # the part-name filter must reach the scan and the semi-join must
+    # broadcast the (tiny) red-part key set, not shuffle the fact table
+    p = plan(spark, "q20_potential_promotion")
+    assert "StringStartsWith(p_name,red)" in p, p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_q21_status_filter_pushed_and_anti_join(spark):
+    p = plan(spark, "q21_suppliers_kept_waiting")
+    assert "EqualTo(o_orderstatus,F)" in p, p
+    assert "LeftAnti" in p and "LeftSemi" in p, p
+
+
+def test_dedup_lines_two_shuffle_families(spark):
+    # explode → df groupBy (1 exchange family on seg) → flag join on seg
+    # (reuses the same key) → final rollup on source; there must be no
+    # per-row Python and no cartesian anywhere
+    p = plan(spark, "dedup_lines_global")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Generate" in p and "explode" in p, p
+
+
+def test_ewma_hourly_preagg_is_two_phase(spark):
+    # the data-sized step is the hourly mean: partial + final
+    # HashAggregate before the tiny per-type fold
+    p = plan(spark, "ts_ewma")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p, p
