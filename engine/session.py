@@ -71,20 +71,30 @@ def tune(spark: SparkSession) -> None:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read the raw int64 nanos
-    (``spark.sql.legacy.parquet.nanosAsLong`` — settable at runtime, so it
-    also works on the driver's own session) and truncate to microseconds,
-    the native Spark timestamp precision. Every event-time oracle applies
-    the same truncation on the DuckDB side
-    (``make_timestamp(epoch_ns(ts)//1000)``) so both engines see identical
-    instants.
+    """events.parquet has shipped with two physical types for ``ts``
+    across testdata generations: TIMESTAMP(NANOS) (which Spark's parquet
+    reader rejects outright — PARQUET_TYPE_ILLEGAL — unless read as raw
+    int64 via ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    TIMESTAMP(MICROS) (read natively, as TIMESTAMP_NTZ). Adapt to the
+    schema actually on disk; either way the result column is a
+    session-TZ (UTC) TIMESTAMP at microsecond precision, and every
+    event-time oracle applies the same truncation on the DuckDB side
+    (``make_timestamp(epoch_ns(ts)//1000)``) so both engines see
+    identical instants.
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division on the long — going through double would lose
-    # precision (epoch-ns ~1.7e18 exceeds double's exact-int range)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer division on the long — going through double would lose
+        # precision (epoch-ns ~1.7e18 exceeds double's exact-int range)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    # native µs timestamp (NTZ) — cast to session-TZ timestamp so every
+    # downstream epoch/window expression sees the same type as before
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 #: DuckDB-side canonical events relation (microsecond-truncated ts),
