@@ -2661,3 +2661,52 @@ def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
     return series.select(
         "event_type", "n_hours", dround(ewma, 4).alias("ewma")
     )
+
+
+@register(
+    "scan_observe_metrics",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returns
+    FROM lineitem
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline observability: `df.observe()` attaches accumulator-backed
+    metrics to the ONE existing pass over the data — row counts, quality
+    counters, value bounds come back with the action, with no second
+    scan. At 100 TB a separate "count the rows we processed" query is a
+    second full-table read; observe() makes the audit free. The observed
+    metrics (count / sum / max / conditional count) are returned as the
+    result row and oracle-checked against the direct aggregate, proving
+    the accumulator path computes exactly what the batch agg computes.
+
+    sum_qty stays exact across engines because l_quantity is
+    integer-valued (doubles are exact integers < 2^53, any add order);
+    n_returns is the count_if pattern with the oracle-side BIGINT cast
+    (DuckDB types SUM(CASE…) as HUGEINT — the r2 lesson).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_metrics")
+    li = T(spark, sf, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returns"),
+    )
+    # the action that populates the observation IS the pipeline's own
+    # pass (noop sink = full materialization, nothing collected)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["max_price"], m["n_returns"])],
+        "n_rows long, sum_qty double, max_price double, n_returns long",
+    )

@@ -232,11 +232,27 @@ def fn_explode(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
 
 
-@register("fn_map")  # rows-only: map construction semantics differ by engine
+@register(
+    "fn_map",
+    sql="""
+    WITH per AS (
+      SELECT lang, source, COUNT(*) AS cnt
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS INT) AS n_sources,
+           MAX(CASE WHEN source = 'src0' THEN cnt END) AS src0_cnt,
+           STRING_AGG(source, ',' ORDER BY source) AS sources
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
 def fn_map(spark: SparkSession, sf: str) -> DataFrame:
     """Map family: build source→doc-count map per lang from aggregates,
-    then element_at / map_keys. Deterministic (entries sorted) but kept
-    rows-only per SURVEY.md §2 (DuckDB map comparisons differ)."""
+    then element_at / map_keys. The map itself never leaves the plan —
+    every output column is scalarized (size / element_at / joined keys),
+    so the relational equivalent (count + conditional max + string_agg)
+    is a full value-level oracle despite DuckDB having no Spark-style
+    map comparisons."""
     d = T(spark, sf, "documents")
     per = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
     return (

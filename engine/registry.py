@@ -143,6 +143,21 @@ _PRIORITY = (
     "graph_triangles",
     "fn_regexp",
     "ts_ewma",
+    "udf_pandas_iter",
+    "udf_map_in_arrow",
+    "scan_observe_metrics",
+    # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
+    #    against their source tables; samplers switched to portable
+    #    md5-threshold determinism; map/parse outputs scalarized)
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_parquet_partitioned",
+    "sample_per_group",
+    "sample_stratified",
+    "fn_map",
+    "wiki_parse_lines",
+    "stream_static_join",
+    "stream_stateful_count",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_clusters",
@@ -154,13 +169,10 @@ _PRIORITY = (
     "multimodal_frames",
     "multimodal_audio_features",
     "multimodal_phash_dedup",
-    "scan_orc_roundtrip",
     "stream_watermark_late",
     "stream_dedup_watermark",
-    "stream_stateful_count",
     "stream_stateful_tws",
     "stream_stream_join",
-    "stream_static_join",
 )
 
 

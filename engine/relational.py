@@ -61,11 +61,27 @@ def scan_project(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("scan_csv_roundtrip")  # rows-only: CSV bytes never touch DuckDB
+@register(
+    "scan_csv_roundtrip",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity) * 100) / 100 AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def scan_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """A22 capability port (TimeUsage.scala `read`/`dfSchema` [H]): write a
     CSV with header, re-read with an explicit StructType (no inference —
-    schema inference would be a second full pass at 100 TB), aggregate."""
+    schema inference would be a second full pass at 100 TB), aggregate.
+
+    Oracled against the SOURCE table: the CSV writer emits shortest
+    round-trip double reprs, so write→read is value-lossless and the
+    aggregate must equal the same SQL over the original lineitem —
+    which is exactly what makes it a correctness check of the CSV path.
+    """
     out = scratch_dir("csv_roundtrip")
     cols = [
         "l_orderkey",
@@ -118,11 +134,26 @@ def scan_json_lines(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_partitioned")  # rows-only: exercises our writer
+@register(
+    "sink_parquet_partitioned",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice) * 100) / 100 AS sum_price
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioned parquet sink + re-read with partition pruning. At scale
     the write distributes by the partition column; the re-read filter
-    prunes to a single directory (explain → PartitionFilters)."""
+    prunes to a single directory (explain → PartitionFilters).
+
+    Oracled against the source table: parquet round-trips every value
+    exactly and the partition-key filter commutes with the group-by, so
+    the re-read aggregate must equal the direct SQL — turning the sink
+    into a checked operator instead of a rows-only smoke test.
+    """
     out = scratch_dir("sink_partitioned")
     agg = (
         T(spark, sf, "lineitem")
@@ -1180,17 +1211,37 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("sample_per_group")  # rows-only: hash-seeded order is Spark-side
+@register(
+    "sample_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY MD5(o_orderkey::VARCHAR || ':42'), o_orderkey
+                 ) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
 def sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """A17 port (StackOverflow.scala `sampleVectors` [H]: exactly
     kernels/langs vectors per language, deterministic per-lang RNG).
     sampleBy() is Bernoulli — not exact-N — so this uses the scale-safe
     deterministic trick: order each group by a seeded HASH of the key
     (stable under any partitioning, unlike rand(seed) which depends on
-    partition layout) and keep the first 3. One shuffle, no RNG state."""
+    partition layout) and keep the first 3. One shuffle, no RNG state.
+
+    The hash is md5(key || ':seed') rather than xxhash64 so the exact
+    sample is reproducible OUTSIDE Spark too (any engine with md5 picks
+    identical rows — which is what makes it oracle-checkable). At 100 TB
+    md5 costs more cycles than xxhash64 but the pass stays narrow and
+    cross-engine reproducibility of a training sample is worth it.
+    """
     o = T(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
-        F.xxhash64("o_orderkey", F.lit(42)), "o_orderkey"
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))),
+        "o_orderkey",
     )
     return (
         o.withColumn("rn", F.row_number().over(w))
@@ -1221,16 +1272,45 @@ def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return agged.select(*cols).orderBy("l_returnflag")
 
 
-@register("sample_stratified")  # rows-only: Bernoulli RNG is engine-specific
+@register(
+    "sample_stratified",
+    sql="""
+    SELECT event_type, COUNT(*) AS sampled_cnt
+    FROM (SELECT event_type,
+                 SUBSTR(MD5(event_id::VARCHAR || ':7'), 1, 8) AS h
+          FROM events)
+    WHERE event_type IN ('purchase', 'signup')
+       OR (event_type IN ('view', 'click') AND h < '80000000')
+       OR (event_type = 'error' AND h < '19999999')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
-    """Stratified sampling (dataset-mixing primitive): per-stratum
-    Bernoulli fractions via sampleBy with a fixed seed, summarized to a
-    stable small schema. At 100 TB this is a narrow pass — no shuffle."""
+    """Stratified sampling (dataset-mixing primitive) with per-stratum
+    keep fractions {view/click: 0.5, purchase/signup: 1.0, error: 0.1}.
+
+    Deterministic hash-threshold Bernoulli instead of sampleBy(): keep a
+    row iff the first 8 hex chars of md5(event_id || ':seed') fall below
+    floor(fraction * 2^32) rendered in hex — a lexicographic string
+    compare that every engine evaluates identically, so the EXACT sample
+    (not just its expectation) is reproducible across engines and runs.
+    That's the property a training-data pipeline needs (resumable,
+    auditable subsets) and what sampleBy's partition-layout-dependent
+    RNG can't give. Narrow pass, no shuffle before the tiny count agg.
+    """
     ev = T(spark, sf, "events")
-    fractions = {"view": 0.5, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 0.1}
-    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    h = F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":7"))), 1, 8
+    )
+    keep = (
+        F.col("event_type").isin("purchase", "signup")
+        | (F.col("event_type").isin("view", "click") & (h < F.lit("80000000")))
+        | ((F.col("event_type") == "error") & (h < F.lit("19999999")))
+    )
     return (
-        sampled.groupBy("event_type")
+        ev.filter(keep)
+        .groupBy("event_type")
         .agg(F.count("*").alias("sampled_cnt"))
         .orderBy("event_type")
     )
@@ -1419,10 +1499,25 @@ def agg_string_concat(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("scan_orc_roundtrip")  # rows-only: DuckDB reads no ORC
+@register(
+    "scan_orc_roundtrip",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
 def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Second columnar source format: write ORC, re-read, aggregate —
-    same pushdown/pruning machinery as parquet (Spark native reader)."""
+    same pushdown/pruning machinery as parquet (Spark native reader).
+
+    DuckDB reads no ORC, but it doesn't need to: ORC round-trips
+    doubles/longs exactly, so the oracle is the same filter+agg over the
+    original orders table — a value-level check of the ORC write path.
+    """
     out = scratch_dir("orc_roundtrip")
     o = T(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

@@ -285,12 +285,21 @@ def _count_state_fn(key, pdfs, state: GroupState):
     yield pd.DataFrame({"user_id": [key[0]], "cnt": [total]})
 
 
-@register("stream_stateful_count")  # rows-only
+@register(
+    "stream_stateful_count",
+    sql="""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_stateful_count(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user counts updated every micro-batch (state = one counter per
     user; the state store shards by user_id at scale). Final value per
-    user must equal the batch count — asserted in tests."""
+    user must equal the batch count — which makes the batch GROUP BY
+    the full SQL oracle (no watermark, in-order replay of the complete
+    fixture: nothing is ever dropped, so streaming final state ≡ batch).
+    """
     path = _replay_dir(spark, sf, late=False)
     s = _read_stream(spark, path)
     out_schema = StructType(
@@ -425,7 +434,15 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-@register("stream_static_join")  # rows-only: streaming run
+@register(
+    "stream_static_join",
+    sql="""
+    SELECT n_name, COUNT(*) AS cnt,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events JOIN nation ON events.user_id % 25 = nation.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
 def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-STATIC join: the streaming fact side joins a static
     dimension (nation, via user_id % 25 as the affinity key). The static

@@ -379,7 +379,14 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("wiki_parse_lines")  # rows-only: the text file is Spark-written
+@register(
+    "wiki_parse_lines",
+    sql="""
+    SELECT doc_id, CAST(LENGTH(text) AS INT) AS text_len,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
 def wiki_parse_lines(spark: SparkSession, sf: str) -> DataFrame:
     """`WikipediaData.parse` [H]: one `<page><title>T</title><text>B
     </text></page>` line per article, parsed by marker extraction. We
@@ -387,7 +394,12 @@ def wiki_parse_lines(spark: SparkSession, sf: str) -> DataFrame:
     it as a text source, re-read with spark.read.text, and parse with
     native regexp_extract — the substring-between-markers semantics of
     the handout, minus the driver-side List[String] (the handout reads
-    the whole file on the driver; a text source scan distributes)."""
+    the whole file on the driver; a text source scan distributes).
+
+    Oracled: the synthesized markup round-trips losslessly (document
+    text contains no newlines or marker strings, checked in testdata),
+    so parse∘synthesize is the identity and the oracle is the same
+    length/token stats straight off the documents table."""
     from engine.session import scratch_dir
 
     out = scratch_dir("wiki_lines")

@@ -14,6 +14,8 @@ variants are admissible, and only when no built-in expresses the logic.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,6 +125,60 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT t.doc_id, t.token FROM docs_udtf_v v, "
         "LATERAL tokenize_udtf(v.doc_id, v.text) t"
     )
+
+
+@register(
+    "udf_pandas_iter",
+    sql=f"""
+    SELECT user_id, {_CLASSIFY_SQL} AS status, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (Iterator[Series] → Iterator[Series]):
+    same classifier, but per-task setup runs ONCE before the batch loop
+    instead of once per batch — the shape that matters at 100 TB when
+    the setup is loading a tokenizer/model onto the executor. The
+    mapping dict below stands in for that expensive init."""
+
+    @pandas_udf("string")
+    def classify(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mapping = {True: "working", False: "idle"}  # per-task init, amortized
+        for uid in batches:
+            yield (uid % 3 < 2).map(mapping)
+
+    ev = T(spark, sf, "events")
+    return ev.groupBy("user_id").agg(F.count("*").alias("cnt")).select(
+        "user_id", classify("user_id").alias("status"), "cnt"
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    sql="""
+    SELECT UPPER(event_type) AS et, COUNT(*) AS cnt
+    FROM events GROUP BY UPPER(event_type)
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch escape hatch — the Python
+    function sees raw pyarrow RecordBatches (no pandas conversion
+    cost), the right interface when the kernel is itself Arrow-native
+    (tokenizers, Arrow-compute string ops, FFI libraries). Column
+    pruning still applies: only event_type crosses the boundary."""
+    import pyarrow as pa
+
+    def upper_batches(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [pc.utf8_upper(b.column(0))], names=["et"]
+            )
+
+    ev = T(spark, sf, "events").select("event_type")
+    upped = ev.mapInArrow(upper_batches, "et string")
+    return upped.groupBy("et").agg(F.count("*").alias("cnt"))
 
 
 @register(
