@@ -307,3 +307,23 @@ def test_ewma_hourly_preagg_is_two_phase(spark):
     p = plan(spark, "ts_ewma")
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_map_in_arrow_prunes_to_single_column(spark):
+    # only event_type may cross the Arrow boundary: the parquet scan
+    # must not read user_id/value/ts for a kernel that touches one col
+    p = plan(spark, "udf_map_in_arrow")
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs, p
+    assert "event_type" in rs[0], rs[0]
+    for dropped in ("user_id", "value", "ts"):
+        assert dropped not in rs[0], rs[0]
+    assert "MapInArrow" in p, p
+
+
+def test_pandas_iter_udf_stays_arrow(spark):
+    # SCALAR_ITER must plan as ArrowEvalPython (vectorized transfer),
+    # never row-pickling BatchEvalPython
+    p = plan(spark, "udf_pandas_iter")
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p
