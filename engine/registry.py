@@ -158,9 +158,9 @@ _PRIORITY = (
     "wiki_parse_lines",
     "stream_static_join",
     "stream_stateful_count",
+    "dedup_clusters",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
-    "dedup_clusters",
     "dedup_simhash",
     "sim_ann_partitioned_probe",
     "sim_cosine_topk_ivf",

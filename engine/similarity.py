@@ -140,8 +140,9 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
 #: self-join quadratic in corpus size.
 JACCARD_MAX_DF = 100
 
-_JACCARD_PAIRS_SQL = f"""
-    WITH toks AS (
+#: shared CTE chain: capped-vocabulary 5-shingle sets and co-occurrence
+#: counts (used by the pairs oracle AND the clusters oracle below)
+_JACCARD_CTE_BODY = f"""toks AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
     ),
     sh0 AS (
@@ -160,7 +161,10 @@ _JACCARD_PAIRS_SQL = f"""
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
+    )"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_JACCARD_CTE_BODY}
     SELECT common.a, common.b,
            ROUND(c / (ca.n + cb.n - c * 1.0) * 10000) / 10000 AS jaccard
     FROM common
@@ -596,7 +600,35 @@ def connected_components(
     return labels
 
 
-@register("dedup_clusters")  # rows-only: iterative fixpoint
+#: dedup_clusters oracle: the same shingle-pair evidence as
+#: _JACCARD_PAIRS_SQL, closed transitively by a recursive CTE (the SQL
+#: dual of min-label propagation: label(v) = MIN over v's reachability
+#: set, reachability built over the symmetrized edge list). Closure size
+#: is Σ|component|² — fine for oracle-scale components; the Spark side
+#: runs the scalable fixpoint instead.
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTE_BODY},
+    p AS (
+      SELECT common.a, common.b
+      FROM common
+      JOIN counts ca ON ca.doc_id = common.a
+      JOIN counts cb ON cb.doc_id = common.b
+      WHERE c / (ca.n + cb.n - c * 1.0) >= 0.5
+    ),
+    edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    reach(node, m) AS (
+      SELECT DISTINCT a AS node, a AS m FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    lab AS (SELECT node, MIN(m) AS label FROM reach GROUP BY node)
+    SELECT label AS keeper_doc_id, COUNT(*) AS cluster_size,
+           STRING_AGG(node::VARCHAR, ',' ORDER BY node) AS members
+    FROM lab GROUP BY label ORDER BY keeper_doc_id
+"""
+
+
+@register("dedup_clusters", sql=_CLUSTERS_SQL)
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS from pair evidence: n-gram-Jaccard pairs →
     connected components → one keeper per cluster (min doc_id). This is
