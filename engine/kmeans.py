@@ -144,6 +144,24 @@ def materialize_assignments(spark: SparkSession, sf: str) -> str:
     return path
 
 
+def _means_path(sf_tag: str) -> str:
+    return scratch_dir("kmeans") + f"/means_{sf_tag}"
+
+
+def materialize_means(spark: SparkSession, sf: str) -> tuple[str, list[list[float]]]:
+    """Persist the converged centroids (cluster, mean DOUBLE[]) — the
+    model itself, alongside the assignments. An IVF probe needs the
+    centroid list to pick cells; materializing it lets the oracle run
+    the identical probe in SQL (read means → rank cells per query →
+    scan probed cells), value-checking the whole ANN path."""
+    _assigned, means, _it = run_kmeans(spark, sf)
+    path = _means_path(_sf_tag(sf))
+    spark.createDataFrame(
+        [(i, m) for i, m in enumerate(means)], "cluster int, mean array<double>"
+    ).write.mode("overwrite").parquet(path)
+    return path, means
+
+
 @register(
     "so_kmeans",
     sql=f"""

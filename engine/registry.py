@@ -159,11 +159,12 @@ _PRIORITY = (
     "stream_static_join",
     "stream_stateful_count",
     "dedup_clusters",
+    "sim_cosine_topk_ivf",
+    "sim_ann_partitioned_probe",
+    "so_kmeans",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
     "dedup_simhash",
-    "sim_ann_partitioned_probe",
-    "sim_cosine_topk_ivf",
     "sim_cosine_topk_lsh",
     "multimodal_decode",
     "multimodal_frames",

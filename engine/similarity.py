@@ -374,17 +374,75 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
 
 
-@register("sim_cosine_topk_ivf")  # rows-only: approximate (cell pruning)
+#: the IVF probe, relationally: rank cells per query by rounded
+#: centroid distance, scan only the nprobe=3 winning cells, cosine
+#: top-5 within the candidate set. Reads the same materialized
+#: centroids/assignments the Spark query writes (sf0.01 contract).
+_TOPK_IVF_SQL = """
+    WITH m AS (SELECT cluster, mean
+               FROM read_parquet('{means}/*.parquet')),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 5),
+    cellrank AS (
+      SELECT query_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(LIST_DISTANCE(qe, mean) * 1e6) / 1e6,
+                        cluster) AS crnk
+      FROM q CROSS JOIN m
+    ),
+    probe AS (SELECT query_id, cluster FROM cellrank WHERE crnk <= 3),
+    asg AS (SELECT vec_id, cluster
+            FROM read_parquet('{assign}/*.parquet')),
+    corpus AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS ce, a.cluster
+      FROM embeddings e JOIN asg a USING (vec_id)
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(q.qe, c.ce) * 1e6) / 1e6 AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(q.qe, c.ce) * 1e6) / 1e6
+                        DESC, c.neighbor_id) AS rnk
+      FROM q
+      JOIN probe p ON q.query_id = p.query_id
+      JOIN corpus c ON c.cluster = p.cluster
+      WHERE q.query_id <> c.neighbor_id) t
+    WHERE rnk <= 5
+"""
+
+
+def _ivf_oracle_sql() -> str:
+    from engine.kmeans import _assign_path, _means_path
+
+    return _TOPK_IVF_SQL.format(
+        means=_means_path("sf0_01"), assign=_assign_path("sf0_01")
+    )
+
+
+@register("sim_cosine_topk_ivf", sql=_ivf_oracle_sql())
 def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus with the k-means
     centroids (engine.kmeans), then search only the nprobe=3 cells
     nearest to each query. At scale the corpus is written partitioned
     by cell, so a query reads a bounded fraction of the data; here the
-    cell filter is an equi-join on cell id."""
-    from engine.kmeans import run_kmeans
+    cell filter is an equi-join on cell id.
+
+    Oracled end-to-end (r3): the centroids are materialized next to the
+    assignments (engine.kmeans.materialize_means), so the oracle runs
+    the IDENTICAL probe in SQL — rank cells by rounded euclidean
+    distance per query, scan only those cells, cosine top-5. Distances
+    are rounded to 6 dp on both sides before ranking so the cell choice
+    can't flip on accumulation-order FP noise."""
+    from engine.kmeans import materialize_assignments, materialize_means
+
+    import math
 
     emb = T(spark, sf, "embeddings")
-    assigned, means, _ = run_kmeans(spark, sf)
+    asg_path = materialize_assignments(spark, sf)
+    _means_pq, means = materialize_means(spark, sf)
+    assigned = spark.read.parquet(asg_path)
     corpus = (
         emb.join(assigned.select("vec_id", "cluster"), "vec_id")
         .select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"),
@@ -394,11 +452,10 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
     # nprobe nearest cells per query, computed against the centroid list
-    import math
 
     def top_cells(qrow):
         def dist(c):
-            return sum((x - y) ** 2 for x, y in zip(qrow, c))
+            return round(math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c))), 6)
 
         return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
 
@@ -818,7 +875,7 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("sim_ann_partitioned_probe")  # rows-only: approximate (cell pruning)
+@register("sim_ann_partitioned_probe", sql=_ivf_oracle_sql())
 def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     """The IVF index made PHYSICAL: the corpus is materialized to
     parquet PARTITIONED BY coarse cell (one directory per k-means cell),
@@ -827,15 +884,19 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     planning (PartitionFilters, no data touched outside probed cells).
     This is what sim_cosine_topk_ivf's equi-join becomes at 100 TB:
     the layout IS the index. Same centroids (memoized per sf), same
-    results as the join formulation — asserted in tests."""
+    results as the join formulation — asserted in tests AND checked
+    against the same relational IVF-probe oracle (both formulations
+    must match the one SQL answer)."""
     import math
     import os
 
-    from engine.kmeans import run_kmeans
+    from engine.kmeans import materialize_assignments, materialize_means
     from engine.session import scratch_dir
 
     emb = T(spark, sf, "embeddings")
-    assigned, means, _ = run_kmeans(spark, sf)
+    asg_pq = materialize_assignments(spark, sf)
+    _means_pq, means = materialize_means(spark, sf)
+    assigned = spark.read.parquet(asg_pq)
     # memo path includes a source-data fingerprint: _SUCCESS alone would
     # silently serve a stale index after testdata regeneration
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
@@ -859,8 +920,10 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def top_cells(qrow):
+        # rounded to 6 dp before ranking — identical tie behavior to the
+        # oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6 cell ranking
         def dist(c):
-            return sum((x - y) ** 2 for x, y in zip(qrow, c))
+            return round(math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c))), 6)
 
         return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
 
