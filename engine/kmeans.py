@@ -129,6 +129,13 @@ def _assign_path(sf_tag: str) -> str:
     return scratch_dir("kmeans") + f"/assignments_{sf_tag}"
 
 
+#: per-process memo of completed model materializations. Keyed by the
+#: source-data FINGERPRINT (not just sf — a bare _SUCCESS check served
+#: stale indexes after testdata regeneration, ADVICE r2), so a regen in
+#: a fresh process rewrites; within one process the write happens once.
+_MATERIALIZED: set[tuple[str, str, str]] = set()
+
+
 def materialize_assignments(spark: SparkSession, sf: str) -> str:
     """Write the converged (vec_id, label, cluster, iterations)
     assignment to parquet and return the path. Shared by every oracled
@@ -138,9 +145,15 @@ def materialize_assignments(spark: SparkSession, sf: str) -> str:
     `iterations` column persists the convergence metadata with the
     model output (the standard model-card practice), which is what lets
     `so_kmeans` expose it under a full oracle."""
-    assigned, _means, it = run_kmeans(spark, sf)
+    import os
+
     path = _assign_path(_sf_tag(sf))
+    key = ("assign", sf, data_fingerprint(sf, "embeddings"))
+    if key in _MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
+        return path
+    assigned, _means, it = run_kmeans(spark, sf)
     assigned.withColumn("iterations", F.lit(it)).write.mode("overwrite").parquet(path)
+    _MATERIALIZED.add(key)
     return path
 
 
@@ -154,11 +167,17 @@ def materialize_means(spark: SparkSession, sf: str) -> tuple[str, list[list[floa
     centroid list to pick cells; materializing it lets the oracle run
     the identical probe in SQL (read means → rank cells per query →
     scan probed cells), value-checking the whole ANN path."""
+    import os
+
     _assigned, means, _it = run_kmeans(spark, sf)
     path = _means_path(_sf_tag(sf))
+    key = ("means", sf, data_fingerprint(sf, "embeddings"))
+    if key in _MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
+        return path, means
     spark.createDataFrame(
         [(i, m) for i, m in enumerate(means)], "cluster int, mean array<double>"
     ).write.mode("overwrite").parquet(path)
+    _MATERIALIZED.add(key)
     return path, means
 
 

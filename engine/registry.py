@@ -162,9 +162,10 @@ _PRIORITY = (
     "sim_cosine_topk_ivf",
     "sim_ann_partitioned_probe",
     "so_kmeans",
+    "stream_stream_join",
+    "dedup_simhash",
     # -- rows-only, never driver-sampled
     "agg_hll_mergeable",
-    "dedup_simhash",
     "sim_cosine_topk_lsh",
     "multimodal_decode",
     "multimodal_frames",
@@ -173,7 +174,6 @@ _PRIORITY = (
     "stream_watermark_late",
     "stream_dedup_watermark",
     "stream_stateful_tws",
-    "stream_stream_join",
 )
 
 

@@ -222,17 +222,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token hashes, entirely in native
-    expressions: per bit b, sign of Σ_tokens (bit b of xxhash64(token)
-    ? +1 : -1); the 64 signs pack into one BIGINT. ONE traversal of the
-    token-hash array carrying an array<int>[64] vote accumulator
-    (zip_with against sequence(0,63)) — the per-bit-aggregate
+    """60-bit SimHash per document from token hashes, entirely in native
+    expressions: per bit b, sign of Σ_tokens (bit b of hash(token)
+    ? +1 : -1); the 60 signs pack into one BIGINT. ONE traversal of the
+    token-hash array carrying an array<int>[60] vote accumulator
+    (zip_with against sequence(0,59)) — the per-bit-aggregate
     formulation walked the array 64 times and compiled a 64×-larger
     expression tree (this was the 4.2 s outlier of the r3 bench; the
     Python F.shiftright wrapper rejects Column shift amounts, but the
-    SQL builtin accepts them, hence F.expr). shiftleft(1L, 63) wraps to
-    LONG_MIN in two's complement, so bit 63 needs no special case. No
-    shuffle until the bucket groupBy."""
+    SQL builtin accepts them, hence F.expr). No shuffle until the
+    bucket groupBy.
+
+    The token hash is the first 15 hex chars of md5 parsed as an
+    integer (60 bits) rather than xxhash64: bit-identical in any engine
+    with md5 (verified: Spark conv(substring(md5(t),1,15),16,10) ==
+    DuckDB ('0x'||substr(md5(t),1,15))::BIGINT), which makes the
+    fingerprint itself portable and the bucket key oracle-checkable —
+    same reproducibility contract as the md5 samplers. At 100 TB where
+    cross-engine reproducibility isn't needed, swapping xxhash64 back
+    in is a one-token change."""
     return docs.withColumn(
         "simhash",
         F.expr(
@@ -240,13 +248,15 @@ def simhash_df(docs: DataFrame) -> DataFrame:
             aggregate(
               zip_with(
                 aggregate(
-                  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
-                  array_repeat(0, 64),
-                  (acc, h) -> zip_with(acc, sequence(0, 63),
+                  transform(array_distinct(split(text, ' ')),
+                            t -> cast(conv(substring(md5(t), 1, 15), 16, 10)
+                                      as bigint)),
+                  array_repeat(0, 60),
+                  (acc, h) -> zip_with(acc, sequence(0, 59),
                                        (a, b) -> a + if((shiftright(h, b) & 1) = 1,
                                                         1, -1))
                 ),
-                sequence(0, 63),
+                sequence(0, 59),
                 (v, b) -> if(v > 0, shiftleft(1L, b), 0L)
               ),
               0L, (a, x) -> a + x)
@@ -255,11 +265,39 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: hash function is engine-specific
+_SIMHASH_SQL = """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs,
+           STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id) AS docs
+    FROM sh GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
+"""
+
+
+@register("dedup_simhash", sql=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup buckets: identical 64-bit simhash → candidate
-    duplicates. Deterministic (xxhash64 is seeded-fixed); verified by
-    planted-duplicate tests."""
+    """SimHash near-dup buckets: identical 60-bit simhash → candidate
+    duplicates. Deterministic AND portable (md5-derived bit votes), so
+    the buckets are verified value-for-value against the relational
+    SimHash in the oracle; planted-duplicate tests check the
+    near-dup hamming property the oracle can't see."""
     d = simhash_df(T(spark, sf, "documents"))
     return (
         d.groupBy("simhash")

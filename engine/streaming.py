@@ -385,7 +385,19 @@ def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
     return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
 
 
-@register("stream_stream_join")  # rows-only
+@register(
+    "stream_stream_join",
+    sql=f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+          FROM e WHERE event_type = 'purchase')
+    SELECT view_id, purchase_id, v.user_id AS user_id
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 5 MINUTE
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream interval join: purchases matched to views by the
     same user within the preceding 5 minutes — both sides streaming,
