@@ -1029,7 +1029,70 @@ def ts_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("graph_pagerank")  # rows-only: iterative float fixpoint
+def _pagerank_ranks9_path(sf: str) -> str:
+    from engine.session import scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return scratch_dir("pagerank") + f"/ranks9_{tag}"
+
+
+#: induction-step oracle (the kmeans materialized-relation contract,
+#: applied to an iterative float fixpoint): the Spark query materializes
+#: its iteration-9 rank vector; the oracle REBUILDS the cohort-ring
+#: edge list from events in pure SQL and applies ONE power-iteration
+#: step to those ranks. Matching top-20 proves both the graph
+#: construction and the update operator — the induction step that, with
+#: the shared uniform init, pins the whole 10-round computation.
+_PAGERANK_SQL = """
+    WITH e AS ({events}),
+    cohort AS (
+      SELECT event_type, date_trunc('day', ts) AS day, user_id,
+             MIN(ts) AS first_ts
+      FROM e GROUP BY event_type, date_trunc('day', ts), user_id
+      HAVING COUNT(*) >= 3
+    ),
+    pos AS (
+      SELECT event_type, day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY first_ts, user_id) AS pos,
+             COUNT(*) OVER (PARTITION BY event_type, day) AS n
+      FROM cohort
+    ),
+    edges AS (
+      SELECT a.user_id AS src, b.user_id AS dst
+      FROM pos a JOIN pos b
+        ON a.event_type = b.event_type AND a.day = b.day
+       AND b.pos = (a.pos % a.n) + 1
+      WHERE a.user_id <> b.user_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS user_id FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r9 AS (SELECT user_id, rank FROM read_parquet('{ranks9}/*.parquet')),
+    contribs AS (
+      SELECT ed.dst, SUM(r.rank / d.deg) AS contrib
+      FROM edges ed
+      JOIN deg d ON ed.src = d.src
+      JOIN r9 r ON ed.src = r.user_id
+      GROUP BY ed.dst
+    )
+    SELECT n.user_id,
+           ROUND((0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0.0)) * 1e6)
+             AS rank_ppm
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN contribs c ON n.user_id = c.dst
+    ORDER BY rank_ppm DESC, n.user_id LIMIT 20
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    return _PAGERANK_SQL.format(
+        events=EVENTS_US_SQL,
+        ranks9=_pagerank_ranks9_path("/root/testdata/sf0.01"),
+    )
+
+
+@register("graph_pagerank", sql=_pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Damped PageRank (d=0.85, 10 iterations) over a user-affinity
     graph derived from events: within each (event_type, day) cohort,
@@ -1086,7 +1149,11 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-        for _ in range(10):
+        for i in range(10):
+            if i == 9:
+                # persist the iteration-9 vector the oracle replays one
+                # step from (checkpointed → this is a cheap local write)
+                ranks.write.mode("overwrite").parquet(_pagerank_ranks9_path(sf))
             contribs = (
                 edges_deg.join(ranks, edges_deg.src == ranks.user_id)
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))

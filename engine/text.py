@@ -358,18 +358,37 @@ def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("text_fingerprint")  # rows-only: engine-specific token hash
+@register(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                 t -> ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT % 1000000007)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+           n_chars
+    FROM documents
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over token hashes
     (mod 2^31-ish prime so the fold never overflows ANSI bigint math).
     Equal fingerprints → exact-duplicate token sequences. Narrow pass;
-    dedup on the fingerprint is then a cheap groupBy."""
+    dedup on the fingerprint is then a cheap groupBy.
+
+    Portable (r3): the per-token hash is md5's first 15 hex chars as a
+    60-bit integer (bit-identical in any engine with md5 — same
+    contract as dedup_simhash), and the fold is plain modular
+    arithmetic, so the oracle replays the identical rolling hash with
+    list_reduce and the fingerprints must match value-for-value."""
     d = T(spark, sf, "documents")
     prime = F.lit(1_000_000_007).cast("long")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
     fp = F.aggregate(
         F.split("text", " "),
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), prime), prime),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(tok_hash(t), prime), prime),
     )
     return d.select("doc_id", fp.alias("fingerprint"), "n_chars")
 
