@@ -92,11 +92,37 @@ def minhash_pairs(
     # cache: consumed by the band explode AND both sides of the exact-
     # verify join. Tracked so the registry frees it before the next query.
     shingled = scratch_cache(shingled)
-    sig = shingled.select(
+    # portable hash family (see dedup_simhash): ONE md5 per shingle
+    # gives a base integer x; band i's hash is the universal family
+    # (a_i·x + b_i) mod p — cheap native arithmetic per band instead of
+    # a fresh md5 per (shingle, band), and any engine with md5 derives
+    # the identical signatures, which is what lets the WHOLE LSH path
+    # (signatures → bands → candidates → exact verify) be value-checked
+    # by the SQL oracle. xxhash64(s, band) is the drop-in at 100 TB
+    # when cross-engine reproducibility isn't needed.
+    p = F.lit(_MINHASH_P)
+    base = shingled.select(
+        "doc_id",
+        "sh",
+        F.transform(
+            "sh",
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), p
+            ),
+        ).alias("hx"),
+    )
+    sig = base.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform("sh", lambda s: F.xxhash64(s, i))),
+            lambda i: F.array_min(
+                F.transform(
+                    "hx",
+                    lambda x: F.pmod(
+                        (F.lit(2) * i + 1).cast("long") * x + i * F.lit(12345), p
+                    ),
+                )
+            ),
         ).alias("sig"),
     )
     bands = sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
@@ -124,12 +150,61 @@ def minhash_pairs(
     )
 
 
-@register("dedup_near_minhash")  # rows-only: LSH is probabilistic
+#: modulus for the portable minhash family: h_i(x) = ((2i+1)·x +
+#: 12345·i) mod p over x = md5-60bit(shingle) mod p. Products stay
+#: ≤ ~1.1e10 ≪ 2^63, so the arithmetic is exact BIGINT in any engine.
+_MINHASH_P = 1_000_000_007
+
+#: the full LSH pipeline, relationally: portable minhash signatures →
+#: band buckets → candidate pairs → exact-Jaccard verify ≤ 0.3. LSH is
+#: probabilistic over the HASH FAMILY, but for a FIXED portable family
+#: it's a deterministic function of the corpus — so the oracle checks
+#: the real candidate set, not just a recall bound.
+_MINHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    shing2 AS (SELECT doc_id, sh FROM shing WHERE LEN(sh) > 0),
+    ds AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(sh,
+                    s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT
+                         % {_MINHASH_P})) AS x
+           FROM shing2),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(((2 * band + 1) * x + 12345 * band) % {_MINHASH_P}) AS h
+      FROM ds CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.h = sb.h AND sa.doc_id < sb.doc_id
+    )
+    SELECT a, b, jaccard_dist FROM (
+      SELECT c.a, c.b,
+             ROUND((1 - LEN(LIST_INTERSECT(x.sh, y.sh)) * 1.0 /
+                    (LEN(x.sh) + LEN(y.sh) - LEN(LIST_INTERSECT(x.sh, y.sh))))
+                   * 10000) / 10000 AS jaccard_dist
+      FROM cand c
+      JOIN shing2 x ON x.doc_id = c.a
+      JOIN shing2 y ON y.doc_id = c.b) t
+    WHERE jaccard_dist <= 0.3
+    ORDER BY a, b
+"""
+
+
+@register("dedup_near_minhash", sql=_MINHASH_SQL)
 def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup clusters via MinHashLSH.approxSimilarityJoin — the scale
-    path for Jaccard dedup (bucket join, no cross product). Verified
-    against an exact small-N Jaccard oracle in tests (SURVEY.md §5.2
-    layer 3)."""
+    """Near-dup pairs via native MinHash-LSH banding — the scale path
+    for Jaccard dedup (bucket join, no cross product). Recall-tested
+    against the exact small-N Jaccard oracle in tests (SURVEY.md §5.2
+    layer 3) AND, with the portable md5 hash family, value-checked
+    end-to-end by the relational LSH oracle."""
     return minhash_pairs(T(spark, sf, "documents")).orderBy("a", "b")
 
 
