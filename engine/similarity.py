@@ -91,7 +91,14 @@ def minhash_pairs(
     )
     # cache: consumed by the band explode AND both sides of the exact-
     # verify join. Tracked so the registry frees it before the next query.
-    shingled = scratch_cache(shingled)
+    # The repartition matters: documents arrives as ONE parquet
+    # row-group → one partition, and the per-shingle md5 signature work
+    # would otherwise run on a single core (the profiled bottleneck of
+    # this key — 12 s serial vs ~1 s spread over the session's cores).
+    # At 100 TB the scan arrives already split; this guards toy inputs.
+    shingled = scratch_cache(
+        shingled.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
     # portable hash family (see dedup_simhash): ONE md5 per shingle
     # gives a base integer x; band i's hash is the universal family
     # (a_i·x + b_i) mod p — cheap native arithmetic per band instead of
@@ -125,7 +132,13 @@ def minhash_pairs(
             ),
         ).alias("sig"),
     )
-    bands = sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
+    # cache the exploded signatures: the bucket self-join references
+    # this relation on BOTH sides, and without the cache each side
+    # re-runs the md5 signature computation (cheap under xxhash64,
+    # 2× the dominant cost under the portable md5 family)
+    bands = scratch_cache(
+        sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -372,8 +385,16 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     duplicates. Deterministic AND portable (md5-derived bit votes), so
     the buckets are verified value-for-value against the relational
     SimHash in the oracle; planted-duplicate tests check the
-    near-dup hamming property the oracle can't see."""
-    d = simhash_df(T(spark, sf, "documents"))
+    near-dup hamming property the oracle can't see.
+
+    Repartition before hashing: the documents scan is one row-group →
+    one partition, and the per-token md5 vote loop would run serial
+    (same single-core trap profiled in minhash_pairs)."""
+    d = simhash_df(
+        T(spark, sf, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     return (
         d.groupBy("simhash")
         .agg(
