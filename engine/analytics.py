@@ -2777,3 +2777,40 @@ def scan_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         [(m["n_rows"], m["sum_qty"], m["max_price"], m["n_returns"])],
         "n_rows long, sum_qty double, max_price double, n_returns long",
     )
+
+
+@register(
+    "agg_corr_matrix",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice) * 1e6) / 1e6 + 0.0
+             AS corr_qty_price,
+           ROUND(CORR(l_quantity, l_discount) * 1e6) / 1e6 + 0.0
+             AS corr_qty_disc,
+           ROUND(CORR(l_extendedprice, l_discount) * 1e6) / 1e6 + 0.0
+             AS corr_price_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group pairwise correlation matrix (the EDA primitive before
+    feature selection). Each corr is one partial-aggregable moment
+    bundle — the whole matrix is ONE pass over the fact table, no
+    per-pair rescans. `+ 0.0` after rounding normalizes -0.0 on both
+    engines (the agg_regression signed-zero lesson)."""
+    li = T(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (dround(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+                "corr_qty_price"
+            ),
+            (dround(F.corr("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias(
+                "corr_qty_disc"
+            ),
+            (dround(F.corr("l_extendedprice", "l_discount"), 6) + F.lit(0.0)).alias(
+                "corr_price_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

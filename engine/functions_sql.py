@@ -561,3 +561,22 @@ def fn_regexp(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract(F.col("p_brand"), r"([A-Za-z]+)#([0-9]+)", 2).alias("brand_num"),
         F.when(F.col("p_name").rlike("(red|blue) "), 1).otherwise(0).alias("is_primary"),
     )
+
+
+@register(
+    "fn_posexplode",
+    sql="""
+    SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos, d.t[u.i] AS token
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+          FROM documents WHERE doc_id % 20 = 0) d,
+         UNNEST(GENERATE_SERIES(1, LEN(d.t))) AS u(i)
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode: ordinal-preserving flatten (token position is the
+    payload — what sequence labeling / n-gram windows need, and what
+    plain explode throws away). Oracle is the lateral index-unnest."""
+    d = T(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

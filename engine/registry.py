@@ -146,6 +146,8 @@ _PRIORITY = (
     "udf_pandas_iter",
     "udf_map_in_arrow",
     "scan_observe_metrics",
+    "fn_posexplode",
+    "agg_corr_matrix",
     # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
     #    against their source tables; samplers switched to portable
     #    md5-threshold determinism; map/parse outputs scalarized)
