@@ -2814,3 +2814,48 @@ def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "pipeline_chunk_overlap",
+    sql="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, u.i AS chunk_id,
+             toks[u.i * 48 + 1 : u.i * 48 + 64] AS chunk
+      FROM t, UNNEST(GENERATE_SERIES(0, (LEN(toks) - 1) // 48)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(LEN(chunk) AS INT) AS n_tokens,
+           ARRAY_TO_STRING(chunk, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping-window chunking (window 64 tokens, stride 48 → 16
+    tokens of overlap): the step between cleaned documents and an
+    embedding/training pass, where context windows are fixed and
+    boundaries must not lose cross-chunk context. One narrow pass —
+    the windows are computed per row with array slices (no shuffle, no
+    self-join); at 100 TB this pipelines straight into the tokenizer
+    UDF with chunking cost amortized into the same scan."""
+    d = T(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / 48))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, (i * 48 + 1).cast("int"), 64).alias("chunk"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.chunk").alias("n_tokens"),
+            F.concat_ws(" ", "c.chunk").alias("chunk_text"),
+        )
+    )

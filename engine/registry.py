@@ -148,6 +148,7 @@ _PRIORITY = (
     "scan_observe_metrics",
     "fn_posexplode",
     "agg_corr_matrix",
+    "pipeline_chunk_overlap",
     # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
     #    against their source tables; samplers switched to portable
     #    md5-threshold determinism; map/parse outputs scalarized)
