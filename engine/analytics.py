@@ -2859,3 +2859,30 @@ def pipeline_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(" ", "c.chunk").alias("chunk_text"),
         )
     )
+
+
+_EXCEPT_ALL_SQL = """
+    SELECT p, COUNT(*) AS n FROM (
+      SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0
+      EXCEPT ALL
+      SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0
+    ) GROUP BY p
+"""
+
+
+@register("set_except_all", sql=_EXCEPT_ALL_SQL)
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference: each value survives
+    max(count_a - count_b, 0) times, the multiplicity-preserving dual of
+    set_except (which collapses to distinct). Completes the set-family
+    quadrants (union/union_all/intersect/intersect_all/except/
+    except_all); like intersect_all, the engine plans per-side counts,
+    not a distinct-then-anti-join."""
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    return a.exceptAll(b).groupBy("p").agg(F.count("*").alias("n"))

@@ -149,6 +149,7 @@ _PRIORITY = (
     "fn_posexplode",
     "agg_corr_matrix",
     "pipeline_chunk_overlap",
+    "set_except_all",
     # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
     #    against their source tables; samplers switched to portable
     #    md5-threshold determinism; map/parse outputs scalarized)
