@@ -2886,3 +2886,40 @@ def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("p")
     )
     return a.exceptAll(b).groupBy("p").agg(F.count("*").alias("n"))
+
+
+_WIN_DISTINCT_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_id,
+           CAST(COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+           ) AS INT) AS distinct_users_100
+    FROM e
+"""
+
+
+@register("win_distinct_rolling", sql=_WIN_DISTINCT_SQL)
+def win_distinct_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct count over a trailing window frame (rolling unique-user
+    audience). Spark has no COUNT(DISTINCT) OVER — the native-expression
+    workaround is collect_list over the frame → array_distinct → size,
+    checked here against DuckDB's first-class windowed distinct. State
+    is bounded by the frame (100 rows per partition position), so the
+    trick scales; the tie-broken ORDER BY (ts, event_id) makes the
+    row-frame deterministic under duplicate timestamps on both engines."""
+    from engine.session import load_events
+
+    ev = load_events(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w))).alias(
+            "distinct_users_100"
+        ),
+    )

@@ -150,6 +150,7 @@ _PRIORITY = (
     "agg_corr_matrix",
     "pipeline_chunk_overlap",
     "set_except_all",
+    "win_distinct_rolling",
     # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
     #    against their source tables; samplers switched to portable
     #    md5-threshold determinism; map/parse outputs scalarized)
