@@ -2923,3 +2923,94 @@ def win_distinct_rolling(spark: SparkSession, sf: str) -> DataFrame:
             "distinct_users_100"
         ),
     )
+
+
+_ASOF_NEAREST_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    v AS (SELECT event_id AS view_id, user_id, ts AS vts
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+          FROM e WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, v.view_id,
+             ABS(EPOCH_US(p.pts) - EPOCH_US(v.vts)) AS gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY ABS(EPOCH_US(p.pts) - EPOCH_US(v.vts)),
+                        CASE WHEN v.vts <= p.pts THEN 0 ELSE 1 END,
+                        CASE WHEN v.vts <= p.pts THEN -v.view_id
+                             ELSE v.view_id END
+             ) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT purchase_id, user_id, view_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM cand WHERE rn = 1
+"""
+
+
+@register("join_asof_nearest", sql=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-event as-of join (either direction, completing the
+    backward/forward/tolerance family): each purchase pairs with the
+    user's view closest in time. Same O(n log n) union-window
+    formulation as join_asof — ONE sort per user carries the latest
+    prior view forward AND the next following view backward; the
+    n²-per-user candidate join lives only in the oracle. Ties: equal
+    gap prefers the backward view (the one already seen); equal
+    timestamps within a side resolve by the window sort order (highest
+    view_id backward, lowest forward) — mirrored exactly in the
+    oracle's CASE tie-breaks."""
+    from engine.session import load_events
+
+    e = load_events(spark, sf)
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("vid"),
+        F.unix_micros("ts").alias("vus"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vid"),
+        F.lit(None).cast("long").alias("vus"),
+        F.col("event_id").alias("pid"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy(
+        "ts", "kind", F.coalesce("vid", "pid")
+    )
+    wb = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = v.unionByName(p).select(
+        "*",
+        F.last("vid", ignorenulls=True).over(wb).alias("b_vid"),
+        F.last("vus", ignorenulls=True).over(wb).alias("b_vus"),
+        F.first("vid", ignorenulls=True).over(wf).alias("f_vid"),
+        F.first("vus", ignorenulls=True).over(wf).alias("f_vus"),
+    )
+    pur = u.filter(F.col("kind") == 1).select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        "b_vid",
+        "b_vus",
+        "f_vid",
+        "f_vus",
+    )
+    gap_b = F.col("pus") - F.col("b_vus")
+    gap_f = F.col("f_vus") - F.col("pus")
+    take_b = F.col("f_vid").isNull() | (
+        F.col("b_vid").isNotNull() & (gap_b <= gap_f)
+    )
+    return (
+        pur.filter(F.col("b_vid").isNotNull() | F.col("f_vid").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(take_b, F.col("b_vid")).otherwise(F.col("f_vid")).alias("view_id"),
+            F.when(take_b, gap_b).otherwise(gap_f).alias("gap_us"),
+        )
+    )

@@ -151,6 +151,7 @@ _PRIORITY = (
     "pipeline_chunk_overlap",
     "set_except_all",
     "win_distinct_rolling",
+    "join_asof_nearest",
     # -- upgraded rows-only → SQL-oracled (r3: roundtrip sinks proven
     #    against their source tables; samplers switched to portable
     #    md5-threshold determinism; map/parse outputs scalarized)

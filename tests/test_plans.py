@@ -327,3 +327,18 @@ def test_pandas_iter_udf_stays_arrow(spark):
     p = plan(spark, "udf_pandas_iter")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_corr_matrix_is_single_pass(spark):
+    # the whole matrix must come from ONE partial+final aggregate pair
+    # over the fact scan, never one scan per correlation pair
+    p = plan(spark, "agg_corr_matrix")
+    assert p.count("HashAggregate") >= 2, p
+    # exactly one file scan feeds the whole matrix
+    assert len([ln for ln in p.splitlines() if "Location:" in ln]) == 1, p
+
+
+def test_chunk_overlap_is_narrow(spark):
+    # per-row array slices: no shuffle anywhere in the chunking pass
+    p = plan(spark, "pipeline_chunk_overlap")
+    assert "Exchange" not in p, p
