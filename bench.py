@@ -73,12 +73,18 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total_query_sweep_wall_clock",
+                # honest name (ADVICE r3): the value is a SUM of per-query
+                # minimums over adaptive repeats, not one sweep's wall clock
+                "metric": "sum_of_per_query_min_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                 "n_queries": len(per_query),
+                "protocol": (
+                    f"per-query min over >= {runs} adaptive repeats "
+                    "(BASELINE.md); value = sum of those minimums"
+                ),
             }
         )
     )

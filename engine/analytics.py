@@ -1030,10 +1030,17 @@ def ts_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _pagerank_ranks9_path(sf: str) -> str:
-    from engine.session import scratch_dir
+    """Per-sf ranks9 materialization path, fingerprinted on the SOURCE
+    events parquet (mtime+size — engine.session.data_fingerprint): after
+    a testdata regeneration the oracle's path simply won't exist until
+    the Spark side re-runs, so a stale iteration-9 vector can never be
+    silently compared (ADVICE r3; same contract as the IVF corpus memo)."""
+    from engine.session import data_fingerprint, scratch_dir
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    return scratch_dir("pagerank") + f"/ranks9_{tag}"
+    return scratch_dir("pagerank") + (
+        f"/ranks9_{tag}_{data_fingerprint(sf, 'events')}"
+    )
 
 
 #: induction-step oracle (the kmeans materialized-relation contract,
@@ -2797,20 +2804,26 @@ def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     feature selection). Each corr is one partial-aggregable moment
     bundle — the whole matrix is ONE pass over the fact table, no
     per-pair rescans. `+ 0.0` after rounding normalizes -0.0 on both
-    engines (the agg_regression signed-zero lesson)."""
+    engines (the agg_regression signed-zero lesson); the isnan guard
+    maps Spark's NaN (zero-variance or <2-row group) to NULL, which is
+    what DuckDB's CORR yields there — latent divergence otherwise if
+    the fixture ever grows a degenerate group (ADVICE r3)."""
     li = T(spark, sf, "lineitem")
+
+    def corr_col(a: str, b: str, alias: str):
+        c = F.corr(a, b)
+        return (
+            F.when(F.isnan(c), F.lit(None).cast("double"))
+            .otherwise(dround(c, 6) + F.lit(0.0))
+            .alias(alias)
+        )
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            (dround(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
-                "corr_qty_price"
-            ),
-            (dround(F.corr("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias(
-                "corr_qty_disc"
-            ),
-            (dround(F.corr("l_extendedprice", "l_discount"), 6) + F.lit(0.0)).alias(
-                "corr_price_disc"
-            ),
+            corr_col("l_quantity", "l_extendedprice", "corr_qty_price"),
+            corr_col("l_quantity", "l_discount", "corr_qty_disc"),
+            corr_col("l_extendedprice", "l_discount", "corr_price_disc"),
         )
         .orderBy("l_returnflag")
     )

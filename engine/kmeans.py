@@ -169,11 +169,18 @@ def materialize_means(spark: SparkSession, sf: str) -> tuple[str, list[list[floa
     scan probed cells), value-checking the whole ANN path."""
     import os
 
-    _assigned, means, _it = run_kmeans(spark, sf)
     path = _means_path(_sf_tag(sf))
-    key = ("means", sf, data_fingerprint(sf, "embeddings"))
-    if key in _MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
-        return path, means
+    fp = data_fingerprint(sf, "embeddings")
+    key = ("means", sf, fp)
+    # memo check BEFORE invoking run_kmeans (the materialize_assignments
+    # pattern — ADVICE r3): the fitted means live in _MEANS_CACHE keyed
+    # by the same fingerprint, so a memo hit returns them by value
+    # without even constructing the assign plan.
+    if key in _MATERIALIZED and os.path.exists(path + "/_SUCCESS") and (
+        (sf, fp) in _MEANS_CACHE
+    ):
+        return path, _MEANS_CACHE[(sf, fp)][0]
+    _assigned, means, _it = run_kmeans(spark, sf)
     spark.createDataFrame(
         [(i, m) for i, m in enumerate(means)], "cluster int, mean array<double>"
     ).write.mode("overwrite").parquet(path)

@@ -589,7 +589,12 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     def top_cells(qrow):
         def dist(c):
-            return round(math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c))), 6)
+            # half-away-from-zero on the scaled double — the EXACT
+            # arithmetic of the oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6
+            # (python round() is banker's/decimal-correct and can differ
+            # near a .5e-6 boundary, flipping which cells are probed)
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c)))
+            return math.floor(d * 1e6 + 0.5) / 1e6
 
         return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
 
@@ -1054,10 +1059,12 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def top_cells(qrow):
-        # rounded to 6 dp before ranking — identical tie behavior to the
-        # oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6 cell ranking
+        # rounded to 6 dp before ranking — identical ROUNDING FUNCTION to
+        # the oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6 cell ranking:
+        # half-away-from-zero on the scaled double, not python round()
         def dist(c):
-            return round(math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c))), 6)
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c)))
+            return math.floor(d * 1e6 + 0.5) / 1e6
 
         return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
 

@@ -81,14 +81,22 @@ def rank_naive_docs(
 def rank_index_docs(
     spark: SparkSession, docs: DataFrame, lexicon: list[str] = LEXICON
 ) -> DataFrame:
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    lex = F.broadcast(_lexicon_df(spark, lexicon))
-    hits = (
-        lex.join(toks, "term", "left")
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("cnt"))
+    # Filter the exploded tokens down to the 15 lexicon terms BEFORE any
+    # join/aggregate: putting the lexicon on the preserved side of a left
+    # join forces Spark to broadcast/shuffle the ENTIRE token corpus
+    # (VERDICT r3's one confirmed scale-killer). An isin literal filter
+    # prunes at the scan side, the aggregate sees only lexicon hits, and
+    # the 15-row lexicon is joined back onto the 15-row aggregate for
+    # 0-hit terms.
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term").isin(lexicon)
     )
-    return _with_rank(hits)
+    hits = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("cnt"))
+    lex = F.broadcast(_lexicon_df(spark, lexicon))
+    full = lex.join(hits, "term", "left").select(
+        "term", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return _with_rank(full)
 
 
 def rank_reduce_docs(
@@ -152,15 +160,21 @@ def wiki_rank_reduce(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_wordcount_topn(spark: SparkSession, sf: str) -> DataFrame:
     """Global token frequency top-20 (deterministic tiebreak token asc).
-    Partial aggregation shrinks the shuffle to distinct tokens."""
+    Partial aggregation shrinks the shuffle to distinct tokens; the
+    top-k itself is orderBy+limit → TakeOrderedAndProject (per-partition
+    heap top-20, then a 20-row merge) instead of a global row_number
+    window, which would sort the ENTIRE vocabulary in one reducer —
+    fine at sf0.1, a wall at 100 TB. The rank column is derived after
+    the limit, so the only single-partition work is over 20 rows."""
     d = T(spark, sf, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(20)
     w = Window.orderBy(F.col("cnt").desc(), "token")
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @register(

@@ -342,3 +342,42 @@ def test_chunk_overlap_is_narrow(spark):
     # per-row array slices: no shuffle anywhere in the chunking pass
     p = plan(spark, "pipeline_chunk_overlap")
     assert "Exchange" not in p, p
+
+
+def test_wiki_rank_index_filters_tokens_before_any_exchange(spark):
+    # VERDICT r3's confirmed scale-killer: the lexicon on the preserved
+    # side of a left join forced a BroadcastExchange of the ENTIRE
+    # exploded token corpus. Fixed shape: literal INSET filter directly
+    # above the explode — tokens are pruned to the 15 lexicon terms
+    # before any Exchange/BroadcastExchange sees them, and the only
+    # broadcast is the 15-row aggregate/lexicon.
+    p = plan(spark, "wiki_rank_index", mode="extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    lines = phys.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen, phys
+    ins = [i for i, ln in enumerate(lines) if "INSET" in ln or "isin" in ln.lower()]
+    assert ins, f"no INSET filter over the token stream\n{phys}"
+    # the filter must sit BELOW (i.e. after in plan-tree order, printed
+    # directly above) the explode and ABOVE every exchange: no exchange
+    # line may appear between the explode and the filter
+    f_line = max(i for i in ins if i < gen[0])
+    between = lines[f_line : gen[0]]
+    assert not any("Exchange" in ln for ln in between), phys
+
+
+def test_wordcount_topn_is_take_ordered(spark):
+    # the global top-20 must plan as TakeOrderedAndProject (per-partition
+    # heap + 20-row merge), never a global row_number window that sorts
+    # the whole vocabulary in one reducer (VERDICT r3 weak item)
+    p = plan(spark, "text_wordcount_topn")
+    assert "TakeOrderedAndProject" in p, p
+    # the only SinglePartition exchange allowed is over the 20-row result
+    phys = p.split("== Physical Plan ==")[-1]
+    lines = phys.splitlines()
+    topk = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+    assert topk, phys
+    # nothing below the top-k (printed after it) may exchange to a
+    # single partition — the vocabulary aggregation stays 32-way
+    below = lines[topk[0] + 1 :]
+    assert not any("SinglePartition" in ln for ln in below), phys
