@@ -247,7 +247,26 @@ _DECODE_SCHEMA = (
 )
 
 
-@register("multimodal_decode")  # rows-only: binary kernel, not SQL-expressible
+@register(
+    "multimodal_decode",
+    # Full value oracle (r4): the BMP generator is a pure function of
+    # doc_id (w = 16 + k*3, h = 16 + (k*7)%24, k = doc_id%16; file size
+    # = 54-byte headers + 4-padded BGR rows), so the oracle recomputes
+    # every column from the generator SPEC while the Spark side parses
+    # the actual bytes — a genuine independent check of the decode path
+    # (wrong data offset, stride, or bottom-up handling all mismatch).
+    # Thumbnail = identity here: both dims < 256 so the scale clips to 1.
+    sql="""
+    SELECT doc_id, 'image/bmp' AS mime,
+           CAST(54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w AS INT) AS thumb_w, CAST(h AS INT) AS thumb_h
+    FROM (SELECT doc_id,
+                 16 + (doc_id % 16) * 3 AS w,
+                 16 + ((doc_id % 16) * 7) % 24 AS h
+          FROM documents WHERE doc_id % 3 = 0) t
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Decode + resize pipeline over the binary column via mapInPandas —
     REAL BMP header/pixel decode (module docstring). Repartitioned by
@@ -261,7 +280,17 @@ def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("multimodal_frames")  # rows-only: frame sampling over the video stub
+@register(
+    "multimodal_frames",
+    # Full value oracle (r4): video payloads are the 512-byte stub, so
+    # every clip has 512/64 = 8 frames and the every-4th sampler emits
+    # exactly (sample_idx, frame_no) = (0,0),(1,4) per video doc.
+    sql="""
+    SELECT doc_id, CAST(u.i AS INT) AS sample_idx, CAST(u.i * 4 AS INT) AS frame_no
+    FROM documents, UNNEST(GENERATE_SERIES(0, 1)) AS u(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling for the video rows: every k-th 'frame' (here: a
     64-byte slice standing in for a decoded frame — mp4 needs ffmpeg,
@@ -299,7 +328,44 @@ def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         )
 
 
-@register("multimodal_audio_features")  # rows-only: binary kernel
+@register(
+    "multimodal_audio_features",
+    # Full value oracle (r4): the WAV generator synthesizes a sine whose
+    # frequency/length are pure functions of doc_id, so the oracle
+    # REGENERATES the identical int16 sample stream in SQL (DuckDB SIN
+    # reproduces numpy's bit-for-bit at this rounding — verified over
+    # all 20 (freq, n) combos) and recomputes duration/RMS/ZCR/bytes
+    # from first principles, while the Spark side parses the actual WAV
+    # bytes. 44 = RIFF+fmt+data header bytes; TRUNC mirrors .astype(i2)
+    # truncation toward zero.
+    sql="""
+    WITH p AS (
+      SELECT doc_id,
+             200.0 + (doc_id % 20) * 40.0 AS freq,
+             400 + (doc_id % 5) * 200 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+      SELECT p.doc_id, p.n, u.i AS i,
+             CAST(TRUNC(SIN(2 * PI() * p.freq * (u.i / 8000.0)) * 12000)
+                  AS SMALLINT) AS s
+      FROM p, UNNEST(GENERATE_SERIES(0, p.n - 1)) AS u(i)
+    ),
+    f AS (
+      SELECT doc_id, n, i, s / 32768.0 AS v,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samp
+    )
+    SELECT doc_id,
+           ROUND(ANY_VALUE(n) / 8000.0, 4) AS duration_s,
+           ROUND(SQRT(AVG(v * v)), 4) AS rms,
+           ROUND(AVG(CASE WHEN prev IS NULL THEN NULL
+                          WHEN (v < 0) <> (prev < 0) THEN 1.0
+                          ELSE 0.0 END), 4) AS zcr,
+           CAST(44 + 2 * ANY_VALUE(n) AS BIGINT) AS n_bytes
+    FROM f GROUP BY doc_id
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over the audio rows (decode → features is the
     other half of the multimodal checklist next to resize/frame-sample):
@@ -325,15 +391,32 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
 
-@register("multimodal_phash_dedup")  # rows-only: binary kernel
+@register(
+    "multimodal_phash_dedup",
+    # Fixture oracle (r4): image content is a pure function of
+    # doc_id % 16, so pHash buckets must be EXACTLY the planted %16
+    # groups — the oracle rebuilds that grouping relationally. This
+    # verifies both directions of the hash's discrimination (identical
+    # images collide; all 16 distinct patterns produce 16 distinct
+    # hashes — a degenerate kernel that hashed everything equal, or
+    # split equal bytes apart, mismatches). The raw 64-bit hash value
+    # is kernel-internal and not part of the comparison surface.
+    sql="""
+    SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs,
+           STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id) AS docs
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY doc_id % 16 HAVING COUNT(*) > 1
+    """,
+)
 def multimodal_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash dedup over the binary media column: real pHash
     per blob (Arrow-batched mapInPandas), then bucket groupBy on the
     64-bit hash; buckets with >1 doc are duplicate candidates (the
     generator aliases doc_id % 16 → planted duplicate groups, so the
-    buckets are verifiable). The image analogue of dedup_simhash: at
-    100 TB the hash pass is narrow (no shuffle), and the only shuffle
-    moves (doc_id, phash) pairs — never the blobs themselves."""
+    buckets are value-checked against that fixture — see oracle note).
+    The image analogue of dedup_simhash: at 100 TB the hash pass is
+    narrow (no shuffle), and the only shuffle moves (doc_id, phash)
+    pairs — never the blobs themselves."""
     media = media_table(spark, sf).filter(F.col("mime") == "image/bmp")
     hashed = media.repartition("doc_id").mapInPandas(
         _phash_batches, "doc_id long, phash long"
@@ -342,14 +425,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         hashed.groupBy("phash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_arr"),
         )
         .filter(F.col("n_docs") > 1)
-        .orderBy("phash")
+        .select(
+            F.element_at("doc_arr", 1).alias("rep_doc"),
+            "n_docs",
+            F.concat_ws(
+                ",", F.transform("doc_arr", lambda x: x.cast("string"))
+            ).alias("docs"),
+        )
+        .orderBy("rep_doc")
     )

@@ -666,7 +666,21 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimators differ by engine
+@register(
+    "agg_approx_distinct",
+    # Exact-twin oracle (r4, was rows-only): the exact count is
+    # hash-checked value-for-value; the HLL++ estimate itself is
+    # engine-specific, so what crosses the comparison surface is the
+    # Spark-side ERROR-BOUND check (|approx-exact|/exact ≤ 5% = 2.5σ at
+    # rsd 0.02) which the oracle pins to TRUE — a broken sketch flips
+    # the boolean and hash-mismatches. Deterministic: HLL hashing has
+    # no RNG, same data → same estimate.
+    sql="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketch-based — the 100 TB
     path for distinct counts; exact distinct shuffles every key."""
@@ -674,8 +688,16 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.05, F.lit(10.0))
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
@@ -1250,25 +1272,57 @@ def sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantiles")  # rows-only: sketch internals differ
+_APPROX_Q = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+_APPROX_QUANTILES_SQL = """
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5) * 100) / 100 AS exact_p50,
+           TRUE AS approx_p50_ok,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9) * 100) / 100 AS exact_p90,
+           TRUE AS approx_p90_ok,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99) * 100) / 100 AS exact_p99,
+           TRUE AS approx_p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_quantiles", sql=_APPROX_QUANTILES_SQL)
 def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via percentile_approx) next to
     the exact percentiles it approximates — the mergeable-sketch path
     for 100 TB (exact percentile needs a full sort per group; the
-    sketch is one partial-aggregable pass)."""
+    sketch is one partial-aggregable pass).
+
+    Exact-twin oracle (r4, was rows-only): the exact percentiles are
+    hash-checked against QUANTILE_CONT (both engines interpolate at
+    rank q*(n-1)); the sketch values are engine-specific, so the
+    comparison surface carries the RANK-ERROR-BOUND check instead —
+    approx_pXX must land between the exact q∓0.002 quantiles (20× the
+    sketch's 1/accuracy guarantee), pinned TRUE by the oracle."""
     li = T(spark, sf, "lineitem")
+    qs = [q for _, q in _APPROX_Q]
+    lo_qs = [max(0.0, q - 0.002) for q in qs]
+    hi_qs = [min(1.0, q + 0.002) for q in qs]
+
+    def pct(quants):
+        return F.percentile(
+            "l_extendedprice", F.array(*[F.lit(x) for x in quants])
+        )
+
     agged = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_pcts"
-        ),
-        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-        .alias("exact_pcts"),
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
+        pct(qs).alias("ex"),
+        pct(lo_qs).alias("lo"),
+        pct(hi_qs).alias("hi"),
     )
-    # scalar columns only (driver canonicalizer rejects array columns)
     cols = ["l_returnflag"]
-    for i, tag in enumerate(("p50", "p90", "p99"), start=1):
-        cols.append(dround(F.element_at("approx_pcts", i), 2).alias(f"approx_{tag}"))
-        cols.append(dround(F.element_at("exact_pcts", i), 2).alias(f"exact_{tag}"))
+    for i, (tag, _q) in enumerate(_APPROX_Q, start=1):
+        cols.append(dround(F.element_at("ex", i), 2).alias(f"exact_{tag}"))
+        cols.append(
+            F.element_at("ap", i)
+            .between(F.element_at("lo", i), F.element_at("hi", i))
+            .alias(f"approx_{tag}_ok")
+        )
     return agged.select(*cols).orderBy("l_returnflag")
 
 
@@ -1954,31 +2008,58 @@ def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("agg_hll_mergeable")  # rows-only: sketch binary is engine-specific
+@register(
+    "agg_hll_mergeable",
+    # Exact-twin oracle (r4, was rows-only): per-type and global exact
+    # distincts are hash-checked; the Datasketches estimates (engine-
+    # specific binaries) cross the surface as error-bound booleans
+    # (5% ≈ 3σ at lgConfigK 12), pinned TRUE by the oracle. The UNION
+    # path is what's really under test: a broken merge (double-count,
+    # lost registers) lands far outside 5% of the global exact.
+    sql="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_all,
+           TRUE AS union_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf: str) -> DataFrame:
     """Datasketches HLL as a FIRST-CLASS mergeable aggregate: per-type
     sketches built with hll_sketch_agg, then MERGED (hll_union_agg) into
     a global estimate — the pattern that lets 100 TB distinct-counts be
     computed incrementally (per partition / per day) and unioned later,
     which approx_count_distinct alone cannot (its sketch isn't exposed).
-    Emits per-type estimate + exact for the property test, and the
-    union-of-sketches estimate vs the global exact."""
+    Emits per-type exact + estimate-bound check, and the union-of-
+    sketches estimate bound-checked against the global exact."""
     ev = T(spark, sf, "events")
+
+    def within(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(exact * 0.05, F.lit(10.0))
+
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
-    )
-    per_t = per.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        "exact_users",
     )
     merged = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_all")
     ).crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_all")))
     return (
-        per_t.crossJoin(F.broadcast(merged))
-        .select("event_type", "approx_users", "exact_users", "approx_all", "exact_all")
+        per.select(
+            "event_type",
+            "exact_users",
+            within(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+                "approx_ok"
+            ),
+        )
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_ok",
+            "exact_all",
+            within(F.col("approx_all"), F.col("exact_all")).alias("union_ok"),
+        )
         .orderBy("event_type")
     )
 
