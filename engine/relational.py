@@ -671,10 +671,11 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # Exact-twin oracle (r4, was rows-only): the exact count is
     # hash-checked value-for-value; the HLL++ estimate itself is
     # engine-specific, so what crosses the comparison surface is the
-    # Spark-side ERROR-BOUND check (|approx-exact|/exact ≤ 5% = 2.5σ at
-    # rsd 0.02) which the oracle pins to TRUE — a broken sketch flips
-    # the boolean and hash-mismatches. Deterministic: HLL hashing has
-    # no RNG, same data → same estimate.
+    # Spark-side ERROR-BOUND check (|approx-exact|/exact ≤ 15% = 3σ at
+    # the default rsd 0.05 — a tighter rsd doubles the sketch cost for
+    # no extra verification power) which the oracle pins to TRUE — a
+    # broken sketch flips the boolean and hash-mismatches.
+    # Deterministic: HLL hashing has no RNG, same data → same estimate.
     sql="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS approx_ok
@@ -688,7 +689,7 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
@@ -696,7 +697,7 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
             "exact_users",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.greatest(F.col("exact_users") * 0.05, F.lit(10.0))
+                <= F.greatest(F.col("exact_users") * 0.15, F.lit(10.0))
             ).alias("approx_ok"),
         )
         .orderBy("event_type")
@@ -1301,26 +1302,25 @@ def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     sketch's 1/accuracy guarantee), pinned TRUE by the oracle."""
     li = T(spark, sf, "lineitem")
     qs = [q for _, q in _APPROX_Q]
-    lo_qs = [max(0.0, q - 0.002) for q in qs]
-    hi_qs = [min(1.0, q + 0.002) for q in qs]
-
-    def pct(quants):
-        return F.percentile(
-            "l_extendedprice", F.array(*[F.lit(x) for x in quants])
-        )
-
+    # ONE exact-percentile aggregate carrying lo/exact/hi for all three
+    # quantiles — F.percentile buffers the whole group per agg
+    # expression, so three separate calls would triple that memory
+    nine = (
+        [max(0.0, q - 0.002) for q in qs] + qs + [min(1.0, q + 0.002) for q in qs]
+    )
     agged = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
-        pct(qs).alias("ex"),
-        pct(lo_qs).alias("lo"),
-        pct(hi_qs).alias("hi"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in nine])).alias(
+            "ex9"
+        ),
     )
+    k = len(qs)
     cols = ["l_returnflag"]
     for i, (tag, _q) in enumerate(_APPROX_Q, start=1):
-        cols.append(dround(F.element_at("ex", i), 2).alias(f"exact_{tag}"))
+        cols.append(dround(F.element_at("ex9", k + i), 2).alias(f"exact_{tag}"))
         cols.append(
             F.element_at("ap", i)
-            .between(F.element_at("lo", i), F.element_at("hi", i))
+            .between(F.element_at("ex9", i), F.element_at("ex9", 2 * k + i))
             .alias(f"approx_{tag}_ok")
         )
     return agged.select(*cols).orderBy("l_returnflag")

@@ -276,3 +276,31 @@ def test_prop_session_window_equals_gaps_and_islands(spark, gaps):
         .collect()
     )
     assert sw == gi
+
+
+def test_try_arith_rounding_on_adversarial_tax_values(spark):
+    """fn_try_arith's q_div_tax divisor must ROUND l_tax*100, not
+    truncate: FP representation makes 0.29*100 = 28.999...96 and
+    0.57*100 = 56.999...94, so a bare cast('long') truncates to 28/56
+    while DuckDB's CAST(ROUND(...) AS BIGINT) gives 29/57 — green only
+    by data luck until r3 (VERDICT). Pin the semantics on the exact
+    adversarial values so a refactor can't regress them."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (0.29, 0.57, 0.005, 0.08, 0.999)], "l_tax double"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.round(F.col("l_tax") * 100, 0).cast("long").alias("d")
+        ).collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(ROUND(v * 100) AS BIGINT) FROM (VALUES (0.29), (0.57),"
+            " (0.005), (0.08), (0.999)) t(v)"
+        ).fetchall()
+    ]
+    assert got == want == [29, 57, 1, 8, 100]
