@@ -717,11 +717,22 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
+
+    # NaN→NULL on degenerate groups (single row / zero variance):
+    # DuckDB's sample stats yield NULL there, Spark NaN — the
+    # agg_corr_matrix lesson applied to the whole moment family.
+    def stat(c, places, alias):
+        return (
+            F.when(F.isnan(c), F.lit(None).cast("double"))
+            .otherwise(dround(c, places))
+            .alias(alias)
+        )
+
     return li.groupBy("l_returnflag").agg(
-        dround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        dround(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
-        dround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+        stat(F.stddev_samp("l_quantity"), 4, "sd_qty"),
+        stat(F.var_samp("l_quantity"), 4, "var_qty"),
+        stat(F.corr("l_quantity", "l_extendedprice"), 6, "corr_qe"),
+        stat(F.covar_samp("l_quantity", "l_extendedprice"), 2, "cov_qe"),
     )
 
 
@@ -2295,14 +2306,25 @@ def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
     accumulation-order sensitive across engines."""
     ev = T(spark, sf, "events")
     x = (F.unix_micros("ts") / F.lit(1000000.0))
+
+    # + 0.0 maps IEEE -0.0 to 0.0 (DuckDB REGR_SLOPE can emit -0.0
+    # where Spark emits 0.0 — same fixup on both engines); the isnan
+    # guard maps Spark's NaN on a degenerate group (zero variance in x
+    # or y) to NULL, which is what DuckDB yields there — latent with
+    # current data, same lesson as agg_corr_matrix (ADVICE r3).
+    def reg(c, places, alias):
+        return (
+            F.when(F.isnan(c), F.lit(None).cast("double"))
+            .otherwise(dround(c, places) + F.lit(0.0))
+            .alias(alias)
+        )
+
     return (
         ev.groupBy("user_id")
         .agg(
-            # + 0.0 maps IEEE -0.0 to 0.0 (DuckDB REGR_SLOPE can emit
-            # -0.0 where Spark emits 0.0 — same fixup on both engines).
-            (dround(F.regr_slope("value", x), 6) + F.lit(0.0)).alias("slope"),
-            (dround(F.regr_intercept("value", x), 4) + F.lit(0.0)).alias("intercept"),
-            (dround(F.corr("value", x), 6) + F.lit(0.0)).alias("r"),
+            reg(F.regr_slope("value", x), 6, "slope"),
+            reg(F.regr_intercept("value", x), 4, "intercept"),
+            reg(F.corr("value", x), 6, "r"),
             F.count("*").alias("n"),
         )
         .filter(F.col("n") >= 3)
