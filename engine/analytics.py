@@ -1108,13 +1108,19 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     user participated in, which varies per user, so the stationary
     distribution is non-uniform.
 
-    The canonical iterative-Spark shape (same discipline as
-    engine.kmeans): per iteration ONE join (ranks onto edges, partitioned
-    on src) + ONE aggregation (contributions by dst) + a map — the
-    driver loop carries only the iteration counter; ranks/edges never
-    leave the cluster. Edges are cached once (tracked, freed after the
-    query); at 100 TB both sides pre-partition on user so the join is
-    co-located every round. Output: top-20 users by rounded rank,
+    ADAPTIVE physical strategy (the connected_components rule applied
+    to power iteration): the edge list — already orders of magnitude
+    smaller than the raw events — is counted first; when driver-sized
+    it runs as a vectorized numpy loop (10 scheduler round-trips of
+    join+agg latency collapse to milliseconds), otherwise the canonical
+    iterative-Spark shape (same discipline as engine.kmeans): per
+    iteration ONE join (ranks onto edges, partitioned on src) + ONE
+    aggregation (contributions by dst) + a map — the driver loop
+    carries only the iteration counter; ranks/edges never leave the
+    cluster. Edges are cached once (tracked, freed after the query); at
+    100 TB both sides pre-partition on user so the join is co-located
+    every round. Both paths compute the identical iteration sequence
+    (equality asserted in tests). Output: top-20 users by rounded rank,
     deterministic tie-break."""
     from engine.session import scratch_cache
 
@@ -1142,6 +1148,81 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a.user_id") != F.col("b.user_id"))
         .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
     )
+    n_edges = edges.count()
+    if n_edges <= _PAGERANK_DRIVER_EDGES:
+        ranks = _pagerank_driver(spark, sf, edges)
+    else:
+        ranks = _pagerank_distributed(spark, sf, edges)
+    return (
+        ranks.select("user_id", dround(F.col("rank") * 1e6, 0).alias("rank_ppm"))
+        .orderBy(F.col("rank_ppm").desc(), "user_id")
+        .limit(20)
+    )
+
+
+#: edge-count ceiling for the driver path — same driver-sized-state rule
+#: as connected_components' union-find and k-means' collected means: the
+#: EDGE LIST (already orders of magnitude smaller than the raw events)
+#: fits comfortably on the driver, so 10 scheduler round-trips of
+#: join+agg latency collapse into a vectorized numpy loop. Above the
+#: ceiling the distributed fixpoint below runs instead (both paths
+#: compute the identical iteration sequence; equality is asserted in
+#: tests by forcing each path on the same graph).
+_PAGERANK_DRIVER_EDGES = 2_000_000
+
+
+def _pagerank_driver(spark: SparkSession, sf: str, edges: DataFrame) -> DataFrame:
+    """numpy power iteration over the collected edge list (multigraph:
+    duplicate (src,dst) rows each carry their own contribution, exactly
+    like the row-per-edge distributed aggregation). np.add.at applies
+    updates in index order — deterministic across runs, unlike a
+    shuffle-reduce whose float-sum order varies with fetch order."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()  # bounded by _PAGERANK_DRIVER_EDGES
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    node_ids = np.unique(src)
+    n = node_ids.size
+    sidx = np.searchsorted(node_ids, src)
+    deg = np.bincount(sidx, minlength=n).astype(np.float64)
+    pos = np.searchsorted(node_ids, dst)
+    # dst that never appears as a src is not a node: its contributions
+    # are dropped (the distributed path's nodes LEFT JOIN contribs)
+    ok = (pos < n) & (node_ids[np.minimum(pos, n - 1)] == dst)
+    dok = pos[ok]
+    r = np.full(n, 1.0 / n)
+    for i in range(10):
+        if i == 9:
+            _write_ranks9(spark, sf, node_ids, r)
+        w = r[sidx] / deg[sidx]
+        contrib = np.zeros(n)
+        np.add.at(contrib, dok, w[ok])
+        r = 0.15 / n + 0.85 * contrib
+    return spark.createDataFrame(
+        pd.DataFrame({"user_id": node_ids, "rank": r})
+    )
+
+
+def _write_ranks9(spark: SparkSession, sf: str, node_ids, r) -> None:
+    """Persist the iteration-9 vector the oracle replays one step from."""
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": node_ids, "rank": r})
+    ).coalesce(1).write.mode("overwrite").parquet(_pagerank_ranks9_path(sf))
+
+
+def _pagerank_distributed(
+    spark: SparkSession, sf: str, edges: DataFrame
+) -> DataFrame:
+    """The cluster-scale fixpoint: per iteration ONE join (ranks onto
+    degree-annotated edges, partitioned on src) + ONE aggregation
+    (contributions by dst) — the driver loop carries only the iteration
+    counter; ranks/edges never leave the cluster."""
+    from engine.session import scratch_cache
+
     # pre-join out-degree onto edges ONCE — it's loop-invariant (the
     # old formulation re-joined it all 10 rounds)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -1182,11 +1263,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        ranks.select("user_id", dround(F.col("rank") * 1e6, 0).alias("rank_ppm"))
-        .orderBy(F.col("rank_ppm").desc(), "user_id")
-        .limit(20)
-    )
+    return ranks
 
 
 # --------------------------------------------------------------------------

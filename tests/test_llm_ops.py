@@ -248,3 +248,15 @@ def test_ann_partitioned_probe_matches_ivf_join(spark):
         for r in QUERIES["sim_cosine_topk_ivf"](spark, SF_SMOKE).collect()
     }
     assert a == b
+
+
+def test_pagerank_paths_agree(spark, monkeypatch):
+    """Driver (numpy) and distributed pagerank paths must produce the
+    identical top-20 (setting the edge ceiling to 0 forces the
+    distributed fixpoint on the same graph)."""
+    import engine.analytics as A
+
+    drv = [tuple(r) for r in QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()]
+    monkeypatch.setattr(A, "_PAGERANK_DRIVER_EDGES", 0)
+    dist = [tuple(r) for r in QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()]
+    assert drv == dist
