@@ -88,6 +88,7 @@ _PRIORITY = (
     "merge_upsert_scd2",
     "stream_foreachbatch_upsert",
     "stream_stateful_session_timeout",
+    "stream_stateful_tws",
     "pipeline_pack_sequences",
     "pipeline_chunk_overlap",
     "pipeline_quality_composite",
@@ -141,7 +142,6 @@ _PRIORITY = (
     "sim_cosine_topk_lsh",
     "stream_watermark_late",
     "stream_dedup_watermark",
-    "stream_stateful_tws",
     "so_kmeans_ml",
 )
 

@@ -335,7 +335,13 @@ def _tws_available() -> bool:
         return False
 
 
-@register("stream_stateful_tws")  # rows-only
+@register(
+    "stream_stateful_tws",
+    sql="""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
     """Same running per-user count via the Spark 4 transformWithState
     API (StatefulProcessor + typed value state, RocksDB-backed) — the
@@ -343,7 +349,13 @@ def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
     Falls back to the applyInPandasWithState implementation when the
     protobuf dependency is missing (this container), so the operator
     surface is available everywhere and upgrades itself when the
-    dependency exists."""
+    dependency exists.
+
+    SQL-oracled (r4, was rows-only): the oracle is implementation-
+    independent — on the complete in-order replay with no watermark,
+    the FINAL per-user state must equal the batch GROUP BY count
+    whichever state backend executed (the same argument that oracles
+    stream_stateful_count)."""
     if not _tws_available():
         return stream_stateful_count(spark, sf)
 
