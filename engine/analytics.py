@@ -3104,3 +3104,68 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
             F.when(take_b, gap_b).otherwise(gap_f).alias("gap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions (SURVEY.md §2 Table G)
+# --------------------------------------------------------------------------
+
+_MAD_OUTLIERS_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    med AS (SELECT event_type, MEDIAN(value) AS med FROM e GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             ABS(e.value - med.med) AS adev
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           ROUND(ANY_VALUE(dev.med) * 10000) / 10000 AS med,
+           ROUND(ANY_VALUE(mad.mad) * 10000) / 10000 AS mad,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1.0) * 1000000) / 1000000 AS pct_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type ORDER BY dev.event_type
+"""
+
+
+@register("win_mad_outliers", sql=_MAD_OUTLIERS_SQL)
+def win_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation) per event_type, rows with |value − median| > 3·MAD
+    flagged — the data-cleaning primitive that, unlike z-scores, a few
+    extreme values can't mask (50% breakdown point).
+
+    Two grouped exact medians (value, then |value − med|) composed via
+    BROADCAST joins of the tiny per-group stats back onto the fact —
+    the fact table is scanned twice but never shuffled (group count is
+    event-type-sized); both engines interpolate the even-n median
+    identically, and med/mad/3·mad are derived from the same doubles on
+    both sides, so the strict `>` flag agrees row-for-row."""
+    from engine.session import load_events
+
+    ev = load_events(spark, sf).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            dround(F.first("med"), 4).alias("med"),
+            dround(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            dround(
+                F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+                / (F.count("*") * F.lit(1.0)),
+                6,
+            ).alias("pct_outliers"),
+        )
+        .orderBy("event_type")
+    )

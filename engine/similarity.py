@@ -353,8 +353,9 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     )
 
 
-_SIMHASH_SQL = """
-    WITH tok AS (
+#: shared simhash CTE chain (used by the dedup_simhash oracle and the
+#: keep-best resolution oracle below)
+_SIMHASH_CTE = """tok AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t
       FROM documents
     ),
@@ -372,7 +373,10 @@ _SIMHASH_SQL = """
              CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b)
                            ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
-    )
+    )"""
+
+_SIMHASH_SQL = f"""
+    WITH {_SIMHASH_CTE}
     SELECT simhash, COUNT(*) AS n_docs,
            STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id) AS docs
     FROM sh GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
@@ -403,6 +407,64 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
+    )
+
+
+_KEEP_BEST_SQL = f"""
+    WITH {_SIMHASH_CTE},
+    ranked AS (
+      SELECT sh.doc_id, sh.simhash, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY sh.simhash
+               ORDER BY d.n_chars DESC, sh.doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY sh.simhash) AS n
+      FROM sh JOIN documents d USING (doc_id)
+    )
+    SELECT MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           STRING_AGG(CASE WHEN rn > 1 THEN doc_id::VARCHAR END,
+                      ',' ORDER BY doc_id) AS dropped
+    FROM ranked WHERE n > 1
+    GROUP BY simhash ORDER BY keeper_doc_id
+"""
+
+
+@register("pipeline_keep_best_dedup", sql=_KEEP_BEST_SQL)
+def pipeline_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup DECISION a training pipeline actually makes: within
+    each near-dup group (simhash bucket), keep the highest-QUALITY copy
+    (longest text, tie → lowest doc_id) instead of dedup_exact's
+    min-id rule — boilerplate-stripped mirrors lose to the fuller
+    original. Output: keeper + the dropped ids per group.
+
+    One pass to fingerprint (narrow, no shuffle), one shuffle on the
+    64-bit bucket key, a window inside each bucket — the same cost
+    envelope as dedup_simhash; quality ranking adds no extra exchange
+    because n_chars rides along with the fingerprint."""
+    d = simhash_df(
+        T(spark, sf, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).select("doc_id", "simhash", "n_chars")
+    w = Window.partitionBy("simhash").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("simhash")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keeper_doc_id"
+            ),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+            joined(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") > 1, F.col("doc_id")))
+                )
+            ).alias("dropped"),
+        )
+        .filter(F.col("n_dropped") > 0)
+        .select("keeper_doc_id", "n_dropped", "dropped")
+        .orderBy("keeper_doc_id")
     )
 
 
