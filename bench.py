@@ -31,9 +31,15 @@ def main() -> None:
     if only:
         queries = {k: v for k, v in queries.items() if k in set(only.split(","))}
 
-    # warm-up: JVM/codegen/parquet footer caches
+    # warm-up: JVM/codegen/parquet footer caches, plus one full pass
+    # over every source table so no measured key pays the first
+    # cold read of its table (page cache + footer + dictionary decode)
     warm = queries.get("agg_groupby_q1") or next(iter(queries.values()))
     materialize(warm(spark, sf_dir))
+    from engine.session import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     # BASELINE.md protocol: per-query MIN over adaptive repeats. This
     # host shows multi-second stalls from external contention that hit
