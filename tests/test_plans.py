@@ -381,3 +381,21 @@ def test_wordcount_topn_is_take_ordered(spark):
     # single partition — the vocabulary aggregation stays 32-way
     below = lines[topk[0] + 1 :]
     assert not any("SinglePartition" in ln for ln in below), phys
+
+
+def test_mad_outliers_broadcasts_stats_no_fact_shuffle(spark):
+    """The per-group median/MAD stats must come back onto the fact via
+    BROADCAST joins; the events fact must never hash-shuffle for the
+    join (its only exchanges feed the tiny grouped-median aggregates)."""
+    p = plan(spark, "win_mad_outliers")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_keep_best_dedup_single_bucket_exchange(spark):
+    """Fingerprinting is narrow (its only exchange is the deliberate
+    round-robin parallelism repartition); the single HASH exchange
+    partitions by the simhash bucket key (window + groupBy reuse it)."""
+    p = plan(spark, "pipeline_keep_best_dedup")
+    ex = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+    assert len(ex) == 1 and "simhash" in ex[0], p
