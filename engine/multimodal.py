@@ -142,7 +142,11 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
     """The multimodal source shape: opaque binary payload + typed
     metadata, payloads generated as REAL format bytes (BMP/WAV) per
     doc_id. Downstream operators treat payload as opaque binary."""
-    d = T(spark, sf, "documents").select(
+    from engine.session import parallelize_scan
+
+    # single-row-group local scan would feed ONE Python worker; at
+    # cluster scale the scan is already parallel and this is a no-op
+    d = parallelize_scan(T(spark, sf, "documents")).select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/bmp")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")

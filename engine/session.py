@@ -121,6 +121,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread a LOW-PARALLELISM scan across cores before CPU-heavy
+    per-row work (explode / md5 / regexp / Python kernels).
+
+    The local testdata ships single-row-group parquet files, which caps
+    every scan stage at one task — tokenize/shingle/decode work that
+    should fan out over 32 cores runs serial (and a mapInPandas kernel
+    runs in ONE Python worker). At cluster scale the scan has natural
+    parallelism (many files × row groups) and this is a NO-OP — the
+    repartition only fires when observed scan parallelism is below half
+    the cores, so the extra shuffle never exists where it would hurt."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def scratch_dir(subdir: str) -> str:
     """Writable scratch area for sink/roundtrip queries (kept inside the
     repo tree; gitignored)."""

@@ -266,9 +266,14 @@ def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
     """Exact 5-shingle Jaccard pairs ≥ 0.5 over the capped shingle
     vocabulary (shingles with doc-frequency > max_df are dropped before
     the self-join — and from the per-doc counts, so the Jaccard value is
-    exact over the reduced vocabulary on both engines)."""
+    exact over the reduced vocabulary on both engines).
+
+    Repartition before shingling: the documents scan is one row-group →
+    one partition, and the tokenize+5-shingle string build would run
+    serial (the single-core trap profiled in minhash_pairs/simhash)."""
     sh_all = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
     )
@@ -1198,9 +1203,13 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     array materialization, no driver state; the gram aggregate is the
     hot-shingle-cap candidate (JACCARD_MAX_DF) if a boilerplate gram
     goes viral."""
-    d = T(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).filter(F.size("t") >= 10)
+    d = (
+        T(spark, sf, "documents")
+        # one-row-group scan → serial 10-gram build without this
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 10)
+    )
     grams = d.select(
         "doc_id",
         F.posexplode(
@@ -1269,7 +1278,9 @@ def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
     pre-filter keeps the broadcast variant viable when boilerplate is
     rare. The corpus itself shuffles once, as 10-word strings, not
     full documents."""
-    d = T(spark, sf, "documents")
+    d = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     segs = d.select(
