@@ -80,8 +80,19 @@ def minhash_pairs(
 
     P(candidate | similarity s) = 1-(1-s)^b — 0.98 at s=0.5 with b=6,
     recall-tested against the exact-Jaccard oracle."""
+    from engine.session import parallelize_scan
+
+    # repartition the RAW TEXT first (parallelize_scan: no-op when the
+    # scan already has natural parallelism): documents arrives as ONE
+    # parquet row-group → one partition, and with the exchange above
+    # the projection, the whole shingle build + per-shingle md5 ran on
+    # a single core AND then shuffled the fat shingle arrays (the
+    # profiled bottleneck of this key — the build is ~3× the cost of
+    # everything downstream). Post-shuffle, the string work fans out
+    # over all cores and only the raw text crosses the wire.
     shingled = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        parallelize_scan(docs)
+        .select("doc_id", F.split("text", " ").alias("toks"))
         # guard BEFORE shingling: for <5 tokens the sequence bound goes
         # negative and F.slice(toks, 0, 5) throws at runtime — the
         # size(sh) filter below runs too late to prevent that
@@ -91,14 +102,7 @@ def minhash_pairs(
     )
     # cache: consumed by the band explode AND both sides of the exact-
     # verify join. Tracked so the registry frees it before the next query.
-    # The repartition matters: documents arrives as ONE parquet
-    # row-group → one partition, and the per-shingle md5 signature work
-    # would otherwise run on a single core (the profiled bottleneck of
-    # this key — 12 s serial vs ~1 s spread over the session's cores).
-    # At 100 TB the scan arrives already split; this guards toy inputs.
-    shingled = scratch_cache(
-        shingled.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    )
+    shingled = scratch_cache(shingled)
     # portable hash family (see dedup_simhash): ONE md5 per shingle
     # gives a base integer x; band i's hash is the universal family
     # (a_i·x + b_i) mod p — cheap native arithmetic per band instead of
