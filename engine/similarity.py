@@ -794,6 +794,10 @@ def connected_components(
     asserted in tests on planted graphs).
 
     pairs: (a, b) undirected edges."""
+    # cache the INPUT before symmetrizing: both union branches reference
+    # the pair DAG, and without this the upstream candidate join (the
+    # expensive part of every caller) executes twice
+    pairs = pairs.cache()
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -802,6 +806,7 @@ def connected_components(
     )
     spark = pairs.sparkSession
     n_edges = edges.count()
+    pairs.unpersist()
     if n_edges <= driver_threshold:
         parent: dict = {}
 
