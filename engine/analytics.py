@@ -3169,3 +3169,89 @@ def win_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BPE_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM toks WHERE LEN(t) >= 2
+    ),
+    counted AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk
+    FROM counted ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
+@register("pipeline_bpe_pair_counts", sql=_BPE_PAIRS_SQL)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The first merge round of BPE vocabulary induction: corpus-wide
+    adjacent-token-pair frequencies, top-20 (deterministic tie-break
+    pair asc) — the inner loop of tokenizer training, run at corpus
+    scale. zip_with over two shifted slices builds pairs without a
+    join or a posexplode self-join; partial aggregation shrinks the
+    shuffle to distinct pairs; the top-k is orderBy+limit →
+    TakeOrderedAndProject (same scale shape as text_wordcount_topn),
+    with the rank derived after the 20-row cut."""
+    d = T(spark, sf, "documents")
+    t = F.split("text", " ")
+    pairs = (
+        d.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = counted.orderBy(F.col("cnt").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+_ENTROPY_SQL = """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(ANY_VALUE(tot.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(SUM(-(n / (tot.tot * 1.0)) * LN(n / (tot.tot * 1.0))) * 1e6)
+             / 1e6 AS lang_entropy
+    FROM c JOIN tot USING (source)
+    GROUP BY c.source ORDER BY c.source
+"""
+
+
+@register("agg_entropy", sql=_ENTROPY_SQL)
+def agg_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the dataset-
+    diversity metric a mixing pipeline monitors (H = −Σ p·ln p over the
+    per-source lang distribution; 0 = monolingual source). Two-level
+    aggregation: (source, lang) counts, then one entropy fold per
+    source — both partial-aggregable, no window, no driver math."""
+    d = T(spark, sf, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / (F.col("tot") * F.lit(1.0))
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.first("tot").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            dround(F.sum(-p * F.log(p)), 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

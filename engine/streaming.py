@@ -583,7 +583,9 @@ def _session_timeout_fn(key, pdfs, state: GroupState):
         state.update((st, last, n))
         # close the session when the watermark passes last + gap
         state.setTimeoutTimestamp((last + GAP_US) // 1000)
-    yield pd.DataFrame(rows, columns=["user_id", "session_start_us", "n_events"])
+    if rows:  # empty-yield skipped: DataFrame construction per group
+        # per batch is the dominant Python cost for quiet groups
+        yield pd.DataFrame(rows, columns=["user_id", "session_start_us", "n_events"])
 
 
 @register("stream_stateful_session_timeout")  # rows-only: arrival-order state
