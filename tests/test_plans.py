@@ -399,3 +399,25 @@ def test_keep_best_dedup_single_bucket_exchange(spark):
     p = plan(spark, "pipeline_keep_best_dedup")
     ex = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
     assert len(ex) == 1 and "simhash" in ex[0], p
+
+
+def test_heavy_string_builds_run_post_shuffle(spark):
+    """Pin the round-4 exchange-ordering fix: in the fan-out keys the
+    ROUND-ROBIN exchange must ship the RAW text column — i.e. the
+    shingle/gram build runs AFTER the repartition, distributed, never
+    serially on the one-row-group scan with its fat arrays shuffled."""
+    import re
+
+    for key in ("dedup_near_minhash", "dedup_ngram_jaccard",
+                "dedup_substring_spans", "dedup_lines_global"):
+        p = plan(spark, key)
+        # formatted mode: each "(n) Exchange" block carries an Input list
+        blocks = re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: RoundRobinPartitioning",
+            p,
+        )
+        assert blocks, f"{key}: no round-robin fan-out exchange\n{p}"
+        assert any("text#" in b for b in blocks), (
+            f"{key}: fan-out exchange does not ship raw text "
+            f"(build ran pre-shuffle?): {blocks}\n{p}"
+        )
