@@ -3140,16 +3140,21 @@ def win_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
     Two grouped exact medians (value, then |value − med|) composed via
     BROADCAST joins of the tiny per-group stats back onto the fact —
-    the fact table is scanned twice but never shuffled (group count is
-    event-type-sized); both engines interpolate the even-n median
-    identically, and med/mad/3·mad are derived from the same doubles on
-    both sides, so the strict `>` flag agrees row-for-row."""
-    from engine.session import load_events
+    the fact is scanned once for the first median and once to build the
+    deviation relation, which is CACHED (tracked, freed before the next
+    query) so the mad aggregate and the final flag pass share it; the
+    fact never shuffles (group count is event-type-sized). Both engines
+    interpolate the even-n median identically, and med/mad/3·mad are
+    derived from the same doubles on both sides, so the strict `>` flag
+    agrees row-for-row."""
+    from engine.session import load_events, scratch_cache
 
     ev = load_events(spark, sf).select("event_type", "value")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    dev = scratch_cache(
+        ev.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
     flagged = dev.join(F.broadcast(mad), "event_type")

@@ -50,3 +50,28 @@ def floordiv_sql(expr: str, d: int) -> Column:
     (~1e18 > 2^53).
     """
     return F.expr(f"(({expr}) - pmod(({expr}), {d})) div {d}")
+
+
+#: the portable string→int TRY-cast accepted set: trimmed optional-sign
+#: digits. Bare TRY_CAST disagrees across engines outside it ('12.5' /
+#: '0x1F' / '1e2' / tab-wrapped — DuckDB rounds, parses hex and
+#: scientific; Spark ANSI rejects), and Spark's ANSI try_cast
+#: raises-and-catches PER ROW on non-matching strings (~14× the guarded
+#: form). One regex, used verbatim by both engines.
+PORTABLE_INT_RE = "^[+-]?[0-9]+$"
+
+
+def portable_try_int(col: Column | str) -> Column:
+    """Spark side of the portable TRY int cast (see PORTABLE_INT_RE)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    t = F.trim(col)
+    return F.when(t.rlike(PORTABLE_INT_RE), t.try_cast("int"))
+
+
+def portable_try_int_sql(col: str) -> str:
+    """DuckDB side of the portable TRY int cast — same accepted set."""
+    return (
+        f"CASE WHEN regexp_matches(TRIM({col}), '{PORTABLE_INT_RE}') "
+        f"THEN TRY_CAST(TRIM({col}) AS INTEGER) END"
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.canon import dround, joined
+from engine.canon import dround, joined, portable_try_int, portable_try_int_sql
 from engine.registry import register
 from engine.session import T
 
@@ -145,17 +145,16 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "fn_cast",
-    sql=r"""
+    sql="""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
            CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
-           CASE WHEN regexp_matches(TRIM(o_orderpriority), '^[+-]?[0-9]+$')
-                THEN TRY_CAST(TRIM(o_orderpriority) AS INTEGER) END AS prio_int,
+           {PRIO_TRY_INT} AS prio_int,
            TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
            CAST(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_rt
     FROM orders
-    """,
+    """.replace("{PRIO_TRY_INT}", portable_try_int_sql("o_orderpriority")),
 )
 def fn_cast(spark: SparkSession, sf: str) -> DataFrame:
     """Cast family. Spark double→int truncates while DuckDB rounds, so
@@ -172,15 +171,12 @@ def fn_cast(spark: SparkSession, sf: str) -> DataFrame:
     prio_digit stays a bare try_cast on a single char, where the
     engines' accepted sets genuinely coincide."""
     o = T(spark, sf, "orders")
-    prio = F.trim(F.col("o_orderpriority"))
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_rt"),
         F.col("o_totalprice").cast("long").alias("price_int"),
-        F.when(prio.rlike(r"^[+-]?[0-9]+$"), prio.try_cast("int")).alias(
-            "prio_int"
-        ),
+        portable_try_int("o_orderpriority").alias("prio_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
         F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias(
             "ts_rt"

@@ -56,13 +56,18 @@ _PRIORITY = (
     "pipeline_pretrain_filter",
     "agg_collect_sorted",
     "agg_approx_quantiles",
-    # -- (b) SQL oracles new in r4, never driver-run
+    # -- (b) SQL oracles new in r4, never driver-run (incl. the four
+    #    Table G ops added mid-round — brand-new code verifies first)
     "agg_approx_distinct",
     "agg_hll_mergeable",
     "multimodal_decode",
     "multimodal_frames",
     "multimodal_audio_features",
     "multimodal_phash_dedup",
+    "win_mad_outliers",
+    "pipeline_keep_best_dedup",
+    "pipeline_bpe_pair_counts",
+    "agg_entropy",
     # -- (c) r3 oracle upgrades, never driver-run with SQL
     "scan_csv_roundtrip",
     "scan_orc_roundtrip",

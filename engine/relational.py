@@ -37,7 +37,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from engine.canon import dround, floordiv_sql, joined
+from engine.canon import (
+    dround,
+    floordiv_sql,
+    joined,
+    portable_try_int,
+    portable_try_int_sql,
+)
 from engine.registry import register
 from engine.session import EVENTS_US_SQL, T, data_fingerprint, scratch_dir
 
@@ -710,8 +716,8 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qe,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qe
+           ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qe,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qe
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -721,18 +727,26 @@ def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     # NaN→NULL on degenerate groups (single row / zero variance):
     # DuckDB's sample stats yield NULL there, Spark NaN — the
     # agg_corr_matrix lesson applied to the whole moment family.
-    def stat(c, places, alias):
+    # signed: the sign-carrying moments (corr/cov) also get the
+    # `+ 0.0` -0.0 normalization on BOTH sides (the agg_regression
+    # signed-zero lesson — stddev/var are ≥ 0 and can't produce -0.0).
+    def stat(c, places, alias, signed=False):
+        r = dround(c, places)
+        if signed:
+            r = r + F.lit(0.0)
         return (
             F.when(F.isnan(c), F.lit(None).cast("double"))
-            .otherwise(dround(c, places))
+            .otherwise(r)
             .alias(alias)
         )
 
     return li.groupBy("l_returnflag").agg(
         stat(F.stddev_samp("l_quantity"), 4, "sd_qty"),
         stat(F.var_samp("l_quantity"), 4, "var_qty"),
-        stat(F.corr("l_quantity", "l_extendedprice"), 6, "corr_qe"),
-        stat(F.covar_samp("l_quantity", "l_extendedprice"), 2, "cov_qe"),
+        stat(F.corr("l_quantity", "l_extendedprice"), 6, "corr_qe", signed=True),
+        stat(
+            F.covar_samp("l_quantity", "l_extendedprice"), 2, "cov_qe", signed=True
+        ),
     )
 
 
@@ -2530,13 +2544,12 @@ def agg_max_by(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TRY_ARITH_SQL = r"""
+_TRY_ARITH_SQL = f"""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
            CAST(l_quantity AS BIGINT)
              // NULLIF(CAST(ROUND(l_tax * 100) AS BIGINT), 0) AS q_div_tax,
-           CASE WHEN regexp_matches(TRIM(l_returnflag), '^[+-]?[0-9]+$')
-                THEN TRY_CAST(TRIM(l_returnflag) AS INTEGER) END AS flag_int
+           {portable_try_int_sql("l_returnflag")} AS flag_int
     FROM lineitem WHERE l_linenumber = 1
 """
 
@@ -2559,14 +2572,11 @@ def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_quantity").cast("long"),
             F.round(F.col("l_tax") * 100, 0).cast("long"),
         ).cast("long").alias("q_div_tax"),
-        # portable accepted-set gate (the fn_cast contract): identical
-        # NULL set on both engines for ANY data, and it skips ANSI
-        # try_cast's raise-and-catch-per-row on non-numeric strings
-        # (0.81 s -> 0.11 s for this column at sf0.1)
-        F.when(
-            F.trim("l_returnflag").rlike(r"^[+-]?[0-9]+$"),
-            F.trim("l_returnflag").try_cast("int"),
-        ).alias("flag_int"),
+        # portable accepted-set gate (engine.canon.portable_try_int):
+        # identical NULL set on both engines for ANY data, and it skips
+        # ANSI try_cast's raise-and-catch-per-row on non-numeric
+        # strings (0.81 s -> 0.11 s for this column at sf0.1)
+        portable_try_int("l_returnflag").alias("flag_int"),
     )
 
 

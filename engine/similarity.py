@@ -275,8 +275,10 @@ def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
     Repartition before shingling: the documents scan is one row-group →
     one partition, and the tokenize+5-shingle string build would run
     serial (the single-core trap profiled in minhash_pairs/simhash)."""
+    from engine.session import parallelize_scan
+
     sh_all = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        parallelize_scan(docs)
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
@@ -403,11 +405,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     Repartition before hashing: the documents scan is one row-group →
     one partition, and the per-token md5 vote loop would run serial
     (same single-core trap profiled in minhash_pairs)."""
-    d = simhash_df(
-        T(spark, sf, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+    from engine.session import parallelize_scan
+
+    d = simhash_df(parallelize_scan(T(spark, sf, "documents")))
     return (
         d.groupBy("simhash")
         .agg(
@@ -451,11 +451,11 @@ def pipeline_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:
     64-bit bucket key, a window inside each bucket — the same cost
     envelope as dedup_simhash; quality ranking adds no extra exchange
     because n_chars rides along with the fingerprint."""
-    d = simhash_df(
-        T(spark, sf, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    ).select("doc_id", "simhash", "n_chars")
+    from engine.session import parallelize_scan
+
+    d = simhash_df(parallelize_scan(T(spark, sf, "documents"))).select(
+        "doc_id", "simhash", "n_chars"
+    )
     w = Window.partitionBy("simhash").orderBy(F.col("n_chars").desc(), "doc_id")
     ranked = d.withColumn("rn", F.row_number().over(w))
     return (
@@ -1212,10 +1212,12 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     array materialization, no driver state; the gram aggregate is the
     hot-shingle-cap candidate (JACCARD_MAX_DF) if a boilerplate gram
     goes viral."""
+    from engine.session import parallelize_scan
+
+    # parallelize_scan: serial 10-gram build on the one-row-group local
+    # scan without it; no-op on naturally-parallel scans
     d = (
-        T(spark, sf, "documents")
-        # one-row-group scan → serial 10-gram build without this
-        .repartition(spark.sparkContext.defaultParallelism)
+        parallelize_scan(T(spark, sf, "documents"))
         .select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 10)
     )
@@ -1287,9 +1289,9 @@ def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
     pre-filter keeps the broadcast variant viable when boilerplate is
     rare. The corpus itself shuffles once, as 10-word strings, not
     full documents."""
-    d = T(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from engine.session import parallelize_scan
+
+    d = parallelize_scan(T(spark, sf, "documents"))
     words = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     segs = d.select(

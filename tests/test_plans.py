@@ -361,7 +361,10 @@ def test_wiki_rank_index_filters_tokens_before_any_exchange(spark):
     # the filter must sit BELOW (i.e. after in plan-tree order, printed
     # directly above) the explode and ABOVE every exchange: no exchange
     # line may appear between the explode and the filter
-    f_line = max(i for i in ins if i < gen[0])
+    f_line = max((i for i in ins if i < gen[0]), default=None)
+    assert f_line is not None, (
+        f"INSET filter sits below the explode (regression)\n{phys}"
+    )
     between = lines[f_line : gen[0]]
     assert not any("Exchange" in ln for ln in between), phys
 
