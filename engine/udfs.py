@@ -77,13 +77,17 @@ def udf_pandas_scalar(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
     SELECT event_type,
            ROUND(EXP(AVG(LN(value))) * 1e6) / 1e6 AS geo_mean
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
 )
 def udaf_pandas_grouped(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUPED_AGG pandas UDF: geometric mean of event value. NOTE the
-    scale caveat: a grouped-agg pandas UDF materializes each group in
-    one executor's memory (no partial aggregation) — fine for bounded
+    """GROUPED_AGG pandas UDF: geometric mean of event value over its
+    defined domain (value > 0, filtered identically on both sides —
+    at sf0.1 the fixture contains a zero value, on which DuckDB's LN
+    raises and numpy silently yields -inf: an asymmetric failure a
+    domain filter turns into an agreed contract). NOTE the scale
+    caveat: a grouped-agg pandas UDF materializes each group in one
+    executor's memory (no partial aggregation) — fine for bounded
     groups, wrong for skewed billion-row keys; there you'd decompose
     (exp∘avg∘ln is exactly that decomposition, shown in the oracle)."""
     import numpy as np
@@ -92,7 +96,7 @@ def udaf_pandas_grouped(spark: SparkSession, sf: str) -> DataFrame:
     def geo_mean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
-    ev = T(spark, sf, "events")
+    ev = T(spark, sf, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         dround(geo_mean("value"), 6).alias("geo_mean")
     )
