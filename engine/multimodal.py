@@ -142,11 +142,13 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
     """The multimodal source shape: opaque binary payload + typed
     metadata, payloads generated as REAL format bytes (BMP/WAV) per
     doc_id. Downstream operators treat payload as opaque binary."""
-    from engine.session import parallelize_scan
+    from engine.session import parallelize_scan, scan_units
 
     # single-row-group local scan would feed ONE Python worker; at
     # cluster scale the scan is already parallel and this is a no-op
-    d = parallelize_scan(T(spark, sf, "documents")).select(
+    d = parallelize_scan(
+        T(spark, sf, "documents"), scan_units(sf, "documents")
+    ).select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/bmp")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")

@@ -121,7 +121,39 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def parallelize_scan(df: DataFrame) -> DataFrame:
+_SCAN_UNITS_CACHE: dict = {}
+
+
+def scan_units(sf_dir: str, table: str) -> int:
+    """Parallelizable units of a parquet source = total row groups
+    across its files, read from the footers with pyarrow (~ms, memoized
+    on path+mtime). This is what Spark's scan can split on — and the
+    JVM-free probe parallelize_scan needs: asking the session
+    (df.rdd.getNumPartitions() / df.inputFiles()) costs a ~0.15 s py4j
+    analysis round-trip PER CALL, which out-weighed the fan-out win on
+    the fast keys when measured."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{table}.parquet"
+    try:
+        key = (str(p), p.stat().st_mtime_ns)
+    except OSError:
+        return 1
+    if key not in _SCAN_UNITS_CACHE:
+        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+        units = 0
+        for f in files:
+            try:
+                units += pq.ParquetFile(f).metadata.num_row_groups
+            except Exception:
+                units += 1
+        _SCAN_UNITS_CACHE[key] = max(1, units)
+    return _SCAN_UNITS_CACHE[key]
+
+
+def parallelize_scan(df: DataFrame, units: int | None = None) -> DataFrame:
     """Spread a LOW-PARALLELISM scan across cores before CPU-heavy
     per-row work (explode / md5 / regexp / Python kernels).
 
@@ -130,10 +162,16 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     should fan out over 32 cores runs serial (and a mapInPandas kernel
     runs in ONE Python worker). At cluster scale the scan has natural
     parallelism (many files × row groups) and this is a NO-OP — the
-    repartition only fires when observed scan parallelism is below half
-    the cores, so the extra shuffle never exists where it would hurt."""
+    repartition only fires when scan parallelism is below half the
+    cores, so the extra shuffle never exists where it would hurt.
+
+    ``units``: pass :func:`scan_units` for the source when known (the
+    cheap pyarrow probe); without it the session is asked, which costs
+    a py4j analysis round-trip."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+    if units is None:
+        units = df.rdd.getNumPartitions()
+    if units < sc.defaultParallelism // 2:
         return df.repartition(sc.defaultParallelism)
     return df
 

@@ -60,7 +60,10 @@ def _shingles(tok_col: str = "toks", n: int = 5) -> Column:
 
 
 def minhash_pairs(
-    docs: DataFrame, threshold: float = 0.3, num_hashes: int = 6
+    docs: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 6,
+    units: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard distance ≤
     threshold over 5-shingles, implemented entirely in native
@@ -91,7 +94,7 @@ def minhash_pairs(
     # everything downstream). Post-shuffle, the string work fans out
     # over all cores and only the raw text crosses the wire.
     shingled = (
-        parallelize_scan(docs)
+        parallelize_scan(docs, units)
         .select("doc_id", F.split("text", " ").alias("toks"))
         # guard BEFORE shingling: for <5 tokens the sequence bound goes
         # negative and F.slice(toks, 0, 5) throws at runtime — the
@@ -222,7 +225,11 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     against the exact small-N Jaccard oracle in tests (SURVEY.md §5.2
     layer 3) AND, with the portable md5 hash family, value-checked
     end-to-end by the relational LSH oracle."""
-    return minhash_pairs(T(spark, sf, "documents")).orderBy("a", "b")
+    from engine.session import scan_units
+
+    return minhash_pairs(
+        T(spark, sf, "documents"), units=scan_units(sf, "documents")
+    ).orderBy("a", "b")
 
 
 #: hot-shingle document-frequency cap: shingles appearing in more than
@@ -266,7 +273,9 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, max_df: int = JACCARD_MAX_DF, units: int | None = None
+) -> DataFrame:
     """Exact 5-shingle Jaccard pairs ≥ 0.5 over the capped shingle
     vocabulary (shingles with doc-frequency > max_df are dropped before
     the self-join — and from the per-doc counts, so the Jaccard value is
@@ -278,7 +287,7 @@ def jaccard_pairs(docs: DataFrame, max_df: int = JACCARD_MAX_DF) -> DataFrame:
     from engine.session import parallelize_scan
 
     sh_all = (
-        parallelize_scan(docs)
+        parallelize_scan(docs, units)
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 5)
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
@@ -317,7 +326,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     scales with shared-shingle pairs, not n² — over the df-capped
     vocabulary (JACCARD_MAX_DF): one stop-shingle can no longer make
     the candidate join quadratic."""
-    return jaccard_pairs(T(spark, sf, "documents"))
+    from engine.session import scan_units
+
+    return jaccard_pairs(
+        T(spark, sf, "documents"), units=scan_units(sf, "documents")
+    )
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
@@ -405,9 +418,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     Repartition before hashing: the documents scan is one row-group →
     one partition, and the per-token md5 vote loop would run serial
     (same single-core trap profiled in minhash_pairs)."""
-    from engine.session import parallelize_scan
+    from engine.session import parallelize_scan, scan_units
 
-    d = simhash_df(parallelize_scan(T(spark, sf, "documents")))
+    d = simhash_df(
+        parallelize_scan(
+            T(spark, sf, "documents"), scan_units(sf, "documents")
+        )
+    )
     return (
         d.groupBy("simhash")
         .agg(
@@ -451,9 +468,13 @@ def pipeline_keep_best_dedup(spark: SparkSession, sf: str) -> DataFrame:
     64-bit bucket key, a window inside each bucket — the same cost
     envelope as dedup_simhash; quality ranking adds no extra exchange
     because n_chars rides along with the fingerprint."""
-    from engine.session import parallelize_scan
+    from engine.session import parallelize_scan, scan_units
 
-    d = simhash_df(parallelize_scan(T(spark, sf, "documents"))).select(
+    d = simhash_df(
+        parallelize_scan(
+            T(spark, sf, "documents"), scan_units(sf, "documents")
+        )
+    ).select(
         "doc_id", "simhash", "n_chars"
     )
     w = Window.partitionBy("simhash").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -910,7 +931,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # the UNWRAPPED helper, not the registered dedup_ngram_jaccard: the
     # registry wrapper drains scratch caches on entry, and a registered
     # query must never re-enter another mid-build
-    pairs = jaccard_pairs(T(spark, sf, "documents")).select("a", "b")
+    from engine.session import scan_units
+
+    pairs = jaccard_pairs(
+        T(spark, sf, "documents"), units=scan_units(sf, "documents")
+    ).select("a", "b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("label")
@@ -1212,12 +1237,14 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     array materialization, no driver state; the gram aggregate is the
     hot-shingle-cap candidate (JACCARD_MAX_DF) if a boilerplate gram
     goes viral."""
-    from engine.session import parallelize_scan
+    from engine.session import parallelize_scan, scan_units
 
     # parallelize_scan: serial 10-gram build on the one-row-group local
     # scan without it; no-op on naturally-parallel scans
     d = (
-        parallelize_scan(T(spark, sf, "documents"))
+        parallelize_scan(
+            T(spark, sf, "documents"), scan_units(sf, "documents")
+        )
         .select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 10)
     )
@@ -1289,9 +1316,11 @@ def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
     pre-filter keeps the broadcast variant viable when boilerplate is
     rare. The corpus itself shuffles once, as 10-word strings, not
     full documents."""
-    from engine.session import parallelize_scan
+    from engine.session import parallelize_scan, scan_units
 
-    d = parallelize_scan(T(spark, sf, "documents"))
+    d = parallelize_scan(
+        T(spark, sf, "documents"), scan_units(sf, "documents")
+    )
     words = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     segs = d.select(
