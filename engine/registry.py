@@ -34,6 +34,7 @@ _MODULES = (
     "engine.streaming",
     "engine.relational",
     "engine.analytics",
+    "engine.tableh",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep

