@@ -1029,6 +1029,38 @@ def ts_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def affinity_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic user-affinity multigraph shared by graph_pagerank
+    and graph_bfs_reachability (engine.tableh): within each
+    (event_type, day) cohort — users with >= 3 events that day (the
+    sparsifier that makes degree vary per user) — users ordered by
+    first occurrence form a ring, each pointing to the next. Mirrors
+    AFFINITY_EDGES_CTE exactly; returns uncached (src, dst) rows —
+    callers own caching."""
+    ev = T(spark, sf, "events").withColumn("day", F.date_trunc("day", "ts"))
+    w = Window.partitionBy("event_type", "day").orderBy("first_ts", "user_id")
+    cohort = (
+        ev.groupBy("event_type", "day", "user_id")
+        .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_ev"))
+        .filter(F.col("n_ev") >= 3)
+        .withColumn("pos", F.row_number().over(w))
+    )
+    sized = cohort.withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type", "day"))
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("b.pos") == (F.col("a.pos") % F.col("a.n")) + 1),
+        )
+        .filter(F.col("a.user_id") != F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+    )
+
+
 def _pagerank_ranks9_path(sf: str) -> str:
     """Per-sf ranks9 materialization path, fingerprinted on the SOURCE
     events parquet (mtime+size — engine.session.data_fingerprint): after
@@ -1050,8 +1082,11 @@ def _pagerank_ranks9_path(sf: str) -> str:
 #: step to those ranks. Matching top-20 proves both the graph
 #: construction and the update operator — the induction step that, with
 #: the shared uniform init, pins the whole 10-round computation.
-_PAGERANK_SQL = """
-    WITH e AS ({events}),
+#: cohort-ring edge list as a reusable SQL CTE fragment (expects an
+#: ``e`` CTE binding the canonical events relation before it) — single
+#: source of truth for every oracle over the affinity graph
+#: (graph_pagerank here, graph_bfs_reachability in engine.tableh).
+AFFINITY_EDGES_CTE = """
     cohort AS (
       SELECT event_type, date_trunc('day', ts) AS day, user_id,
              MIN(ts) AS first_ts
@@ -1071,7 +1106,15 @@ _PAGERANK_SQL = """
         ON a.event_type = b.event_type AND a.day = b.day
        AND b.pos = (a.pos % a.n) + 1
       WHERE a.user_id <> b.user_id
-    ),
+    )
+"""
+
+_PAGERANK_SQL = (
+    """
+    WITH e AS ({events}),
+"""
+    + AFFINITY_EDGES_CTE
+    + """,
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT src AS user_id FROM edges),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -1090,6 +1133,7 @@ _PAGERANK_SQL = """
     LEFT JOIN contribs c ON n.user_id = c.dst
     ORDER BY rank_ppm DESC, n.user_id LIMIT 20
 """
+)
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1124,30 +1168,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     deterministic tie-break."""
     from engine.session import scratch_cache
 
-    ev = T(spark, sf, "events").withColumn("day", F.date_trunc("day", "ts"))
-    # sparsify participation so cohort membership (hence degree) varies:
-    # a user joins a cohort only when they had >= 3 events in it that day
-    w = Window.partitionBy("event_type", "day").orderBy("first_ts", "user_id")
-    cohort = (
-        ev.groupBy("event_type", "day", "user_id")
-        .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_ev"))
-        .filter(F.col("n_ev") >= 3)
-        .withColumn("pos", F.row_number().over(w))
-    )
-    sized = cohort.withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type", "day"))
-    )
-    a, b = sized.alias("a"), sized.alias("b")
-    edges = scratch_cache(
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("b.pos") == (F.col("a.pos") % F.col("a.n")) + 1),
-        )
-        .filter(F.col("a.user_id") != F.col("b.user_id"))
-        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
-    )
+    edges = scratch_cache(affinity_edges(spark, sf))
     n_edges = edges.count()
     if n_edges <= _PAGERANK_DRIVER_EDGES:
         ranks = _pagerank_driver(spark, sf, edges)

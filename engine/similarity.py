@@ -1343,3 +1343,99 @@ def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct(F.when(F.col("df") > 1, F.col("seg"))).alias("n_boilerplate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN graph construction (Table H)
+# --------------------------------------------------------------------------
+
+_KNN_GRAPH_SQL = f"""
+    WITH asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_kmeans_assign_path_sf001()}/*.parquet')
+    ),
+    e AS (
+      SELECT e.vec_id, a.cluster AS cell, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN asg a USING (vec_id)
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 AS cos
+      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos, rnk FROM (
+      SELECT vec_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rnk
+      FROM scored) t
+    WHERE rnk <= 3
+"""
+
+
+@register("sim_knn_graph", sql=_KNN_GRAPH_SQL)
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide k-NN graph (k=3) over the embedding column — the
+    substrate for embedding-space clustering, semdedup, and diversity
+    pruning. Unlike the sim_cosine_topk_* family (5 driver-sized
+    queries), EVERY vector is a query here, so the all-pairs form is
+    O(N²) and never acceptable; candidates are limited to each vector's
+    own IVF cell (the shared k-means coarse quantization,
+    engine.kmeans.materialize_assignments — cell count grows ~√N with
+    the corpus, bounding per-row candidates at ~N/k).
+
+    Scale shape: one equi-self-join on cell id (hash join, skew bounded
+    by the largest cell — at 100 TB, cap cell size by splitting hot
+    cells on a secondary hash), norms precomputed per row before the
+    join, per-vector top-3 via rank-over-window (WindowGroupLimit
+    pushes the limit into the sort). Within-cell-only neighbors are the
+    declared approximation; the oracle reads the same materialized
+    assignment so both engines see identical cells (Spark runs first —
+    the so_cluster_stats contract). Singleton cells contribute no rows
+    on either engine."""
+    from engine.kmeans import materialize_assignments
+
+    asg_path = materialize_assignments(spark, sf)
+    asg = spark.read.parquet(asg_path).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    emb = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .join(asg, "vec_id")
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id"), F.col("cell").alias("ca"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cos = dround(dot / (F.col("na") * F.col("nb")), 6)
+    scored = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .select("vec_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

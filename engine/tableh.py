@@ -307,3 +307,223 @@ def pipeline_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-hop BFS reachability (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _bfs_oracle_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH RECURSIVE e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    seeds AS (
+      SELECT user_id FROM (SELECT DISTINCT src AS user_id FROM edges)
+      ORDER BY user_id LIMIT 5
+    ),
+    bfs(user_id, hop) AS (
+      SELECT user_id, 0 FROM seeds
+      UNION
+      SELECT e2.dst, b.hop + 1
+      FROM bfs b JOIN edges e2 ON e2.src = b.user_id
+      WHERE b.hop < 3
+    )
+    SELECT user_id, CAST(MIN(hop) AS INT) AS hop
+    FROM bfs GROUP BY user_id ORDER BY user_id
+"""
+    )
+
+
+@register("graph_bfs_reachability", sql=_bfs_oracle_sql())
+def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-hop BFS (3 hops) from the 5 smallest node ids over the
+    shared user-affinity multigraph (engine.analytics.affinity_edges —
+    the same deterministic cohort-ring graph PageRank runs on): each
+    reached node labeled with its BFS level (min hops from any seed).
+    The blast-radius / influence-propagation primitive.
+
+    Scale shape: per hop exactly ONE equi-join (frontier ⋈ edges, both
+    hashed on the node id) + a distinct — semi-naive frontier
+    expansion; the driver carries only the hop counter, and the edge
+    list is cached once (tracked, freed before the next query). The
+    oracle is a recursive CTE over the SAME edge CTE fragment
+    (AFFINITY_EDGES_CTE) — integer-exact, so the match pins both the
+    graph construction and the traversal. MIN(hop) over all (node,
+    level) sightings equals the BFS level on both engines."""
+    from engine.analytics import affinity_edges
+
+    edges = scratch_cache(affinity_edges(spark, sf))
+    nodes = edges.select(F.col("src").alias("user_id")).distinct()
+    seeds = nodes.orderBy("user_id").limit(5)
+    reached = [seeds.select("user_id", F.lit(0).cast("int").alias("hop"))]
+    frontier = seeds
+    for hop in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier["user_id"] == edges["src"])
+            .select(F.col("dst").alias("user_id"))
+            .distinct()
+        )
+        reached.append(
+            frontier.select("user_id", F.lit(hop).cast("int").alias("hop"))
+        )
+    allhops = reached[0]
+    for r in reached[1:]:
+        allhops = allhops.unionAll(r)
+    return (
+        allhops.groupBy("user_id")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering (lineitem)
+# --------------------------------------------------------------------------
+
+#: 8-bit × 8-bit Morton interleave of (l_partkey, l_suppkey) low bytes —
+#: built once as SQL text, used verbatim by BOTH engines (integer-exact,
+#: so the shared text is the whole portability argument).
+_Z_SPARK = " + ".join(
+    f"(shiftleft(shiftright(l_partkey, {i}) & 1, {2 * i + 1})"
+    f" + shiftleft(shiftright(l_suppkey, {i}) & 1, {2 * i}))"
+    for i in range(8)
+)
+_Z_DUCK = " + ".join(
+    f"((((l_partkey >> {i}) & 1) << {2 * i + 1})"
+    f" + (((l_suppkey >> {i}) & 1) << {2 * i}))"
+    for i in range(8)
+)
+
+_ZORDER_SQL = f"""
+    WITH z AS (
+      SELECT ({_Z_DUCK}) AS zval,
+             l_partkey & 255 AS pk8, l_suppkey & 255 AS sk8
+      FROM lineitem
+    )
+    SELECT zval >> 10 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pk8) AS pk_min, MAX(pk8) AS pk_max,
+           MIN(sk8) AS sk_min, MAX(sk8) AS sk_max
+    FROM z GROUP BY zval >> 10 ORDER BY zbucket
+"""
+
+
+@register("layout_zorder_cluster", sql=_ZORDER_SQL)
+def layout_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-dimensional data-skipping
+    layout: interleaving the bits of two join/filter dimensions gives a
+    1-D sort key whose ranges are small RECTANGLES in (partkey,
+    suppkey) space, so a range-clustered write yields parquet min/max
+    stats that prune scans on EITHER dimension (a plain sort prunes
+    only its leading column). The audit output proves the locality:
+    each of the 64 coarse z-ranges covers a bounded pk×sk box (pk_/
+    sk_ min/max span ≤ the bucket's quadrant), which is exactly the
+    property row-group skipping exploits.
+
+    Physical path: the z-value is a pure per-row bit expression (whole-
+    stage codegen, no shuffle to compute); clustering uses
+    repartitionByRange(zval) + sortWithinPartitions — the layout a
+    100 TB table would be WRITTEN with (here feeding the audit
+    aggregate). The interleave expression is one shared SQL text
+    evaluated by both engines in exact 64-bit integer arithmetic."""
+    li = T(spark, sf, "lineitem")
+    z = li.selectExpr(
+        f"({_Z_SPARK}) AS zval",
+        "l_partkey & 255 AS pk8",
+        "l_suppkey & 255 AS sk8",
+    )
+    clustered = z.repartitionByRange(64, "zval").sortWithinPartitions("zval")
+    return (
+        clustered.groupBy(
+            F.shiftright("zval", 10).alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk8").alias("pk_min"),
+            F.max("pk8").alias("pk_max"),
+            F.min("sk8").alias("sk_min"),
+            F.max("sk8").alias("sk_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary-file source (multimodal ingestion front door)
+# --------------------------------------------------------------------------
+
+
+def _binfiles_fixture(sf: str) -> str:
+    """Plant a deterministic directory of small binary files (the first
+    16 documents, utf-8 bytes) next to the scratch tree — the stand-in
+    for an image/audio landing zone. Path embeds the SOURCE fingerprint
+    (engine.session.data_fingerprint) so regenerated testdata can never
+    be compared against stale fixtures; built JVM-free with pyarrow."""
+    import pathlib
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = pathlib.Path(scratch_dir("binfiles")) / (
+        f"{tag}_{data_fingerprint(sf, 'documents')}"
+    )
+    done = root / "_DONE"
+    if not done.exists():
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        t = t.filter(pc.less(t["doc_id"], 16))
+        root.mkdir(parents=True, exist_ok=True)
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            (root / f"doc_{doc_id:04d}.bin").write_bytes(
+                (text or "").encode("utf-8")
+            )
+        done.write_text("")
+    return str(root)
+
+
+def _binfile_oracle_sql() -> str:
+    path = _binfiles_fixture("/root/testdata/sf0.01")
+    return f"""
+    SELECT parse_filename(filename) AS fname,
+           CAST(size AS BIGINT) AS n_bytes,
+           hex(content) AS hex_content
+    FROM read_blob('{path}/*.bin') ORDER BY fname
+"""
+
+
+@register("scan_binaryfile", sql=_binfile_oracle_sql())
+def scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
+    """`binaryFile` source — the ingestion front door for multimodal
+    corpora (images/audio land as opaque files; engine.multimodal takes
+    over from the binary column). Returns (basename, size, full hex of
+    the bytes) so the oracle (DuckDB read_blob over the same planted
+    fixture) value-checks the CONTENT byte-for-byte, not just
+    existence.
+
+    At 100 TB this scan parallelizes per file (and per block for large
+    files), `pathGlobFilter`/`recursiveFileLookup` prune at the listing
+    level, and spark.sql.files.maxPartitionBytes sizes the tasks; the
+    hex audit column is test-scale only — production keeps the bytes
+    binary end-to-end."""
+    path = _binfiles_fixture(sf)
+    df = spark.read.format("binaryFile").load(path + "/*.bin")
+    return (
+        df.select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.hex("content").alias("hex_content"),
+        )
+        .orderBy("fname")
+    )
