@@ -348,17 +348,57 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     reached node labeled with its BFS level (min hops from any seed).
     The blast-radius / influence-propagation primitive.
 
-    Scale shape: per hop exactly ONE equi-join (frontier ⋈ edges, both
-    hashed on the node id) + a distinct — semi-naive frontier
-    expansion; the driver carries only the hop counter, and the edge
-    list is cached once (tracked, freed before the next query). The
-    oracle is a recursive CTE over the SAME edge CTE fragment
-    (AFFINITY_EDGES_CTE) — integer-exact, so the match pins both the
-    graph construction and the traversal. MIN(hop) over all (node,
-    level) sightings equals the BFS level on both engines."""
+    ADAPTIVE physical strategy (the graph_pagerank / connected_components
+    rule): the edge list — already orders of magnitude smaller than the
+    raw events — is counted first; when driver-sized the traversal runs
+    as an exact integer BFS on the driver (a union of 4 tiny distinct-
+    shuffle branches costs more in stage scheduling than the whole
+    graph costs to collect), otherwise the distributed semi-naive shape:
+    per hop exactly ONE equi-join (frontier ⋈ edges, both hashed on the
+    node id) + a distinct, the driver carrying only the hop counter.
+    Both paths compute the identical integer fixpoint (asserted in
+    tests on the same graph). The oracle is a recursive CTE over the
+    SAME edge CTE fragment (AFFINITY_EDGES_CTE) — integer-exact, so the
+    match pins both the graph construction and the traversal. MIN(hop)
+    over all (node, level) sightings equals the BFS level on both
+    engines."""
     from engine.analytics import affinity_edges
 
     edges = scratch_cache(affinity_edges(spark, sf))
+    if edges.count() <= _BFS_DRIVER_EDGES:
+        return _bfs_driver(spark, edges)
+    return _bfs_distributed(spark, edges)
+
+
+#: same driver-sized-state ceiling as graph_pagerank's — the COUNTED
+#: edge list (not the corpus) must fit on the driver for the fast path.
+_BFS_DRIVER_EDGES = 2_000_000
+
+
+def _bfs_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Exact integer BFS over the collected edge list — levels from the
+    5 smallest source ids, 3 hops."""
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in edges.collect():  # bounded by the counted precondition
+        adj[r["src"]].add(r["dst"])
+    seeds = sorted(adj)[:5]
+    hop_of = {u: 0 for u in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2, 3):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in hop_of
+        }
+        for v in frontier:
+            hop_of[v] = hop
+    return spark.createDataFrame(
+        sorted(hop_of.items()), "user_id long, hop int"
+    ).orderBy("user_id")
+
+
+def _bfs_distributed(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Semi-naive distributed frontier expansion — the 100 TB shape."""
     nodes = edges.select(F.col("src").alias("user_id")).distinct()
     seeds = nodes.orderBy("user_id").limit(5)
     reached = [seeds.select("user_id", F.lit(0).cast("int").alias("hop"))]

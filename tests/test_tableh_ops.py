@@ -1,0 +1,241 @@
+"""Planted-fixture and plan-shape tests for the Table H ops
+(engine/tableh.py + sim_knn_graph): the oracle pre-flight proves
+Spark ≡ DuckDB; these prove the shared semantics are the INTENDED ones
+and that the plans keep their 100 TB shape."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _write_sf(spark, tmp_path, table: str, df) -> str:
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    return sf_dir
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        F.col("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+WEEK_US = 604_800_000_000
+
+
+def test_retention_cohort_planted(spark, tmp_path):
+    # user 1: first active week 1000, returns weeks 1001 and 1003
+    # user 2: first active week 1000 only
+    # user 3: first active week 1001, returns week 1002
+    rows = []
+    eid = 0
+    for user, weeks in ((1, (1000, 1001, 1003)), (2, (1000,)), (3, (1001, 1002))):
+        for wk in weeks:
+            rows.append((eid, wk * WEEK_US + 5, user, "view", 1.0))
+            eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in QUERIES["win_retention_cohort"](spark, sf).collect()
+    }
+    assert got == {
+        (1000, 0): 2,
+        (1000, 1): 1,
+        (1000, 3): 1,
+        (1001, 0): 1,
+        (1001, 1): 1,
+    }
+
+
+def test_anomaly_zscore_planted_spike(spark, tmp_path):
+    # user 1: 30 noisy-but-tame values then one huge spike -> exactly
+    # the spike flags; user 2: constant series -> sd = 0, never scored
+    rows = []
+    for i in range(30):
+        rows.append((i, 1_700_000_000_000_000 + i * 1_000_000, 1, "m",
+                     10.0 + (i % 5) * 0.1))
+    rows.append((99, 1_700_000_000_000_000 + 99 * 1_000_000, 1, "m", 1000.0))
+    for i in range(10):
+        rows.append((200 + i, 1_700_000_000_000_000 + i * 1_000_000, 2, "m", 5.0))
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["user_id"]: r for r in QUERIES["ts_anomaly_zscore"](spark, sf).collect()}
+    assert got[1]["n_anomalies"] == 1
+    assert got[1]["n_events"] == 31
+    assert got[2]["n_anomalies"] == 0
+    assert got[2]["n_scored"] == 0 and got[2]["max_abs_z"] is None
+
+
+def test_weighted_median_planted(spark, tmp_path):
+    # group A: prices 1(w=1), 2(w=1), 3(w=8) -> total 10, half 5 ->
+    # first price whose cum >= 5 is 3. Unweighted median would be 2.
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "O", 1_700_000_000_000_000),
+        (2, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "A", "O", 1_700_000_000_000_000),
+        (3, 1, 1, 1, 8.0, 3.0, 0.0, 0.0, "A", "O", 1_700_000_000_000_000),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, ts_us long",
+    ).withColumn("l_shipdate", F.timestamp_micros("ts_us")).drop("ts_us")
+    sf = _write_sf(spark, tmp_path, "lineitem", li)
+    rows = QUERIES["agg_weighted_median"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["weighted_median_price"] == 3.0
+    assert rows[0]["total_weight"] == 10.0
+
+
+def test_temperature_sample_flattens_distribution(spark, tmp_path):
+    # 900 'en' vs 100 'zh': sqrt-weights 30 vs 10 -> targets 375/125 of
+    # the 500-doc budget -> rates 375/900 and 1.0 (zh upsample capped).
+    docs = [(i, f"t{i}", "en" if i < 900 else "zh", "s", 2) for i in range(1000)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    got = {r["lang"]: r for r in QUERIES["pipeline_temperature_sample"](spark, sf).collect()}
+    assert got["zh"]["rate"] == 1.0 and got["zh"]["n_kept"] == 100
+    assert abs(got["en"]["rate"] - 375.0 / 900.0) < 1e-9
+    # deterministic hash acceptance lands within a few % of the target
+    assert abs(got["en"]["n_kept"] - 375) < 375 * 0.12
+
+
+def test_bfs_paths_agree(spark, monkeypatch):
+    """Driver (exact integer BFS) and distributed semi-naive paths must
+    produce the identical level assignment on the same graph."""
+    import engine.tableh as H
+
+    drv = sorted(
+        tuple(r) for r in QUERIES["graph_bfs_reachability"](spark, SF_SMOKE).collect()
+    )
+    monkeypatch.setattr(H, "_BFS_DRIVER_EDGES", 0)
+    dist = sorted(
+        tuple(r) for r in QUERIES["graph_bfs_reachability"](spark, SF_SMOKE).collect()
+    )
+    assert drv == dist and drv
+
+
+def test_bfs_levels_are_minimal(spark):
+    """hop(n) must be the MINIMUM over seed distances: no reached node
+    may have a neighbor whose hop is more than 1 smaller."""
+    from engine.analytics import affinity_edges
+
+    hops = {
+        r["user_id"]: r["hop"]
+        for r in QUERIES["graph_bfs_reachability"](spark, SF_SMOKE).collect()
+    }
+    edges = affinity_edges(spark, SF_SMOKE).collect()
+    for e in edges:
+        if e["src"] in hops and hops[e["src"]] < 3:
+            assert hops.get(e["dst"], 99) <= hops[e["src"]] + 1
+
+
+def test_knn_graph_shape_and_ordering(spark):
+    rows = QUERIES["sim_knn_graph"](spark, SF_SMOKE).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["vec_id"], []).append((r["rnk"], r["cos"], r["neighbor_id"]))
+        assert r["vec_id"] != r["neighbor_id"]
+    for vid, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+        cosines = [x[1] for x in lst]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_zorder_buckets_are_rectangles(spark):
+    """Each coarse z-range must cover a bounded box: the top-6 z bits
+    fix bits 5..7 of both pk8 and sk8, so min/max span < 32 in BOTH
+    dimensions — the property row-group skipping exploits."""
+    rows = QUERIES["layout_zorder_cluster"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["pk_max"] - r["pk_min"] < 32, r
+        assert r["sk_max"] - r["sk_min"] < 32, r
+
+
+def test_binaryfile_roundtrips_content(spark):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], 16))
+    want = {
+        f"doc_{d:04d}.bin": (x or "").encode("utf-8")
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    got = {
+        r["fname"]: bytes.fromhex(r["hex_content"])
+        for r in QUERIES["scan_binaryfile"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+# ---- plan gates ----------------------------------------------------------
+
+
+def test_zscore_single_user_exchange(spark):
+    # window and the per-user rollup share AT MOST one
+    # hashpartitioning(user_id) exchange — the groupBy is co-partitioned
+    # with the window (at smoke scale the single-partition scan already
+    # satisfies the clustering and the exchange is elided entirely)
+    p = _plan(spark, "ts_anomaly_zscore")
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) <= 1 and all("user_id" in ln for ln in ex), p
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    # the rate table comes back onto the corpus via broadcast — the
+    # corpus never hash-shuffles for the join
+    p = _plan(spark, "pipeline_temperature_sample")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_zorder_clusters_by_range(spark):
+    p = _plan(spark, "layout_zorder_cluster")
+    assert "rangepartitioning" in p.lower(), p
+
+
+def test_weighted_median_collapses_before_window(spark):
+    # partial+final aggregate pair collapses the fact to (flag, price)
+    # BEFORE any window runs; the window sees the collapsed relation
+    p = _plan(spark, "agg_weighted_median")
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" in p, p
+
+
+def test_retention_single_fact_scan(spark):
+    # the cached (user, week) relation feeds both consumers: exactly
+    # one parquet scan of events in the whole plan
+    p = _plan(spark, "win_retention_cohort")
+    locs = [ln for ln in p.splitlines() if "Location:" in ln]
+    assert len(locs) <= 1, p
