@@ -1394,13 +1394,16 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     the so_cluster_stats contract). Singleton cells contribute no rows
     on either engine."""
     from engine.kmeans import materialize_assignments
+    from engine.session import parallelize_scan, scan_units
 
     asg_path = materialize_assignments(spark, sf)
     asg = spark.read.parquet(asg_path).select(
         "vec_id", F.col("cluster").alias("cell")
     )
     emb = (
-        T(spark, sf, "embeddings")
+        parallelize_scan(
+            T(spark, sf, "embeddings"), scan_units(sf, "embeddings")
+        )
         .select("vec_id", _as_double("embedding").alias("v"))
         .join(asg, "vec_id")
         .withColumn(
@@ -1422,14 +1425,33 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("cb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
+    # per-pair dot stays the sequential HOF fold (measured: an expanded
+    # 64-term getItem chain is 3× SLOWER — per-element null checks and
+    # a codegen-hostile expression tree); the actual bottleneck was the
+    # single-row-group scan serializing the whole self-join onto ONE
+    # task — parallelize_scan above fans the pair scoring across cores.
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     cos = dround(dot / (F.col("na") * F.col("nb")), 6)
+    # SALT the cell join (the join_salted_skew recipe): the blocking key
+    # has only `cells` distinct values, so an unsalted shuffle join runs
+    # on ≤cells tasks no matter the cluster — here the probe side gets a
+    # vec_id-derived salt and the build side is replicated per salt,
+    # multiplying parallelism by _KNN_SALTS while producing the exact
+    # same pair set. At 100 TB the same trick splits HOT cells; salt
+    # count is the replication-vs-parallelism knob.
+    a2 = a.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(_KNN_SALTS)).cast("int")
+    )
+    b2 = b.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_KNN_SALTS - 1)))
+    )
     scored = (
-        a.join(
-            b,
+        a2.join(
+            b2,
             (F.col("ca") == F.col("cb"))
+            & (a2["salt"] == b2["salt"])
             & (F.col("vec_id") != F.col("neighbor_id")),
         )
         .select("vec_id", "neighbor_id", cos.alias("cos"))
@@ -1439,3 +1461,7 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+#: salt fan-out for the cell-blocked self-join (parallelism = cells × salts)
+_KNN_SALTS = 8
