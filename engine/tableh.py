@@ -567,3 +567,275 @@ def scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _degree_dist_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+    SELECT deg AS out_degree, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM deg GROUP BY deg ORDER BY out_degree
+"""
+    )
+
+
+@register("graph_degree_distribution", sql=_degree_dist_sql())
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-degree histogram of the shared affinity multigraph — the
+    first thing a graph pipeline inspects (skew here predicts every
+    downstream join's hot keys). Two partial-aggregable shuffles, each
+    orders of magnitude smaller than its input: edges → per-src degree
+    → degree histogram; integer-exact end to end, over the same edge
+    CTE fragment the PageRank/BFS oracles pin."""
+    from engine.analytics import affinity_edges
+
+    deg = (
+        affinity_edges(spark, sf)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.groupBy(F.col("deg").alias("out_degree"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("out_degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# Span corruption (T5-style denoising pretraining prep)
+# --------------------------------------------------------------------------
+
+#: span-start decision for token i of doc d (exact 64-bit arithmetic,
+#: identical text on both engines): hash lands in 1/20 of its range.
+_SPAN_RATE = 20
+_SPAN_LEN = 3  # a start at i masks tokens i, i+1, i+2
+
+_SPAN_SQL = f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    m AS (
+      SELECT doc_id, LEN(tk) AS n,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)), i -> CASE WHEN
+               ((doc_id * 31 + i) * {_HASH_MULT}) % {_HASH_MOD}
+                 % {_SPAN_RATE} = 0
+               OR (i >= 2 AND
+                   ((doc_id * 31 + i - 1) * {_HASH_MULT}) % {_HASH_MOD}
+                     % {_SPAN_RATE} = 0)
+               OR (i >= 3 AND
+                   ((doc_id * 31 + i - 2) * {_HASH_MULT}) % {_HASH_MOD}
+                     % {_SPAN_RATE} = 0)
+               THEN 1 ELSE 0 END) AS mk
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(LIST_SUM(mk) AS BIGINT) AS n_masked,
+           CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, n), i ->
+             CASE WHEN mk[i] = 1 AND (i = 1 OR mk[i - 1] = 0)
+             THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+           ROUND(LIST_SUM(mk) / (n * 1.0) * 1e4) / 1e4 AS mask_rate
+    FROM m ORDER BY doc_id
+"""
+
+
+@register("pipeline_span_corruption", sql=_SPAN_SQL)
+def pipeline_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption planning: ~1/20 of token positions start
+    a 3-token mask span (overlaps merge), chosen by a DETERMINISTIC
+    hash of (doc_id, position) — the same spans on any engine, cluster
+    size, or epoch replay, which is what makes the denoising targets
+    reproducible. Output audits the corruption per doc (token count,
+    masked count, merged-span count, rate).
+
+    Pure per-row array expressions — narrow plan, no shuffle, no UDF;
+    the span decisions are exact 64-bit integer arithmetic shared as
+    SQL text with the oracle. At 100 TB this runs scan-speed; the
+    actual sentinel rewrite is one more transform over the same mask
+    (omitted here to keep the audit columns scalar)."""
+    d = T(spark, sf, "documents")
+
+    def cond(i):
+        # i is a 1-based position Column (long); exact integer path
+        return (
+            (F.col("doc_id") * 31 + i) * _HASH_MULT % _HASH_MOD % _SPAN_RATE
+            == 0
+        )
+
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    idx = F.sequence(F.lit(1), n)
+    mk = F.transform(
+        idx,
+        lambda i: F.when(
+            cond(i)
+            | ((i >= 2) & cond(i - 1))
+            | ((i >= 3) & cond(i - 2)),
+            1,
+        ).otherwise(0),
+    )
+    m = d.select(
+        "doc_id", n.alias("n"), mk.alias("mk"), idx.alias("idx")
+    )
+    spans = F.transform(
+        F.col("idx"),
+        lambda i: F.when(
+            (F.element_at("mk", i) == 1)
+            & ((i == 1) | (F.element_at("mk", i - 1) == 0)),
+            1,
+        ).otherwise(0),
+    )
+    tot = lambda c: F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x)
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        tot(F.col("mk")).alias("n_masked"),
+        tot(spans).alias("n_spans"),
+        dround(tot(F.col("mk")) / (F.col("n") * F.lit(1.0)), 4).alias(
+            "mask_rate"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact multi-quantiles (events)
+# --------------------------------------------------------------------------
+
+_QUANTILE_MULTI_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(QUANTILE_CONT(value, 0.25) * 1e4) / 1e4 AS p25,
+           ROUND(QUANTILE_CONT(value, 0.50) * 1e4) / 1e4 AS p50,
+           ROUND(QUANTILE_CONT(value, 0.75) * 1e4) / 1e4 AS p75,
+           ROUND(QUANTILE_CONT(value, 0.90) * 1e4) / 1e4 AS p90
+    FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("agg_quantile_multi", sql=_QUANTILE_MULTI_SQL)
+def agg_quantile_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact multi-quantile profile per group (p25/p50/p75/p90) — the
+    distribution fingerprint dashboards pin next to the mean. One
+    grouped aggregate computes ALL four cut points from a single sort
+    of each group's values (Spark's percentile and DuckDB's
+    QUANTILE_CONT share the (n−1)·p linear-interpolation definition);
+    the exact form is the small-group complement to the mergeable
+    percentile_approx sketch (`agg_approx_quantiles`) that the 100 TB
+    path uses."""
+    ev = load_events(spark, sf)
+    pct = F.percentile("value", F.lit([0.25, 0.50, 0.75, 0.90]))
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), pct.alias("q")
+    )
+    return g.select(
+        "event_type",
+        "n",
+        dround(F.col("q").getItem(0), 4).alias("p25"),
+        dround(F.col("q").getItem(1), 4).alias("p50"),
+        dround(F.col("q").getItem(2), 4).alias("p75"),
+        dround(F.col("q").getItem(3), 4).alias("p90"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Line-oriented text source
+# --------------------------------------------------------------------------
+
+
+def _textlines_fixture(sf: str) -> str:
+    """Plant a deterministic .txt file (first 200 document texts, one
+    per line, no trailing newline) — same fingerprint contract as the
+    binaryFile fixture."""
+    import pathlib
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = pathlib.Path(scratch_dir("textlines")) / (
+        f"{tag}_{data_fingerprint(sf, 'documents')}"
+    )
+    out = root / "docs.txt"
+    if not out.exists():
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        t = t.filter(pc.less(t["doc_id"], 200)).sort_by("doc_id")
+        root.mkdir(parents=True, exist_ok=True)
+        lines = [
+            (x or "").replace("\n", " ") for x in t["text"].to_pylist()
+        ]
+        out.write_text("\n".join(lines), encoding="utf-8")
+    return str(out)
+
+
+def _textlines_oracle_sql() -> str:
+    path = _textlines_fixture("/root/testdata/sf0.01")
+    return f"""
+    WITH raw AS (SELECT decode(content) AS s FROM read_blob('{path}')),
+    l AS (SELECT UNNEST(STRING_SPLIT(s, chr(10))) AS line FROM raw)
+    SELECT line, CAST(LENGTH(line) AS INT) AS n_chars FROM l
+"""
+
+
+@register("scan_text_lines", sql=_textlines_oracle_sql())
+def scan_text_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-oriented text source (`spark.read.text`) — the rawest
+    ingestion format a crawl pipeline starts from (one record per
+    line, schema = a single string column). Completes the source
+    matrix: parquet / csv / json-lines / orc / binaryFile /
+    whole-text / text. Splitting parallelizes per HDFS block at scale;
+    the oracle re-derives the identical line relation by splitting the
+    same planted file's bytes."""
+    path = _textlines_fixture(sf)
+    return spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.length("value").cast("int").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar feature extraction (events)
+# --------------------------------------------------------------------------
+
+_CALENDAR_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL})
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value) * 1e4) / 1e4 AS avg_value
+    FROM e GROUP BY 1, 2 ORDER BY dow, hr
+"""
+
+
+@register("ts_calendar_features", sql=_CALENDAR_SQL)
+def ts_calendar_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar feature grid (ISO weekday × hour) — the feature-
+    engineering pass every forecasting/seasonality model starts with,
+    rolled up so the output is a ≤168-cell profile. Timezone is pinned
+    UTC by the session contract (engine.session.tune), so Spark's
+    weekday and DuckDB's isodow see the same instants; ISO numbering
+    (1=Mon) is made explicit on both engines. One partial-aggregable
+    shuffle of 168 cells."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("dow", "hr")
+    )
