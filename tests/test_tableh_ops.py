@@ -239,3 +239,92 @@ def test_retention_single_fact_scan(spark):
     p = _plan(spark, "win_retention_cohort")
     locs = [ln for ln in p.splitlines() if "Location:" in ln]
     assert len(locs) <= 1, p
+
+
+def test_span_corruption_matches_independent_python(spark):
+    """Recompute the span plan in plain Python from the spec — an
+    independent implementation both engines must match."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    H, M, R = 2_654_435_761, 4_294_967_296, 20
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], 50))
+    want = {}
+    for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (tx or "").split(" ")
+        n = len(toks)
+        cond = [((d * 31 + i) * H) % M % R == 0 for i in range(1, n + 1)]
+        mk = [
+            cond[i - 1]
+            or (i >= 2 and cond[i - 2])
+            or (i >= 3 and cond[i - 3])
+            for i in range(1, n + 1)
+        ]
+        spans = sum(
+            1 for i in range(n) if mk[i] and (i == 0 or not mk[i - 1])
+        )
+        want[d] = (n, sum(mk), spans)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_masked"], r["n_spans"])
+        for r in QUERIES["pipeline_span_corruption"](spark, SF_SMOKE).collect()
+        if r["doc_id"] < 50
+    }
+    assert got == want
+
+
+def test_degree_distribution_mass_conserves(spark):
+    from engine.analytics import affinity_edges
+
+    rows = QUERIES["graph_degree_distribution"](spark, SF_SMOKE).collect()
+    edges = affinity_edges(spark, SF_SMOKE)
+    n_edges = edges.count()
+    n_srcs = edges.select("src").distinct().count()
+    assert sum(r["out_degree"] * r["n_users"] for r in rows) == n_edges
+    assert sum(r["n_users"] for r in rows) == n_srcs
+
+
+def test_quantile_multi_planted_type7(spark, tmp_path):
+    # values 0..99 -> type-7 interpolation: p25=24.75, p50=49.5,
+    # p75=74.25, p90=89.1
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, i % 5, "m", float(i))
+        for i in range(100)
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = QUERIES["agg_quantile_multi"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["p25"], r["p50"], r["p75"], r["p90"]) == (24.75, 49.5, 74.25, 89.1)
+
+
+def test_calendar_features_planted(spark, tmp_path):
+    # 2024-01-01 is a Monday; plant one event Monday 00:xx UTC and two
+    # on Sunday 23:xx UTC
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-us
+    rows = [
+        (1, base + 60_000_000, 1, "m", 10.0),
+        (2, base - 3_600_000_000 + 1_000_000, 2, "m", 20.0),
+        (3, base - 3_600_000_000 + 2_000_000, 3, "m", 30.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {
+        (r["dow"], r["hr"]): (r["n_events"], r["avg_value"])
+        for r in QUERIES["ts_calendar_features"](spark, sf).collect()
+    }
+    assert got == {(1, 0): (1, 10.0), (7, 23): (2, 25.0)}
+
+
+def test_text_lines_roundtrip(spark):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], 200))
+    want = sorted(
+        (x or "").replace("\n", " ") for x in t["text"].to_pylist()
+    )
+    got = sorted(
+        r["line"] for r in QUERIES["scan_text_lines"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
