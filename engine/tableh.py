@@ -839,3 +839,224 @@ def ts_calendar_features(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply (events as an ordered change stream)
+# --------------------------------------------------------------------------
+
+_CDC_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM e
+    )
+    SELECT user_id,
+           ROUND(value * 1e4) / 1e4 AS last_value,
+           ts AS last_ts,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+"""
+
+
+@register("merge_cdc_apply", sql=_CDC_SQL)
+def merge_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog compaction — the lakehouse MERGE primitive applied
+    in batch: events are an ordered change stream per user ('error' =
+    tombstone/DELETE, anything else = UPSERT carrying the new value);
+    the result is the latest surviving state per key. Completes the
+    merge family (scd1 = overwrite, scd2 = history, cdc = ordered
+    replay with deletes).
+
+    One shuffle on the key, one window pass (latest-per-key via
+    row_number, plans as WindowGroupLimit — per-task heap, no full
+    per-key sort at 100 TB), tombstones dropped AFTER ranking so a
+    delete correctly erases earlier upserts. Deterministic total order:
+    (ts, event_id) — the changelog position."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            dround(F.col("value"), 4).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-moment statistics from shared raw power sums
+# --------------------------------------------------------------------------
+
+#: skewness/kurtosis from raw power sums, written ONCE and executed
+#: verbatim by both engines: Spark's skewness()/kurtosis() use
+#: population g1/g2 while DuckDB's use sample-corrected G1/G2 — the
+#: built-ins can NEVER hash-match, so both sides compute the identical
+#: moment formula from Σx, Σx², Σx³, Σx⁴ instead.
+_MOMENTS_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    s AS (
+      SELECT event_type,
+             COUNT(*) * 1.0 AS n,
+             SUM(value) AS s1, SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM(value * value * value * value) AS s4
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND((s1 / n) * 1e4) / 1e4 AS mean,
+           ROUND((s2 / n - (s1 / n) * (s1 / n)) * 1e4) / 1e4 AS m2,
+           ROUND(((s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                  / POW(s2 / n - (s1 / n) * (s1 / n), 1.5)) * 1e4) / 1e4
+             AS skewness,
+           ROUND(((s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                  / ((s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))) - 3) * 1e4) / 1e4
+             AS excess_kurtosis
+    FROM s ORDER BY event_type
+"""
+
+
+@register("agg_moments_skew_kurtosis", sql=_MOMENTS_SQL)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis — the distribution-shape
+    monitor (symmetric? heavy-tailed?) that decides whether a feature
+    needs a log transform before training. Built-in skewness/kurtosis
+    DIVERGE between engines (population vs sample corrections), so
+    both sides evaluate one shared moment formula over raw power sums
+    — a single partial-aggregable pass (4 sums per group), exactly the
+    mergeable shape a 1000-executor rollup needs. Rounded at 1e-4:
+    the power sums are order-dependent doubles; rounding absorbs the
+    accumulation ulps (same policy as agg_entropy)."""
+    ev = load_events(spark, sf)
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        dround(mean, 4).alias("mean"),
+        dround(m2, 4).alias("m2"),
+        dround(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        dround(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram language model + per-doc cross-entropy
+# --------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS big
+      FROM t WHERE LEN(tk) >= 2
+    ),
+    cb AS (SELECT big, COUNT(*) AS c FROM bg GROUP BY big),
+    cl AS (SELECT STRING_SPLIT(big, ' ')[1] AS w1, SUM(c) AS cleft
+           FROM cb GROUP BY STRING_SPLIT(big, ' ')[1]),
+    v AS (SELECT COUNT(DISTINCT STRING_SPLIT(big, ' ')[2]) AS vocab FROM cb)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN((cb.c + 1) / (cl.cleft + v.vocab * 1.0))) * 1e4)
+             / 1e4 AS cross_entropy
+    FROM bg
+    JOIN cb USING (big)
+    JOIN cl ON cl.w1 = STRING_SPLIT(bg.big, ' ')[1]
+    CROSS JOIN v
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+
+@register("text_bigram_lm", sql=_BIGRAM_LM_SQL)
+def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram LM with add-one smoothing, scoring every
+    doc's cross-entropy under it — the n-gram upgrade of the unigram
+    text_lm_score quality filter (KenLM-style perplexity filtering is
+    standard pretraining hygiene; gibberish scores high, fluent text
+    low).
+
+    Train and score in ONE dag: bigram counts and left-context totals
+    are partial-aggregable shuffles on the bigram/left-token keys; the
+    doc→prob lookup is an equi-join on the bigram key (at 100 TB this
+    is the heavy join — hot bigrams skew it, which AQE skew-split
+    handles; the vocab scalar rides along as a broadcast). The pair
+    build reuses the shifted-slice zip_with (no self-join, no UDF).
+    Cross-entropy is averaged then rounded 1e-4 — log ulps between
+    libm and JVM Math.log are absorbed (the agg_entropy precedent)."""
+    from engine.session import parallelize_scan, scan_units
+
+    d = parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+    tk = F.split("text", " ")
+    bg = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, F.size("tk") - 1),
+                    F.slice("tk", 2, F.size("tk") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("big"),
+        )
+    )
+    bg = scratch_cache(bg)
+    cb = bg.groupBy("big").agg(F.count("*").alias("c"))
+    w1 = F.split("big", " ").getItem(0)
+    w2 = F.split("big", " ").getItem(1)
+    cl = cb.groupBy(w1.alias("w1")).agg(F.sum("c").alias("cleft"))
+    vocab = cb.select(F.count_distinct(w2).alias("vocab"))
+    p = (F.col("c") + 1) / (F.col("cleft") + F.col("vocab") * F.lit(1.0))
+    return (
+        bg.join(cb, "big")
+        .join(cl, w1 == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            dround(F.avg(-F.log(p)), 4).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
