@@ -873,10 +873,11 @@ def merge_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     merge family (scd1 = overwrite, scd2 = history, cdc = ordered
     replay with deletes).
 
-    One shuffle on the key, one window pass (latest-per-key via
-    row_number, plans as WindowGroupLimit — per-task heap, no full
-    per-key sort at 100 TB), tombstones dropped AFTER ranking so a
-    delete correctly erases earlier upserts. Deterministic total order:
+    One shuffle on the key, one window pass computing BOTH the rank
+    and the change count (the count needs every row, so latest-per-key
+    cannot prune to a WindowGroupLimit here — state per key is still
+    O(1): a counter and the current head), tombstones dropped AFTER
+    ranking so a delete correctly erases earlier upserts. Deterministic total order:
     (ts, event_id) — the changelog position."""
     ev = load_events(spark, sf)
     w = Window.partitionBy("user_id").orderBy(

@@ -328,3 +328,67 @@ def test_text_lines_roundtrip(spark):
         r["line"] for r in QUERIES["scan_text_lines"](spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_cdc_apply_planted_tombstones(spark, tmp_path):
+    # user 1: two upserts -> latest value wins; user 2: upsert then
+    # error -> tombstoned; user 3: error then upsert -> resurrected
+    rows = [
+        (1, 1_000_000, 1, "view", 1.0),
+        (2, 2_000_000, 1, "click", 2.0),
+        (3, 1_000_000, 2, "view", 9.0),
+        (4, 2_000_000, 2, "error", 0.0),
+        (5, 1_000_000, 3, "error", 0.0),
+        (6, 2_000_000, 3, "purchase", 7.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["user_id"]: r for r in QUERIES["merge_cdc_apply"](spark, sf).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["last_value"] == 2.0 and got[1]["n_changes"] == 2
+    assert got[3]["last_value"] == 7.0 and got[3]["n_changes"] == 2
+
+
+def test_moments_planted_uniform(spark, tmp_path):
+    # values 1..5: mean 3, m2 = 2, skew = 0, excess kurtosis = -1.3
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, 1, "m", float(i + 1))
+        for i in range(5)
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_moments_skew_kurtosis"](spark, sf).collect()[0]
+    assert (r["mean"], r["m2"], r["skewness"], r["excess_kurtosis"]) == (
+        3.0, 2.0, 0.0, -1.3,
+    )
+
+
+def test_bigram_lm_planted_addone(spark, tmp_path):
+    # corpus: "a b", "a b", "a c" -> c(a b)=2, c(a c)=1, cleft(a)=3,
+    # V={b,c}=2 -> p(a b)=3/5, p(a c)=2/5
+    import math
+
+    docs = [(1, "a b", "en", "s", 3), (2, "a b", "en", "s", 3),
+            (3, "a c", "en", "s", 3)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    got = {r["doc_id"]: r for r in QUERIES["text_bigram_lm"](spark, sf).collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["cross_entropy"] - round(-math.log(0.6), 4)) < 1e-9
+    assert abs(got[3]["cross_entropy"] - round(-math.log(0.4), 4)) < 1e-9
+
+
+def test_cdc_single_key_exchange(spark):
+    # rank + change-count share ONE hashpartitioning(user_id) exchange
+    # (the count window needs every row, so a group-limit prune cannot
+    # apply — one linear window pass per key is the right shape)
+    p = _plan(spark, "merge_cdc_apply")
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) <= 1 and all("user_id" in ln for ln in ex), p
+
+
+def test_moments_single_pass(spark):
+    # all four power sums come from ONE partial+final aggregate pair
+    p = _plan(spark, "agg_moments_skew_kurtosis")
+    assert p.count("HashAggregate") >= 2, p
+    assert len([ln for ln in p.splitlines() if "Location:" in ln]) == 1, p
