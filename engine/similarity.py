@@ -1465,3 +1465,91 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 #: salt fan-out for the cell-blocked self-join (parallelism = cells × salts)
 _KNN_SALTS = 8
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: keep the cell-central representative (Table H)
+# --------------------------------------------------------------------------
+
+
+def _semdedup_oracle_sql() -> str:
+    from engine.kmeans import _assign_path, _means_path
+
+    return f"""
+    WITH asg AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('{_assign_path("sf0_01")}/*.parquet')
+    ),
+    m AS (SELECT cluster, mean
+          FROM read_parquet('{_means_path("sf0_01")}/*.parquet')),
+    e AS (
+      SELECT a.cluster AS cell, e.vec_id, e.embedding::DOUBLE[] AS v, m.mean
+      FROM embeddings e JOIN asg a USING (vec_id)
+      JOIN m ON m.cluster = a.cluster
+    ),
+    scored AS (
+      SELECT cell, vec_id,
+             ROUND(LIST_COSINE_SIMILARITY(v, mean) * 1e6) / 1e6 AS ccos,
+             COUNT(*) OVER (PARTITION BY cell) AS n_members
+      FROM e
+    )
+    SELECT cell, vec_id AS rep_vec_id, ccos AS centroid_cos,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT cell, vec_id, ccos, n_members,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY ccos DESC, vec_id) AS rnk
+      FROM scored) t
+    WHERE rnk = 1 ORDER BY cell
+"""
+
+
+@register("pipeline_semdedup_keep_central", sql=_semdedup_oracle_sql())
+def pipeline_semdedup_keep_central(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup's resolution step: within each embedding cluster (the
+    shared k-means cells), keep the single most CENTRAL document — the
+    member closest to its cell centroid by rounded cosine — as the
+    cluster's representative (Abbas et al. 2023 keep-one semantics;
+    pipeline_keep_best_dedup is the quality-keyed sibling over simhash
+    buckets).
+
+    Scale shape: the centroid table is k rows (broadcast); scoring is
+    one narrow pass over the corpus; the representative is a per-cell
+    WindowGroupLimit top-1 — the corpus shuffles once, on the cell id.
+    The oracle reads the SAME materialized means/assignments, so both
+    engines rank identical rounded cosines (the sim_cosine_topk_ivf
+    contract: Spark runs first and materializes)."""
+    from engine.kmeans import materialize_assignments, materialize_means
+
+    asg_path = materialize_assignments(spark, sf)
+    means_path, _means = materialize_means(spark, sf)
+    asg = spark.read.parquet(asg_path).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    m = spark.read.parquet(means_path).select(
+        F.col("cluster").alias("cell"), F.col("mean")
+    )
+    e = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .join(asg, "vec_id")
+        .join(F.broadcast(m), "cell")
+    )
+    scored = e.select(
+        "cell",
+        "vec_id",
+        dround(_cosine(F.col("v"), F.col("mean")), 6).alias("ccos"),
+        F.count("*").over(Window.partitionBy("cell")).alias("n_members"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("ccos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cell",
+            F.col("vec_id").alias("rep_vec_id"),
+            F.col("ccos").alias("centroid_cos"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cell")
+    )

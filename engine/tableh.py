@@ -1061,3 +1061,156 @@ def text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation (events)
+# --------------------------------------------------------------------------
+
+_AUTOCORR_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    l AS (
+      SELECT user_id, value AS y,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS x
+      FROM e
+    ),
+    p AS (SELECT user_id, x, y FROM l WHERE x IS NOT NULL),
+    s AS (
+      SELECT user_id, COUNT(*) * 1.0 AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1e4) / 1e4 END AS autocorr_lag1
+    FROM s ORDER BY user_id
+"""
+
+
+@register("ts_autocorr_lag1", sql=_AUTOCORR_SQL)
+def ts_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation per user series — the seasonality /
+    trend-stickiness probe run before any forecasting model choice.
+    Built-in corr() diverges across engines on degenerate inputs, so
+    both sides evaluate one shared Pearson formula over six plain sums
+    of the (vₜ₋₁, vₜ) pair stream (the agg_moments recipe): the lag is
+    ONE window pass behind a single user_id shuffle, the sums are
+    partial-aggregable, and zero-variance series yield NULL via the
+    same positive-denominator guard on both engines."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("value").alias("y"),
+            F.lag("value").over(w).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("user_id").agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0), dround((n * sxy - sx * sy) / F.sqrt(vx * vy), 4)
+    )
+    return s.select(
+        "user_id", n.cast("long").alias("n_pairs"), r.alias("autocorr_lag1")
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Image tile planning (multimodal preprocessing)
+# --------------------------------------------------------------------------
+
+#: the media table's deterministic BMP dimensions (engine/multimodal.py
+#: _make_bmp) re-derived as shared integer SQL — the tile plan is exact
+#: arithmetic over metadata, no pixel bytes touched.
+_TILE = 8
+
+_TILE_PLAN_SQL = f"""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + (doc_id % 16) * 3 AS w,
+             16 + ((doc_id % 16) * 7) % 24 AS h
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, w, h,
+             (w + {_TILE} - 1) // {_TILE} AS ntx,
+             (h + {_TILE} - 1) // {_TILE} AS nty
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(u.tx AS INT) AS tile_x, CAST(v.ty AS INT) AS tile_y,
+           CAST(u.tx * {_TILE} AS INT) AS x0,
+           CAST(v.ty * {_TILE} AS INT) AS y0,
+           CAST(LEAST({_TILE}, w - u.tx * {_TILE}) AS INT) AS tw,
+           CAST(LEAST({_TILE}, h - v.ty * {_TILE}) AS INT) AS th
+    FROM t,
+         UNNEST(GENERATE_SERIES(0, ntx - 1)) AS u(tx),
+         UNNEST(GENERATE_SERIES(0, nty - 1)) AS v(ty)
+"""
+
+
+@register("multimodal_tile_plan", sql=_TILE_PLAN_SQL)
+def multimodal_tile_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT-style patch/tile planning over image METADATA only: each
+    image (the media table's deterministic per-doc BMP dimensions)
+    becomes a grid of ≤8×8 tiles with edge tiles clipped — the
+    coordinate plan a vision-pretraining pipeline computes BEFORE
+    touching pixel bytes, so the heavy decode kernel receives
+    (doc, tile) work units it can batch.
+
+    Pure per-row integer arithmetic + one explode — narrow plan, no
+    shuffle, no UDF; the dimension formulas are shared verbatim with
+    the oracle (and pinned to the generator in engine/multimodal.py,
+    which the decode tests already round-trip)."""
+    d = T(spark, sf, "documents").select("doc_id")
+    w = (F.lit(16) + (F.col("doc_id") % 16) * 3).alias("w")
+    h = (F.lit(16) + ((F.col("doc_id") % 16) * 7) % 24).alias("h")
+    t = d.select("doc_id", w, h).select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(f"(w + {_TILE} - 1) div {_TILE}").alias("ntx"),
+        F.expr(f"(h + {_TILE} - 1) div {_TILE}").alias("nty"),
+    )
+    tiles = t.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.col("ntx") - 1)).alias("tx"),
+        "nty",
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "tx",
+        F.explode(F.sequence(F.lit(0), F.col("nty") - 1)).alias("ty"),
+    )
+    return tiles.select(
+        "doc_id",
+        F.col("tx").cast("int").alias("tile_x"),
+        F.col("ty").cast("int").alias("tile_y"),
+        (F.col("tx") * _TILE).cast("int").alias("x0"),
+        (F.col("ty") * _TILE).cast("int").alias("y0"),
+        F.least(F.lit(_TILE), F.col("w") - F.col("tx") * _TILE)
+        .cast("int")
+        .alias("tw"),
+        F.least(F.lit(_TILE), F.col("h") - F.col("ty") * _TILE)
+        .cast("int")
+        .alias("th"),
+    )
