@@ -392,3 +392,80 @@ def test_moments_single_pass(spark):
     p = _plan(spark, "agg_moments_skew_kurtosis")
     assert p.count("HashAggregate") >= 2, p
     assert len([ln for ln in p.splitlines() if "Location:" in ln]) == 1, p
+
+
+def test_autocorr_planted_alternating(spark, tmp_path):
+    # user 1 alternates 0/1 -> lag-1 autocorr = -1; user 2 constant -> NULL
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, 1, "m", float(i % 2))
+        for i in range(10)
+    ] + [
+        (100 + i, 1_700_000_000_000_000 + i * 1_000_000, 2, "m", 5.0)
+        for i in range(5)
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["user_id"]: r for r in QUERIES["ts_autocorr_lag1"](spark, sf).collect()}
+    assert got[1]["autocorr_lag1"] == -1.0 and got[1]["n_pairs"] == 9
+    assert got[2]["autocorr_lag1"] is None
+
+
+def test_tile_plan_planted_dims(spark, tmp_path):
+    docs = [(0, "x", "en", "s", 1), (1, "x", "en", "s", 1)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    rows = QUERIES["multimodal_tile_plan"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 16x16 -> 2x2 full tiles
+    assert len(by_doc[0]) == 4
+    assert all(r["tw"] == 8 and r["th"] == 8 for r in by_doc[0])
+    # doc 1: 19x23 -> 3x3 grid, clipped right column (3) and top row (7)
+    assert len(by_doc[1]) == 9
+    edge = [r for r in by_doc[1] if r["tile_x"] == 2]
+    assert all(r["tw"] == 3 for r in edge)
+    edge_y = [r for r in by_doc[1] if r["tile_y"] == 2]
+    assert all(r["th"] == 7 for r in edge_y)
+    # tiles cover the image exactly once
+    assert sum(r["tw"] * r["th"] for r in by_doc[1]) == 19 * 23
+
+
+def test_semdedup_rep_is_argmax_and_mass_conserves(spark):
+    """Independent recompute: for each cell the representative must be
+    the (rounded-cos, -vec_id)-max member, and members sum to corpus."""
+    from engine.kmeans import materialize_assignments, materialize_means
+
+    reps = QUERIES["pipeline_semdedup_keep_central"](spark, SF_SMOKE).collect()
+    asg_path = materialize_assignments(spark, SF_SMOKE)
+    means_path, means = materialize_means(spark, SF_SMOKE)
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(asg_path).collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        # half-away-from-zero on the scaled double — the engines'
+        # shared ROUND semantics, not python banker's round()
+        d = dot / (na * nb)
+        return math.copysign(math.floor(abs(d) * 1e6 + 0.5), d) / 1e6
+
+    best = {}
+    count = {}
+    for vid, cell in asg.items():
+        c = cos([float(x) for x in emb[vid]], means[cell])
+        count[cell] = count.get(cell, 0) + 1
+        if cell not in best or (c, -vid) > (best[cell][0], -best[cell][1]):
+            best[cell] = (c, vid)
+    got = {r["cell"]: (r["rep_vec_id"], r["n_members"]) for r in reps}
+    assert got == {cell: (vid, count[cell]) for cell, (c, vid) in best.items()}
+    assert sum(r["n_members"] for r in reps) == len(asg)
