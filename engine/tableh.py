@@ -1214,3 +1214,225 @@ def multimodal_tile_plan(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("th"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration (events)
+# --------------------------------------------------------------------------
+
+_GINI_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    pos AS (SELECT event_type, value FROM e WHERE value > 0),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) * 1.0 AS i
+      FROM pos
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) * 1.0 AS n,
+             SUM(value) AS sv, SUM(i * value) AS siv
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND((2 * siv / (n * sv) - (n + 1) / n) * 1e4) / 1e4 AS gini
+    FROM s ORDER BY event_type
+"""
+
+
+@register("agg_gini_concentration", sql=_GINI_SQL)
+def agg_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the per-group value distribution — the
+    concentration monitor (0 = perfectly even, →1 = one row carries
+    everything) that flags skewed revenue / traffic / token-count
+    distributions before they skew a shuffle. Positive-domain filter
+    on both engines (the geometric-mean precedent — Gini is undefined
+    for mixed signs).
+
+    Rank-sum formula G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over values sorted
+    ascending within the group: one window pass for the rank, one
+    partial-aggregable sum bundle — ties contribute identically under
+    any tie order (equal v multiplied by consecutive i sums to the
+    same), so the rank needs no tie-break to be deterministic."""
+    ev = load_events(spark, sf)
+    pos = ev.filter(F.col("value") > 0).select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = pos.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) * F.lit(1.0)).alias("i"),
+    )
+    s = r.groupBy("event_type").agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("i") * F.col("value")).alias("siv"),
+    )
+    n, sv, siv = F.col("n"), F.col("sv"), F.col("siv")
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        dround(2 * siv / (n * sv) - (n + 1) / n, 4).alias("gini"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (documents)
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 1000
+
+_OOV_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT {_VOCAB_K})
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1.0) * 1e4) / 1e4 AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@register("text_vocab_oov_rate", sql=_OOV_SQL)
+def text_vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage audit: induce the top-1000-token vocabulary
+    from the corpus itself (deterministic tie-break count desc, token
+    asc), then score every document's out-of-vocabulary token rate —
+    the coverage check run before committing to a tokenizer (high OOV
+    → the vocab wasn't trained on this distribution).
+
+    Two-pass shape: the vocab is a TakeOrderedAndProject over the
+    token counts (per-partition heap, never a global sort) and comes
+    back onto the token stream as a BROADCAST left join — the corpus
+    tokens never shuffle for the membership test; the per-doc rollup
+    re-uses the doc_id partitioning of the explode."""
+    from engine.session import parallelize_scan, scan_units
+
+    d = parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+    tok = scratch_cache(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            dround(
+                F.sum(F.when(F.col("inv").isNull(), 1).otherwise(0))
+                / (F.count("*") * F.lit(1.0)),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link prediction by neighbor Jaccard (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _jaccard_link_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    common AS (
+      SELECT x.u AS a, y.u AS b, COUNT(*) AS c
+      FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+      GROUP BY x.u, y.u
+    ),
+    cand AS (
+      SELECT c.a, c.b, c.c FROM common c
+      LEFT JOIN und ON und.a = c.a AND und.b = c.b
+      WHERE und.a IS NULL
+    )
+    SELECT a, b,
+           ROUND(c * 1.0 / (da.d + db.d - c) * 1e6) / 1e6 AS jaccard
+    FROM cand JOIN deg da ON da.u = a JOIN deg db ON db.u = b
+    ORDER BY jaccard DESC, a, b LIMIT 20
+"""
+    )
+
+
+@register("graph_jaccard_link_prediction", sql=_jaccard_link_sql())
+def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the shared affinity graph: for non-adjacent
+    user pairs with ≥1 common neighbor, score neighbor-set Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| and return the top-20 predicted links —
+    the classic common-neighbors recommender.
+
+    Scale shape: common-neighbor counting is one self-join of the
+    adjacency list ON THE SHARED NEIGHBOR (candidates = 2-hop pairs
+    only, never all pairs — the same blocked-join discipline as the
+    dedup family; hub neighbors are the skew axis, capped at 100 TB by
+    a max-degree filter exactly like the shingle-DF cap); existing
+    edges drop via a LEFT ANTI join; degrees broadcast back. Integer-
+    exact until the final ratio (rounded 1e-6), deterministic ties."""
+    from engine.analytics import affinity_edges
+
+    edges = affinity_edges(spark, sf)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    und = scratch_cache(und)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    adj = scratch_cache(adj)
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    common = (
+        x.join(y, (x["w"] == y["w"]) & (x["a"] < y["b"]))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    cand = common.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    jac = dround(
+        F.col("c") * F.lit(1.0) / (F.col("da") + F.col("db") - F.col("c")), 6
+    )
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+    )
