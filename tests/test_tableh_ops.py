@@ -469,3 +469,53 @@ def test_semdedup_rep_is_argmax_and_mass_conserves(spark):
     got = {r["cell"]: (r["rep_vec_id"], r["n_members"]) for r in reps}
     assert got == {cell: (vid, count[cell]) for cell, (c, vid) in best.items()}
     assert sum(r["n_members"] for r in reps) == len(asg)
+
+
+def test_gini_planted_extremes(spark, tmp_path):
+    # type A perfectly equal -> gini 0; type B one row holds nearly all
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, 1, "A", 10.0)
+        for i in range(10)
+    ]
+    rows += [
+        (100 + i, 1_700_000_000_000_000 + i * 1_000_000, 1, "B", 0.0001)
+        for i in range(99)
+    ]
+    rows.append((999, 1_700_000_000_000_000, 1, "B", 1_000_000.0))
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["event_type"]: r["gini"] for r in
+           QUERIES["agg_gini_concentration"](spark, sf).collect()}
+    assert got["A"] == 0.0
+    assert got["B"] > 0.98
+
+
+def test_oov_rate_planted_vocab_boundary(spark, tmp_path):
+    # corpus vocabulary is exactly {common tokens}; rare tokens OOV.
+    # with K=1000 and only 3 distinct tokens, nothing is OOV; force
+    # coverage semantics instead on the rate arithmetic
+    docs = [(1, "a a b", "en", "s", 5), (2, "a c", "en", "s", 3)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    got = {r["doc_id"]: r for r in QUERIES["text_vocab_oov_rate"](spark, sf).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 0
+    assert got[2]["oov_rate"] == 0.0
+
+
+def test_jaccard_link_excludes_existing_edges(spark):
+    # sf0.01: the smoke graph's ring cohorts are too small to leave any
+    # non-adjacent 2-hop pair (empty result on both engines)
+    from engine.analytics import affinity_edges
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["graph_jaccard_link_prediction"](spark, sf).collect()
+    assert rows and all(0 < r["jaccard"] <= 1 for r in rows)
+    edges = affinity_edges(spark, sf).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().collect()
+    existing = {(e["a"], e["b"]) for e in edges}
+    for r in rows:
+        assert (r["a"], r["b"]) not in existing
+        assert r["a"] < r["b"]
