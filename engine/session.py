@@ -84,6 +84,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.types import LongType
 
+    # callers hit this loader directly (not only through load_table), so
+    # the session invariants — UTC pin, right-sized shuffle partitions —
+    # must be applied HERE too: in the driver's unconfigured session a
+    # tune-less events query would otherwise run with stock partitions
+    # and, on a non-UTC host, shifted calendar extractions.
+    tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):

@@ -1436,3 +1436,143 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment statistics: Welch's t and chi-square (events)
+# --------------------------------------------------------------------------
+
+_WELCH_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    s AS (
+      SELECT event_type, COUNT(*) * 1.0 AS n,
+             SUM(value) AS sv, SUM(value * value) AS svv
+      FROM e WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n, sv / n AS m,
+             (svv - sv * sv / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.m * 1e4) / 1e4 AS mean_a,
+           ROUND(b.m * 1e4) / 1e4 AS mean_b,
+           ROUND((a.m - b.m) / SQRT(a.var / a.n + b.var / b.n) * 1e4) / 1e4
+             AS t_stat,
+           ROUND((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+                 / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                    + (b.var / b.n) * (b.var / b.n) / (b.n - 1))
+                 * 1e2) / 1e2 AS welch_df
+    FROM (SELECT * FROM w WHERE event_type = 'view') a
+    CROSS JOIN (SELECT * FROM w WHERE event_type = 'purchase') b
+"""
+
+
+@register("agg_ab_test_welch", sql=_WELCH_SQL)
+def agg_ab_test_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's two-sample t statistic + Welch–Satterthwaite degrees of
+    freedom comparing the 'view' and 'purchase' value populations —
+    the A/B-test read-out computed IN the engine (shipping raw
+    observations to a notebook for a t-test is the anti-pattern this
+    replaces at 100 TB). Each arm reduces to (n, Σv, Σv²) — one
+    partial-aggregable pass over the filtered fact — and the scalar
+    arithmetic happens on a 2-row relation; both engines evaluate one
+    shared formula text (the agg_moments rule: stats built-ins differ
+    in their corrections, raw-sum formulas cannot)."""
+    ev = load_events(spark, sf)
+    v = F.col("value")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            (F.count("*") * F.lit(1.0)).alias("n"),
+            F.sum(v).alias("sv"),
+            F.sum(v * v).alias("svv"),
+        )
+    )
+    w = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("m"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    a = w.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("var").alias("var_a")
+    )
+    b = w.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("var").alias("var_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    sea = F.col("var_a") / F.col("n_a")
+    seb = F.col("var_b") / F.col("n_b")
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        dround(F.col("m_a"), 4).alias("mean_a"),
+        dround(F.col("m_b"), 4).alias("mean_b"),
+        dround((F.col("m_a") - F.col("m_b")) / F.sqrt(sea + seb), 4).alias(
+            "t_stat"
+        ),
+        dround(
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+_CHI2_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    o AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             COUNT(*) * 1.0 AS obs
+      FROM e GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(obs) AS rtot FROM o GROUP BY event_type),
+    ct AS (SELECT dow, SUM(obs) AS ctot FROM o GROUP BY dow),
+    g AS (SELECT SUM(obs) AS tot FROM o)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((obs - rt.rtot * ct.ctot / g.tot)
+                     * (obs - rt.rtot * ct.ctot / g.tot)
+                     / (rt.rtot * ct.ctot / g.tot)) * 1e4) / 1e4 AS chi2
+    FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g
+"""
+
+
+@register("agg_chi_square_independence", sql=_CHI2_SQL)
+def agg_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence statistic for the event_type × ISO-
+    weekday contingency table — "does behavior depend on the day?",
+    the categorical sibling of the Welch read-out. The contingency
+    table is ONE partial-aggregable pass (35 cells); margins and the
+    grand total are sub-aggregations of those 35 rows, broadcast back;
+    Σ(O−E)²/E evaluates as shared formula text. Observed counts are
+    integer-exact, so the only float work is the final 35-term fold
+    (rounded 1e-4)."""
+    ev = load_events(spark, sf)
+    o = (
+        ev.groupBy(
+            "event_type", (F.weekday("ts") + 1).cast("long").alias("dow")
+        )
+        .agg((F.count("*") * F.lit(1.0)).alias("obs"))
+    )
+    from engine.session import scratch_cache as _sc
+
+    o = _sc(o)
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("ctot"))
+    g = o.agg(F.sum("obs").alias("tot"))
+    exp = F.col("rtot") * F.col("ctot") / F.col("tot")
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.count("*").alias("n_cells"),
+            dround(
+                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 4
+            ).alias("chi2"),
+        )
+    )
