@@ -519,3 +519,35 @@ def test_jaccard_link_excludes_existing_edges(spark):
     for r in rows:
         assert (r["a"], r["b"]) not in existing
         assert r["a"] < r["b"]
+
+
+def test_welch_planted_known_stat(spark, tmp_path):
+    # view arm: [1..5] (m=3, var=2.5); purchase arm: [11..15] (m=13,
+    # var=2.5) -> t = (3-13)/sqrt(0.5+0.5) = -10, df = 8
+    rows = []
+    for i in range(5):
+        rows.append((i, 1_700_000_000_000_000 + i, 1, "view", float(i + 1)))
+        rows.append((10 + i, 1_700_000_000_000_000 + i, 2, "purchase", float(i + 11)))
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_ab_test_welch"](spark, sf).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5.0, 5.0)
+    assert (r["mean_a"], r["mean_b"]) == (3.0, 13.0)
+    assert r["t_stat"] == -10.0
+    assert r["welch_df"] == 8.0
+
+
+def test_chi_square_independent_is_zero(spark, tmp_path):
+    # perfectly proportional table -> chi2 == 0: two event types, each
+    # with the same per-day profile
+    rows = []
+    base = 1_704_067_200_000_000  # Monday
+    eid = 0
+    for day in range(3):
+        for et, cnt in (("view", 4), ("click", 8)):
+            for _ in range(cnt):
+                rows.append((eid, base + day * 86_400_000_000 + eid, eid % 5, et, 1.0))
+                eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_chi_square_independence"](spark, sf).collect()[0]
+    assert r["n_cells"] == 6
+    assert r["chi2"] == 0.0
