@@ -1576,3 +1576,167 @@ def agg_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chi2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed CSV roundtrip (sources: compression coverage)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_gzip",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def scan_csv_gzip(spark: SparkSession, sf: str) -> DataFrame:
+    """Gzip-compressed CSV write → re-read with an explicit schema →
+    aggregate, oracled against the SOURCE table (the scan_csv_roundtrip
+    contract: if the compressed round trip loses or garbles anything,
+    the aggregate diverges from the same SQL over the original rows).
+
+    The compression wrinkle matters at 100 TB: gzip is NOT splittable,
+    so one .csv.gz = one task regardless of size — the write keeps
+    Spark's natural output partitioning (many files, each an
+    independently-decompressible unit), which is exactly how a
+    compressed landing zone must be laid out to preserve scan
+    parallelism. Integer-exact aggregate (no float round-trip in the
+    checked columns)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    from engine.session import scratch_dir
+
+    out = scratch_dir("csv_gzip")
+    li = (
+        T(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .filter(F.col("l_orderkey") % 7 == 0)
+    )
+    li.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_returnflag", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week percent change (events)
+# --------------------------------------------------------------------------
+
+_WOW_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    wk AS (
+      SELECT event_type, epoch_us(ts) // {_WEEK_US} AS wk,
+             COUNT(*) * 1.0 AS n
+      FROM e GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, wk, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      FROM wk
+    )
+    SELECT event_type, wk AS week,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN prev > 0
+                THEN ROUND((n - prev) / prev * 1e4) / 1e4 END AS wow_change
+    FROM l ORDER BY event_type, week
+"""
+
+
+@register("win_percent_change_wow", sql=_WOW_SQL)
+def win_percent_change_wow(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week percent change per event type — the dashboard
+    delta every metrics page leads with. Weekly rollup first (the
+    shuffle carries type×week cells, not events), then one lag window
+    over the tiny rollup; weeks use the exact long floordiv (the
+    retention-cohort contract) and a NULL first-week/zero-prev guard
+    identical on both engines. Consecutive-week semantics: lag is by
+    ROW over observed weeks — a week with zero events is absent on
+    both sides, so both compare against the previous OBSERVED week."""
+    ev = load_events(spark, sf)
+    wk = (
+        ev.groupBy(
+            "event_type",
+            floordiv_sql("unix_micros(ts)", _WEEK_US).alias("wk"),
+        )
+        .agg((F.count("*") * F.lit(1.0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    l = wk.withColumn("prev", F.lag("n").over(w))
+    chg = F.when(
+        F.col("prev") > 0,
+        dround((F.col("n") - F.col("prev")) / F.col("prev"), 4),
+    )
+    return l.select(
+        "event_type",
+        F.col("wk").alias("week"),
+        F.col("n").cast("long").alias("n_events"),
+        chg.alias("wow_change"),
+    ).orderBy("event_type", "week")
+
+
+# --------------------------------------------------------------------------
+# Log-binned histogram (events)
+# --------------------------------------------------------------------------
+
+_LOG_HIST_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    k AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, value
+      FROM e WHERE value > 0
+    )
+    SELECT CAST(LENGTH(BIN(cents)) - 1 AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value) * 1e4) / 1e4 AS bin_min,
+           ROUND(MAX(value) * 1e4) / 1e4 AS bin_max
+    FROM k WHERE cents >= 1
+    GROUP BY 1 ORDER BY log2_bin
+"""
+
+
+@register("agg_hist_log_bins", sql=_LOG_HIST_SQL)
+def agg_hist_log_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Log₂-binned histogram — the long-tail profile a linear histogram
+    (agg_hist_fixed_width) flattens: doc lengths, session values, and
+    token counts are all heavy-tailed, and power-of-two bins show the
+    tail in O(log range) rows. One partial-aggregable pass over the
+    positive domain. The bin id is INTEGER-EXACT on both engines:
+    values quantize to centi-units with the shared ROUND semantics,
+    then floor(log2(k)) = LENGTH(BIN(k)) − 1 — pure integer/string
+    logic, immune to the libm-vs-JVM ln() last-ulp divergence that a
+    FLOOR(LN(v)/LN(2)) bin would hit exactly at the powers of two a
+    money column is full of."""
+    ev = load_events(spark, sf)
+    cents = dround(F.col("value") * 100, 0).cast("long")
+    binid = (F.length(F.bin(F.col("cents"))) - 1).cast("long")
+    return (
+        ev.filter(F.col("value") > 0)
+        .select("value", cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .groupBy(binid.alias("log2_bin"))
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.min("value"), 4).alias("bin_min"),
+            dround(F.max("value"), 4).alias("bin_max"),
+        )
+        .orderBy("log2_bin")
+    )
