@@ -551,3 +551,38 @@ def test_chi_square_independent_is_zero(spark, tmp_path):
     r = QUERIES["agg_chi_square_independence"](spark, sf).collect()[0]
     assert r["n_cells"] == 6
     assert r["chi2"] == 0.0
+
+
+def test_wow_change_planted(spark, tmp_path):
+    # weeks 1000..1002 with counts 4, 8, 6 -> +1.0, -0.25; first week NULL
+    rows = []
+    eid = 0
+    for wk, cnt in ((1000, 4), (1001, 8), (1002, 6)):
+        for _ in range(cnt):
+            rows.append((eid, wk * WEEK_US + eid, 1, "view", 1.0))
+            eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["week"]: r for r in QUERIES["win_percent_change_wow"](spark, sf).collect()}
+    assert got[1000]["wow_change"] is None
+    assert got[1001]["wow_change"] == 1.0
+    assert got[1002]["wow_change"] == -0.25
+
+
+def test_log_bins_planted_boundaries(spark, tmp_path):
+    # centi-exact boundaries: 0.01 -> 1 cent -> bin 0; 0.02 -> bin 1;
+    # 1.28 -> 128 cents -> bin 7; 2.56 -> bin 8 (exact powers of two in
+    # cents, the case a float-log bin would get wrong across engines)
+    vals = [0.01, 0.02, 0.03, 1.28, 2.56]
+    rows = [
+        (i, 1_700_000_000_000_000 + i, 1, "m", v) for i, v in enumerate(vals)
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["log2_bin"]: r["n"] for r in QUERIES["agg_hist_log_bins"](spark, sf).collect()}
+    assert got == {0: 1, 1: 2, 7: 1, 8: 1}
+
+
+def test_csv_gzip_writes_gz_files(spark):
+    import glob
+
+    QUERIES["scan_csv_gzip"](spark, SF_SMOKE).collect()
+    assert glob.glob("/root/repo/.scratch/csv_gzip/*.csv.gz")
