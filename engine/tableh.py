@@ -1740,3 +1740,148 @@ def agg_hist_log_bins(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (events)
+# --------------------------------------------------------------------------
+
+#: attribution lookback window, µs (7 days)
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+
+_ATTRIBUTION_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pus, event_id AS pid
+      FROM e WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id AS tid,
+             event_type AS ttype
+      FROM e WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT p.user_id, p.pid, t.ttype,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.pid
+                                ORDER BY t.tus DESC, t.tid DESC) AS rn
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.tus <= p.pus AND t.tus >= p.pus - {_ATTR_WINDOW_US}
+    ),
+    att AS (SELECT user_id, pid, ttype FROM j WHERE rn = 1)
+    SELECT COALESCE(a.ttype, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM p LEFT JOIN att a ON a.user_id = p.user_id AND a.pid = p.pid
+    GROUP BY COALESCE(a.ttype, 'none') ORDER BY touch
+"""
+
+
+@register("win_last_touch_attribution", sql=_ATTRIBUTION_SQL)
+def win_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent view/click inside a 7-day lookback (or 'none') — the
+    marketing-analytics join every growth team runs nightly.
+
+    Scale shape: purchases ⋈ touches is an EQUI-join on user_id with
+    the time window as a residual predicate (never a time-range cross
+    join); per-purchase candidates are bounded by the user's touch
+    count, the winning touch is a per-purchase rank-1 (WindowGroupLimit
+    shape), and unattributed purchases survive via the left join. All
+    time arithmetic is exact epoch-µs integers on both engines."""
+    ev = load_events(spark, sf)
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pus"), F.col("event_id").alias("pid")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), us.alias("tus"),
+        F.col("event_id").alias("tid"), F.col("event_type").alias("ttype"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - _ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("user_id", "pid").orderBy(
+        F.col("tus").desc(), F.col("tid").desc()
+    )
+    att = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "pid", "ttype")
+    )
+    return (
+        p.join(att, ["user_id", "pid"], "left")
+        .groupBy(F.coalesce(F.col("ttype"), F.lit("none")).alias("touch"))
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("touch")
+    )
+
+
+# --------------------------------------------------------------------------
+# Connected-component size histogram (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _wcc_sizes_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH RECURSIVE e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+    ),
+    lbl AS (SELECT u, MIN(v) AS lbl FROM reach GROUP BY u),
+    comp AS (SELECT lbl, COUNT(*) AS size FROM lbl GROUP BY lbl)
+    SELECT CAST(size AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM comp GROUP BY size ORDER BY component_size
+"""
+    )
+
+
+@register("graph_wcc_sizes", sql=_wcc_sizes_sql())
+def graph_wcc_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly-connected-component size histogram of the affinity graph
+    — the connectivity profile (one giant component? fragmented?) that
+    decides whether graph-wide algorithms are even meaningful. Reuses
+    the engine's adaptive connected-components fixpoint (driver
+    union-find under the counted ceiling, distributed min-label
+    propagation above it — engine.similarity.connected_components);
+    the oracle recomputes the same min-label fixpoint as a recursive
+    transitive closure over the shared edge CTE — integer-exact, so
+    the histogram pins both the graph build and the fixpoint.
+
+    Self-loop-free simple edges; isolated nodes don't exist in a
+    cohort-ring graph (every member points somewhere), so node set =
+    edge endpoints on both engines."""
+    from engine.analytics import affinity_edges
+    from engine.similarity import connected_components
+
+    edges = affinity_edges(spark, sf)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    comp = connected_components(und)
+    sizes = comp.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy(F.col("size").cast("long").alias("component_size"))
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("component_size")
+    )
