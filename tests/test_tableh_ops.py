@@ -586,3 +586,39 @@ def test_csv_gzip_writes_gz_files(spark):
 
     QUERIES["scan_csv_gzip"](spark, SF_SMOKE).collect()
     assert glob.glob("/root/repo/.scratch/csv_gzip/*.csv.gz")
+
+
+def test_attribution_planted_lookback(spark, tmp_path):
+    D = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: click 2 days before purchase -> attributed to click
+        (1, base, 1, "click", 1.0),
+        (2, base + 2 * D, 1, "purchase", 9.0),
+        # user 2: view 8 days before purchase -> outside lookback -> none
+        (3, base, 2, "view", 1.0),
+        (4, base + 8 * D, 2, "purchase", 9.0),
+        # user 3: view then click (closer) -> last touch = click
+        (5, base, 3, "view", 1.0),
+        (6, base + D, 3, "click", 1.0),
+        (7, base + 2 * D, 3, "purchase", 9.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["touch"]: r["n_purchases"] for r in
+           QUERIES["win_last_touch_attribution"](spark, sf).collect()}
+    assert got == {"click": 2, "none": 1}
+
+
+def test_wcc_sizes_mass_conserves(spark):
+    from engine.analytics import affinity_edges
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["graph_wcc_sizes"](spark, SF_SMOKE).collect()
+    n_nodes = (
+        affinity_edges(spark, SF_SMOKE)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.explode(F.array("src", "dst")).alias("u"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["component_size"] * r["n_components"] for r in rows) == n_nodes
