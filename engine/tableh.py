@@ -197,14 +197,20 @@ def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     rows equally): the smallest price whose cumulative quantity reaches
     half the group's total.
 
-    Scale shape: the fact collapses to (flag, price) PARTIAL SUMS first
-    — the shuffle carries one row per distinct price, not per lineitem —
-    then one cumulative window over the collapsed relation and a
-    threshold fold. Exactness: l_quantity is integral, so every SUM and
-    the tot/2 threshold are exactly representable doubles — the cum >=
-    tot/2 comparison cannot flip on accumulation order (unlike a
-    fractional-weight variant, which would need the _exact_sum2 integer
-    trick)."""
+    Scale shape: the fact collapses to (flag, price) partial sums
+    first (a real reduction only when prices repeat — on this data
+    they are near-continuous, so the window still sees ~n rows), then
+    one cumulative window per group and a threshold fold. The per-group
+    cumulative sort is the honest cost of an EXACT weighted median: at
+    100 TB you either quantize prices to cents first (collapses the
+    domain to ~10⁶ rows per group) or run the classic two-phase
+    distributed prefix sum (per-range partial sums + a partition-count-
+    sized offset table); percentile_approx with weights rebinned is the
+    sketch alternative when exactness can go. Exactness here:
+    l_quantity is integral, so every SUM and the tot/2 threshold are
+    exactly representable doubles — the cum >= tot/2 comparison cannot
+    flip on accumulation order (unlike a fractional-weight variant,
+    which would need the _exact_sum2 integer trick)."""
     li = T(spark, sf, "lineitem")
     g = li.groupBy(
         F.col("l_returnflag").alias("flag"),
