@@ -1891,3 +1891,227 @@ def graph_wcc_sizes(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-blocked epsilon join (spatial self-join pattern)
+# --------------------------------------------------------------------------
+
+#: epsilon radius; the grid pitch equals it, so matching points are
+#: always in the same or an adjacent cell (3×3 neighborhood).
+_EPS = 4.0
+
+_SPATIAL_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    pts AS (
+      SELECT event_id AS pid, event_type,
+             value AS px, (user_id * 37) % 500 * 1.0 AS py,
+             CAST(FLOOR(value / {_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR((user_id * 37) % 500 * 1.0 / {_EPS}) AS BIGINT) AS cy
+      FROM e
+    ),
+    lhs AS (
+      SELECT pid, event_type, px, py, cx + u.dx AS cx, cy + v.dy AS cy
+      FROM pts,
+           UNNEST(GENERATE_SERIES(-1, 1)) AS u(dx),
+           UNNEST(GENERATE_SERIES(-1, 1)) AS v(dy)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS d2
+      FROM lhs a JOIN pts b ON a.cx = b.cx AND a.cy = b.cy
+       AND a.pid < b.pid
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d2 <= {_EPS} * {_EPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_close_pairs
+    FROM pairs GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("join_spatial_grid_eps", sql=_SPATIAL_SQL)
+def join_spatial_grid_eps(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-blocked ε-join — the spatial self-join pattern (DBSCAN
+    neighborhoods, geo dedup, collision detection) done the only way
+    that survives scale: bucket points into ε-pitched grid cells, join
+    each point's 3×3 cell neighborhood AGAINST the cell index (never
+    all pairs), score exact distance as a residual. Points are a
+    deterministic 2-D embedding of events (x = value, y = a user hash)
+    so both engines see identical doubles; d² ≤ ε² evaluates on
+    identical inputs with identical arithmetic.
+
+    Candidate volume = 9 cells × cell occupancy — linear in data for
+    any fixed density, and the (cx, cy) equi-join shuffles both sides
+    on the cell key; skewed hot cells split with the salting recipe.
+    The a.pid < b.pid orientation dedupes pairs without a second
+    distinct pass."""
+    ev = load_events(spark, sf)
+    px = F.col("value")
+    py = ((F.col("user_id") * 37) % 500) * F.lit(1.0)
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        "event_type",
+        px.alias("px"),
+        py.alias("py"),
+        F.floor(px / _EPS).cast("long").alias("cx"),
+        F.floor(py / _EPS).cast("long").alias("cy"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    lhs = (
+        pts.withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "pid", "event_type", "px", "py",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("pid").alias("bpid"), F.col("px").alias("bx"),
+        F.col("py").alias("by"), F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    return (
+        lhs.join(
+            b,
+            (F.col("cx") == F.col("bcx"))
+            & (F.col("cy") == F.col("bcy"))
+            & (F.col("pid") < F.col("bpid")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(d2 <= F.lit(_EPS * _EPS), 1).otherwise(0))
+            .cast("long")
+            .alias("n_close_pairs")
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (events)
+# --------------------------------------------------------------------------
+
+_EQUI_DEPTH_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    q AS (
+      SELECT ROUND(QUANTILE_CONT(value, 0.25) * 1e6) / 1e6 AS q1,
+             ROUND(QUANTILE_CONT(value, 0.50) * 1e6) / 1e6 AS q2,
+             ROUND(QUANTILE_CONT(value, 0.75) * 1e6) / 1e6 AS q3
+      FROM e
+    )
+    SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2 ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value) * 1e4) / 1e4 AS lo,
+           ROUND(MAX(value) * 1e4) / 1e4 AS hi
+    FROM e CROSS JOIN q
+    GROUP BY 1 ORDER BY bucket
+"""
+
+
+@register("agg_hist_equi_depth", sql=_EQUI_DEPTH_SQL)
+def agg_hist_equi_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quartile-boundary) histogram — the optimizer-style
+    statistic where every bucket holds ~25% of rows and the BOUNDARIES
+    carry the information (vs the fixed-width and log-bin variants
+    already in the inventory). Two passes: the exact quartiles reduce
+    in one grouped sort (shared (n−1)·p interpolation definition,
+    rounded 1e-6 before bucketing so the cut points are bit-identical
+    across engines), broadcast back as three scalars; bucketing is a
+    narrow CASE pass with a partial-aggregable rollup."""
+    ev = load_events(spark, sf)
+    q = ev.agg(
+        F.percentile("value", F.lit([0.25, 0.50, 0.75])).alias("qs")
+    ).select(
+        dround(F.col("qs").getItem(0), 6).alias("q1"),
+        dround(F.col("qs").getItem(1), 6).alias("q2"),
+        dround(F.col("qs").getItem(2), 6).alias("q3"),
+    )
+    v = F.col("value")
+    bucket = (
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.min(v), 4).alias("lo"),
+            dround(F.max(v), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget shard planning (documents)
+# --------------------------------------------------------------------------
+
+_SHARD_BUDGET = 20_000  # tokens per output shard (per source)
+
+_SHARD_PLAN_SQL = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM t
+    )
+    SELECT source, CAST(before // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY source, before // {_SHARD_BUDGET}
+    ORDER BY source, shard_id
+"""
+
+
+@register("pipeline_shard_plan", sql=_SHARD_PLAN_SQL)
+def pipeline_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard planning — the export step that turns a
+    cleaned corpus into ~equal-token output files (webdataset/
+    Megatron-style shards): docs are assigned, in stable doc_id order
+    per source, to the shard whose running token offset they start in.
+    The plan is the audit relation (docs/tokens/first doc per shard);
+    the actual write is partitionBy(source, shard_id).
+
+    One window pass per source computes the exclusive running offset
+    (integer-exact, same floordiv on both engines); the per-source
+    partitioning is what keeps the cumulative sum distributed — the
+    pack_sequences discipline at shard granularity rather than
+    2048-token sequence granularity."""
+    d = T(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    t = d.select("source", "doc_id", n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "before", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    )
+    shard = F.expr(f"(before - pmod(before, {_SHARD_BUDGET})) div {_SHARD_BUDGET}")
+    return (
+        c.groupBy("source", shard.alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
