@@ -1946,7 +1946,9 @@ def join_spatial_grid_eps(spark: SparkSession, sf: str) -> DataFrame:
     on the cell key; skewed hot cells split with the salting recipe.
     The a.pid < b.pid orientation dedupes pairs without a second
     distinct pass."""
-    ev = load_events(spark, sf)
+    from engine.session import parallelize_scan, scan_units
+
+    ev = parallelize_scan(load_events(spark, sf), scan_units(sf, "events"))
     px = F.col("value")
     py = ((F.col("user_id") * 37) % 500) * F.lit(1.0)
     pts = ev.select(
