@@ -622,3 +622,58 @@ def test_wcc_sizes_mass_conserves(spark):
         .count()
     )
     assert sum(r["component_size"] * r["n_components"] for r in rows) == n_nodes
+
+
+def test_spatial_eps_matches_brute_force(spark, tmp_path):
+    """The grid-blocked pair count must equal the O(n²) brute force on
+    a planted point set (including cross-cell neighbors)."""
+    import math
+
+    rows = []
+    # points: clustered pairs straddling cell boundaries (eps = 4)
+    vals = [1.0, 3.9, 4.1, 8.05, 100.0, 102.5, 250.0]
+    for i, v in enumerate(vals):
+        # single user: all points share y, so closeness is purely in x
+        rows.append((i, 1_700_000_000_000_000 + i, 0, "m", v))
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["event_type"]: r["n_close_pairs"] for r in
+           QUERIES["join_spatial_grid_eps"](spark, sf).collect()}
+    pts = [(i, v, 0.0) for i, v in enumerate(vals)]
+    want = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            if d2 <= 16.0:
+                want += 1
+    assert sum(got.values()) == want and want > 0
+
+
+def test_equi_depth_buckets_are_balanced(spark):
+    rows = QUERIES["agg_hist_equi_depth"](spark, SF_SMOKE).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    ns = [r["n"] for r in rows]
+    tot = sum(ns)
+    for n in ns:  # each quartile bucket holds 25% ± a tie margin
+        assert abs(n - tot / 4) <= tot * 0.05
+    # boundaries are ordered and non-overlapping
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["hi"] <= nxt["lo"]
+
+
+def test_shard_plan_budget_and_coverage(spark):
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["pipeline_shard_plan"](spark, SF_SMOKE).collect()
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["source", "text"])
+    n_docs = t.num_rows
+    total_tokens = sum(len((x or "").split(" ")) for x in t["text"].to_pylist())
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    # every shard except a source's last stays within budget + one doc
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, shards in by_source.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        for s in shards[:-1]:
+            assert s["n_tokens"] >= 20_000 - 5_000  # near-full before rolling
