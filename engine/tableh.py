@@ -2117,3 +2117,140 @@ def pipeline_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+_MARKOV_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM e
+    ),
+    pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+    c AS (SELECT cur, nxt, COUNT(*) AS n FROM pairs GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS t FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / (tot.t * 1.0) * 1e6) / 1e6 AS p
+    FROM c JOIN tot USING (cur)
+    ORDER BY cur, nxt
+"""
+
+
+@register("agg_markov_transitions", sql=_MARKOV_SQL)
+def agg_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    session simulation: P(next | current) estimated from every adjacent
+    event pair, ordered by (ts, event_id) within user.
+
+    One lead-window pass behind a single user_id shuffle builds the
+    pair stream; the matrix is two nested partial-aggregable rollups
+    (25 cells for 5 event types); probabilities divide exact integer
+    counts (identical doubles on both engines, rounded 1e-6 out of
+    habit, not need)."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            dround(F.col("n") / (F.col("t") * F.lit(1.0)), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against persisted state (documents)
+# --------------------------------------------------------------------------
+
+
+def _seen_state_path(sf: str) -> str:
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return scratch_dir("dedup_state") + (
+        f"/seen_{tag}_{data_fingerprint(sf, 'documents')}"
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    path = _seen_state_path("/root/testdata/sf0.01")
+    return f"""
+    WITH seen AS (SELECT h FROM read_parquet('{path}/*.parquet')),
+    today AS (
+      SELECT doc_id, source, MD5(TRIM(LOWER(text))) AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    flagged AS (
+      SELECT t.doc_id, t.source,
+             CASE WHEN s.h IS NULL THEN 0 ELSE 1 END AS dup
+      FROM today t LEFT JOIN seen s USING (h)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup) AS BIGINT) AS n_already_seen,
+           CAST(COUNT(*) - SUM(dup) AS BIGINT) AS n_new
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_incremental_dedup", sql=_incremental_dedup_sql())
+def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a DAILY pipeline runs:
+    yesterday's normalized content hashes are PERSISTED state (here the
+    even-doc_id half, materialized to parquet with the fingerprinted-
+    path contract); today's batch (odd half) left-joins that state to
+    split already-seen from genuinely new docs. This is the batch twin
+    of stream_dedup_watermark's in-flight state — at 100 TB the state
+    table is itself partitioned/bucketed BY HASH so the daily anti-join
+    is co-located, and compaction of the state is an append-only merge.
+
+    The hash is md5 of trim(lower(text)) — the dedup_exact normalize
+    contract — evaluated identically by both engines; counts are
+    integer-exact."""
+    import os
+
+    from engine.session import parallelize_scan, scan_units
+
+    path = _seen_state_path(sf)
+    d = parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+    h = F.md5(F.trim(F.lower(F.col("text"))))
+    if not os.path.exists(path + "/_SUCCESS"):
+        (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select(h.alias("h"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    seen = spark.read.parquet(path)
+    today = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", h.alias("h")
+    )
+    flagged = today.join(
+        seen.withColumn("dup", F.lit(1)), "h", "left"
+    ).select("source", F.coalesce(F.col("dup"), F.lit(0)).alias("dup"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup").cast("long").alias("n_already_seen"),
+            (F.count("*") - F.sum("dup")).cast("long").alias("n_new"),
+        )
+        .orderBy("source")
+    )
