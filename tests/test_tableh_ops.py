@@ -677,3 +677,45 @@ def test_shard_plan_budget_and_coverage(spark):
         shards.sort(key=lambda r: r["shard_id"])
         for s in shards[:-1]:
             assert s["n_tokens"] >= 20_000 - 5_000  # near-full before rolling
+
+
+def test_markov_rows_sum_to_one_and_pairs_conserve(spark, tmp_path):
+    # user 1: A -> B -> A -> B ; user 2: A -> A
+    rows = [
+        (1, 1_000_000, 1, "A", 1.0), (2, 2_000_000, 1, "B", 1.0),
+        (3, 3_000_000, 1, "A", 1.0), (4, 4_000_000, 1, "B", 1.0),
+        (5, 1_000_000, 2, "A", 1.0), (6, 2_000_000, 2, "A", 1.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {(r["cur"], r["nxt"]): r for r in
+           QUERIES["agg_markov_transitions"](spark, sf).collect()}
+    assert got[("A", "B")]["n"] == 2 and got[("A", "A")]["n"] == 1
+    assert got[("B", "A")]["n"] == 1
+    assert abs(got[("A", "B")]["p"] - 2 / 3) < 1e-6
+    # transition counts = total adjacent pairs
+    assert sum(r["n"] for r in got.values()) == 4
+    # each cur row's probabilities sum to ~1
+    for cur in {"A", "B"}:
+        ps = sum(r["p"] for (c, _), r in got.items() if c == cur)
+        assert abs(ps - 1.0) < 1e-5
+
+
+def test_incremental_dedup_counts(spark):
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["pipeline_incremental_dedup"](spark, SF_SMOKE).collect()
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    seen = {
+        (x or "").strip().lower()
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if d % 2 == 0
+    }
+    n_today = sum(1 for d in t["doc_id"].to_pylist() if d % 2 == 1)
+    n_dup = sum(
+        1
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if d % 2 == 1 and (x or "").strip().lower() in seen
+    )
+    assert sum(r["n_docs"] for r in rows) == n_today
+    assert sum(r["n_already_seen"] for r in rows) == n_dup
+    assert all(r["n_docs"] == r["n_already_seen"] + r["n_new"] for r in rows)
