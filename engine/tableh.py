@@ -2254,3 +2254,131 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-threshold retention curve (documents)
+# --------------------------------------------------------------------------
+
+_THRESH_SWEEP_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(LEAST(9, LEN(STRING_SPLIT(text, ' ')) // 20) AS BIGINT)
+               AS bucket
+      FROM documents
+    ),
+    h AS (SELECT bucket, COUNT(*) AS n FROM s GROUP BY bucket),
+    grid AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS t),
+    c AS (
+      SELECT g.t AS threshold_bucket,
+             SUM(CASE WHEN h.bucket >= g.t THEN h.n ELSE 0 END) AS kept,
+             SUM(h.n) AS total
+      FROM grid g CROSS JOIN h GROUP BY g.t
+    )
+    SELECT threshold_bucket,
+           CAST(kept AS BIGINT) AS n_kept,
+           ROUND(kept / (total * 1.0) * 1e6) / 1e6 AS frac_kept
+    FROM c ORDER BY threshold_bucket
+"""
+
+
+@register("pipeline_threshold_sweep", sql=_THRESH_SWEEP_SQL)
+def pipeline_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter-threshold retention curve — the sweep run when TUNING a
+    quality filter: for every candidate cutoff, how much of the corpus
+    survives? Computed the scalable way: score each doc once (here a
+    length-bucket proxy, ≤9), reduce to a 10-bucket histogram, then
+    derive the WHOLE curve from the tiny histogram × threshold grid —
+    never one corpus pass per threshold (the naive sweep is T full
+    scans; this is one scan + a 100-cell cross of aggregates)."""
+    d = T(spark, sf, "documents")
+    bucket = F.least(
+        F.lit(9), F.expr("size(split(text, ' ')) div 20")
+    ).cast("long")
+    h = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("t"))
+    c = (
+        grid.crossJoin(F.broadcast(h))
+        .groupBy(F.col("t").alias("threshold_bucket"))
+        .agg(
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("n")).otherwise(0))
+            .alias("kept"),
+            F.sum("n").alias("total"),
+        )
+    )
+    return c.select(
+        "threshold_bucket",
+        F.col("kept").cast("long").alias("n_kept"),
+        dround(F.col("kept") / (F.col("total") * F.lit(1.0)), 6).alias(
+            "frac_kept"
+        ),
+    ).orderBy("threshold_bucket")
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report (lineitem)
+# --------------------------------------------------------------------------
+
+_SKEW_REPORT_SQL = """
+    WITH k AS (
+      SELECT 'l_orderkey' AS col, l_orderkey AS key FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    c AS (SELECT col, key, COUNT(*) AS n FROM k GROUP BY col, key),
+    s AS (
+      SELECT col, COUNT(*) AS n_distinct, SUM(n) AS total,
+             MAX(n) AS max_n,
+             ROUND(QUANTILE_CONT(n, 0.99) * 1e4) / 1e4 AS p99_n
+      FROM c GROUP BY col
+    )
+    SELECT col,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(max_n AS BIGINT) AS max_rows_one_key,
+           ROUND(max_n / (total / (n_distinct * 1.0)) * 1e4) / 1e4
+             AS max_to_mean,
+           p99_n
+    FROM s ORDER BY col
+"""
+
+
+@register("agg_join_key_skew_report", sql=_SKEW_REPORT_SQL)
+def agg_join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew report — the pre-flight a pipeline runs BEFORE
+    choosing a join strategy: per candidate key column, distinct
+    count, the heaviest key's row count, its ratio to the mean key
+    (the hot-partition factor a shuffle join would see), and the p99
+    per-key count. max_to_mean ≈ 1 → hash join partitions evenly;
+    ≫ 1 → salt or AQE-skew-split that key.
+
+    One unioned pass builds (col, key) pairs; per-key counts and the
+    per-column rollup are both partial-aggregable — three fact scans
+    collapse to one via the union, and the skew stats relation is
+    3 rows."""
+    li = T(spark, sf, "lineitem")
+    parts = [
+        li.select(F.lit(c).alias("col"), F.col(c).alias("key"))
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    ]
+    k = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    c = k.groupBy("col", "key").agg(F.count("*").alias("n"))
+    s = c.groupBy("col").agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        dround(F.percentile("n", F.lit(0.99)), 4).alias("p99_n"),
+    )
+    return s.select(
+        "col",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("max_n").cast("long").alias("max_rows_one_key"),
+        dround(
+            F.col("max_n") / (F.col("total") / (F.col("n_distinct") * F.lit(1.0))),
+            4,
+        ).alias("max_to_mean"),
+        F.col("p99_n"),
+    ).orderBy("col")
