@@ -719,3 +719,21 @@ def test_incremental_dedup_counts(spark):
     assert sum(r["n_docs"] for r in rows) == n_today
     assert sum(r["n_already_seen"] for r in rows) == n_dup
     assert all(r["n_docs"] == r["n_already_seen"] + r["n_new"] for r in rows)
+
+
+def test_threshold_sweep_monotone_and_anchored(spark):
+    rows = QUERIES["pipeline_threshold_sweep"](spark, SF_SMOKE).collect()
+    assert [r["threshold_bucket"] for r in rows] == list(range(10))
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)  # monotone non-increasing
+    assert rows[0]["frac_kept"] == 1.0  # threshold 0 keeps everything
+
+
+def test_skew_report_orderkey_bounded(spark):
+    got = {r["col"]: r for r in
+           QUERIES["agg_join_key_skew_report"](spark, SF_SMOKE).collect()}
+    assert set(got) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    # orderkey multiplicity is schema-bounded (<= 7 lineitems/order)
+    assert got["l_orderkey"]["max_rows_one_key"] <= 7
+    for r in got.values():
+        assert r["max_to_mean"] >= 1.0
