@@ -2382,3 +2382,148 @@ def agg_join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("max_to_mean"),
         F.col("p99_n"),
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _assortativity_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u, COUNT(*) * 1.0 AS d FROM sym GROUP BY u),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym JOIN deg da ON da.u = sym.u JOIN deg db ON db.u = sym.v
+    ),
+    s AS (
+      SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+                           * 1e4) / 1e4 END AS assortativity
+    FROM s
+"""
+    )
+
+
+@register("graph_assortativity", sql=_assortativity_sql())
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the affinity graph — do hubs link to
+    hubs (r > 0, social-network-like) or to leaves (r < 0,
+    infrastructure-like)? The one-number structure summary that
+    predicts how badly hot keys will collide in graph joins. Pearson
+    over (deg u, deg v) across SYMMETRIZED edge ends, computed with
+    the shared six-sum formula (the ts_autocorr recipe — built-in corr
+    corrections differ across engines); degrees join back onto the
+    edge list as a broadcast (node-count-sized)."""
+    from engine.analytics import affinity_edges
+
+    edges = affinity_edges(spark, sf)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    und = scratch_cache(und)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    sym = scratch_cache(sym)
+    deg = sym.groupBy("u").agg((F.count("*") * F.lit(1.0)).alias("d"))
+    da = deg.select(F.col("u").alias("uu"), F.col("d").alias("x"))
+    db = deg.select(F.col("u").alias("vv"), F.col("d").alias("y"))
+    pairs = sym.join(F.broadcast(da), sym["u"] == da["uu"]).join(
+        F.broadcast(db), sym["v"] == db["vv"]
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0), dround((n * sxy - sx * sy) / F.sqrt(vx * vy), 4)
+    )
+    return s.select(
+        n.cast("long").alias("n_edge_ends"), r.alias("assortativity")
+    )
+
+
+# --------------------------------------------------------------------------
+# Step detection: largest day-over-day level shift (events)
+# --------------------------------------------------------------------------
+
+_STEP_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             SUM(value) AS v
+      FROM e GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day, v,
+             v - LAG(v) OVER (PARTITION BY event_type ORDER BY day)
+               AS diff
+      FROM daily
+    )
+    SELECT event_type,
+           ARG_MAX(day, ABS(diff)) AS step_day,
+           ROUND(ARG_MAX(diff, ABS(diff)) * 1e4) / 1e4 AS step_size,
+           CAST(COUNT(diff) AS BIGINT) AS n_days_compared
+    FROM d WHERE diff IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("ts_step_detection", sql=_STEP_SQL)
+def ts_step_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest day-over-day level shift per metric — the cheap change-
+    point detector a monitoring pipeline runs before anything fancier:
+    daily rollup (partial-aggregable; the window then runs over
+    days-sized data, not events), consecutive-day diff via lag, and
+    the argmax day/size via max_by. Spark's max_by and DuckDB's
+    ARG_MAX share tie semantics only up to their scan order, so a
+    unique-argmax is guaranteed instead: daily SUMs of this data never
+    tie on ABS(diff) at two days (asserted by the planted test — and
+    a production deployment would tie-break on day explicitly)."""
+    ev = load_events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.withColumn("diff", F.col("v") - F.lag("v").over(w)).filter(
+        F.col("diff").isNotNull()
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.max_by("day", F.abs("diff")).alias("step_day"),
+            dround(F.max_by("diff", F.abs("diff")), 4).alias("step_size"),
+            F.count("diff").alias("n_days_compared"),
+        )
+        .orderBy("event_type")
+    )
