@@ -756,8 +756,10 @@ def test_step_detection_planted_spike(spark, tmp_path):
     base = 1_704_067_200_000_000
     rows = []
     eid = 0
-    # type A: flat days (10, 10, 10, 100, 10) -> step at day 3 (+90)
-    for day, v in enumerate((10.0, 10.0, 10.0, 100.0, 10.0)):
+    # type A: days (10, 10, 10, 100, 60) -> diffs (0, 0, +90, -40):
+    # unique-|diff| argmax at 2024-01-04 (+90). (10 on the last day
+    # would tie |+90| with |-90| — the documented argmax hazard.)
+    for day, v in enumerate((10.0, 10.0, 10.0, 100.0, 60.0)):
         rows.append((eid, base + day * D, 1, "A", v)); eid += 1
     sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
     got = QUERIES["ts_step_detection"](spark, sf).collect()
