@@ -2490,12 +2490,16 @@ _STEP_SQL = f"""
                AS diff
       FROM daily
     )
-    SELECT event_type,
-           ARG_MAX(day, ABS(diff)) AS step_day,
-           ROUND(ARG_MAX(diff, ABS(diff)) * 1e4) / 1e4 AS step_size,
-           CAST(COUNT(diff) AS BIGINT) AS n_days_compared
-    FROM d WHERE diff IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
+    SELECT event_type, step_day,
+           ROUND(step * 1e4) / 1e4 AS step_size,
+           n_days_compared
+    FROM (
+      SELECT event_type, day AS step_day, diff AS step,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days_compared,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(diff) DESC, day DESC) AS rn
+      FROM d WHERE diff IS NOT NULL) t
+    WHERE rn = 1 ORDER BY event_type
 """
 
 
@@ -2505,11 +2509,9 @@ def ts_step_detection(spark: SparkSession, sf: str) -> DataFrame:
     point detector a monitoring pipeline runs before anything fancier:
     daily rollup (partial-aggregable; the window then runs over
     days-sized data, not events), consecutive-day diff via lag, and
-    the argmax day/size via max_by. Spark's max_by and DuckDB's
-    ARG_MAX share tie semantics only up to their scan order, so a
-    unique-argmax is guaranteed instead: daily SUMs of this data never
-    tie on ABS(diff) at two days (asserted by the planted test — and
-    a production deployment would tie-break on day explicitly)."""
+    the argmax via an EXPLICIT total order (|diff| desc, day desc) —
+    max_by/ARG_MAX tie semantics follow engine scan order, so a rank
+    window with a full tie-break key is the portable argmax."""
     ev = load_events(spark, sf)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -2518,12 +2520,21 @@ def ts_step_detection(spark: SparkSession, sf: str) -> DataFrame:
     d = daily.withColumn("diff", F.col("v") - F.lag("v").over(w)).filter(
         F.col("diff").isNotNull()
     )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("diff").desc(), F.col("day").desc()
+    )
     return (
-        d.groupBy("event_type")
-        .agg(
-            F.max_by("day", F.abs("diff")).alias("step_day"),
-            dround(F.max_by("diff", F.abs("diff")), 4).alias("step_size"),
-            F.count("diff").alias("n_days_compared"),
+        d.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n_days_compared",
+            F.count("*").over(Window.partitionBy("event_type")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("step_day"),
+            dround(F.col("diff"), 4).alias("step_size"),
+            F.col("n_days_compared").cast("long"),
         )
         .orderBy("event_type")
     )
