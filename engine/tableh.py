@@ -2538,3 +2538,69 @@ def ts_step_detection(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Population stability index (documents: drift monitor)
+# --------------------------------------------------------------------------
+
+_PSI_SQL = """
+    WITH s AS (
+      SELECT doc_id % 2 AS half,
+             CAST(LEAST(9, LEN(STRING_SPLIT(text, ' ')) // 20) AS BIGINT)
+               AS bucket
+      FROM documents
+    ),
+    c AS (SELECT half, bucket, COUNT(*) AS n FROM s GROUP BY half, bucket),
+    tot AS (SELECT half, SUM(n) AS t FROM c GROUP BY half),
+    p AS (
+      SELECT c.bucket, c.half, (c.n + 0.5) / (tot.t + 5.0) AS p
+      FROM c JOIN tot USING (half)
+    ),
+    w AS (
+      SELECT a.bucket, a.p AS pa, b.p AS pb
+      FROM (SELECT bucket, p FROM p WHERE half = 0) a
+      JOIN (SELECT bucket, p FROM p WHERE half = 1) b USING (bucket)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM((pa - pb) * LN(pa / pb)) * 1e6) / 1e6 AS psi
+    FROM w
+"""
+
+
+@register("agg_psi_drift", sql=_PSI_SQL)
+def agg_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population stability index between two corpus halves (the
+    deterministic doc_id split standing in for yesterday-vs-today) over
+    the length-bucket distribution — THE drift alarm run between
+    pipeline snapshots (PSI < 0.1 stable, > 0.25 investigate).
+    Smoothed probabilities ((n+½)/(t+5·1) per 10-bucket half) keep the
+    log finite when a bucket empties on one side — the additive
+    smoothing mirrored exactly on both engines.
+
+    Both halves histogram in ONE pass over the corpus (group by half ×
+    bucket, 20 cells), the PSI fold runs on the 10-row joined bucket
+    relation — a second snapshot at 100 TB only ever contributes its
+    own 10-cell histogram."""
+    d = T(spark, sf, "documents")
+    bucket = F.least(
+        F.lit(9), F.expr("size(split(text, ' ')) div 20")
+    ).cast("long")
+    s = d.select((F.col("doc_id") % 2).alias("half"), bucket.alias("bucket"))
+    c = s.groupBy("half", "bucket").agg(F.count("*").alias("n"))
+    tot = c.groupBy("half").agg(F.sum("n").alias("t"))
+    p = c.join(F.broadcast(tot), "half").select(
+        "bucket",
+        "half",
+        ((F.col("n") + 0.5) / (F.col("t") + 5.0)).alias("p"),
+    )
+    a = p.filter(F.col("half") == 0).select("bucket", F.col("p").alias("pa"))
+    b = p.filter(F.col("half") == 1).select("bucket", F.col("p").alias("pb"))
+    w = a.join(b, "bucket")
+    return w.agg(
+        F.count("*").alias("n_buckets"),
+        dround(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+    )
