@@ -767,3 +767,28 @@ def test_step_detection_planted_spike(spark, tmp_path):
     r = got[0]
     assert r["step_size"] == 90.0 and r["n_days_compared"] == 4
     assert str(r["step_day"]).startswith("2024-01-04")
+
+
+def test_psi_identical_halves_near_zero(spark, tmp_path):
+    # identical halves -> PSI ~ 0 (exactly 0 with identical counts)
+    docs = [(i, "w " * 40, "en", "s", 80) for i in range(200)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    r = QUERIES["agg_psi_drift"](spark, sf).collect()[0]
+    assert r["psi"] == 0.0
+
+
+def test_psi_shifted_halves_positive(spark, tmp_path):
+    # even docs short, odd docs long -> large PSI
+    docs = []
+    for i in range(200):
+        text = "w " * (10 if i % 2 == 0 else 190)
+        docs.append((i, text.strip(), "en", "s", len(text)))
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    r = QUERIES["agg_psi_drift"](spark, sf).collect()[0]
+    assert r["psi"] > 1.0
