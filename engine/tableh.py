@@ -2553,9 +2553,12 @@ _PSI_SQL = """
     ),
     c AS (SELECT half, bucket, COUNT(*) AS n FROM s GROUP BY half, bucket),
     tot AS (SELECT half, SUM(n) AS t FROM c GROUP BY half),
+    grid AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS bucket),
     p AS (
-      SELECT c.bucket, c.half, (c.n + 0.5) / (tot.t + 5.0) AS p
-      FROM c JOIN tot USING (half)
+      SELECT g.bucket, tot.half,
+             (COALESCE(c.n, 0) + 0.5) / (tot.t + 5.0) AS p
+      FROM grid g CROSS JOIN tot
+      LEFT JOIN c ON c.bucket = g.bucket AND c.half = tot.half
     ),
     w AS (
       SELECT a.bucket, a.p AS pa, b.p AS pb
@@ -2574,9 +2577,12 @@ def agg_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     deterministic doc_id split standing in for yesterday-vs-today) over
     the length-bucket distribution — THE drift alarm run between
     pipeline snapshots (PSI < 0.1 stable, > 0.25 investigate).
-    Smoothed probabilities ((n+½)/(t+5·1) per 10-bucket half) keep the
-    log finite when a bucket empties on one side — the additive
-    smoothing mirrored exactly on both engines.
+    Probabilities are smoothed OVER THE FULL BUCKET GRID
+    ((n+½)/(t+5) with n=0 for absent buckets), so the log stays finite
+    and the metric defined even when the two snapshots occupy DISJOINT
+    buckets — the maximal-drift case a shared-buckets-only join would
+    silently return NULL for (caught by the planted shifted-halves
+    test).
 
     Both halves histogram in ONE pass over the corpus (group by half ×
     bucket, 20 cells), the PSI fold runs on the 10-row joined bucket
@@ -2589,10 +2595,15 @@ def agg_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     s = d.select((F.col("doc_id") % 2).alias("half"), bucket.alias("bucket"))
     c = s.groupBy("half", "bucket").agg(F.count("*").alias("n"))
     tot = c.groupBy("half").agg(F.sum("n").alias("t"))
-    p = c.join(F.broadcast(tot), "half").select(
-        "bucket",
-        "half",
-        ((F.col("n") + 0.5) / (F.col("t") + 5.0)).alias("p"),
+    grid = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    p = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), ["bucket", "half"], "left")
+        .select(
+            "bucket",
+            "half",
+            ((F.coalesce(F.col("n"), F.lit(0)) + 0.5) / (F.col("t") + 5.0)).alias("p"),
+        )
     )
     a = p.filter(F.col("half") == 0).select("bucket", F.col("p").alias("pa"))
     b = p.filter(F.col("half") == 1).select("bucket", F.col("p").alias("pb"))
