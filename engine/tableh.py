@@ -368,9 +368,9 @@ def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     match pins both the graph construction and the traversal. MIN(hop)
     over all (node, level) sightings equals the BFS level on both
     engines."""
-    from engine.analytics import affinity_edges
+    from engine.analytics import materialize_affinity_edges
 
-    edges = scratch_cache(affinity_edges(spark, sf))
+    edges = scratch_cache(materialize_affinity_edges(spark, sf))
     if edges.count() <= _BFS_DRIVER_EDGES:
         return _bfs_driver(spark, edges)
     return _bfs_distributed(spark, edges)
@@ -604,10 +604,10 @@ def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     orders of magnitude smaller than its input: edges → per-src degree
     → degree histogram; integer-exact end to end, over the same edge
     CTE fragment the PageRank/BFS oracles pin."""
-    from engine.analytics import affinity_edges
+    from engine.analytics import materialize_affinity_edges
 
     deg = (
-        affinity_edges(spark, sf)
+        materialize_affinity_edges(spark, sf)
         .groupBy("src")
         .agg(F.count("*").alias("deg"))
     )
@@ -1406,9 +1406,9 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     a max-degree filter exactly like the shingle-DF cap); existing
     edges drop via a LEFT ANTI join; degrees broadcast back. Integer-
     exact until the final ratio (rounded 1e-6), deterministic ties."""
-    from engine.analytics import affinity_edges
+    from engine.analytics import materialize_affinity_edges
 
-    edges = affinity_edges(spark, sf)
+    edges = materialize_affinity_edges(spark, sf)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -1873,10 +1873,10 @@ def graph_wcc_sizes(spark: SparkSession, sf: str) -> DataFrame:
     Self-loop-free simple edges; isolated nodes don't exist in a
     cohort-ring graph (every member points somewhere), so node set =
     edge endpoints on both engines."""
-    from engine.analytics import affinity_edges
+    from engine.analytics import materialize_affinity_edges
     from engine.similarity import connected_components
 
-    edges = affinity_edges(spark, sf)
+    edges = materialize_affinity_edges(spark, sf)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -2433,9 +2433,9 @@ def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     the shared six-sum formula (the ts_autocorr recipe — built-in corr
     corrections differ across engines); degrees join back onto the
     edge list as a broadcast (node-count-sized)."""
-    from engine.analytics import affinity_edges
+    from engine.analytics import materialize_affinity_edges
 
-    edges = affinity_edges(spark, sf)
+    edges = materialize_affinity_edges(spark, sf)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
