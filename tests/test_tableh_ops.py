@@ -792,3 +792,27 @@ def test_psi_shifted_halves_positive(spark, tmp_path):
     sf = _write_sf(spark, tmp_path, "documents", d)
     r = QUERIES["agg_psi_drift"](spark, sf).collect()[0]
     assert r["psi"] > 1.0
+
+
+def test_graph_consumers_read_materialized_edges(spark):
+    # the edge list must come from the fingerprinted parquet, not be
+    # rebuilt per query (the materialize_affinity_edges contract)
+    # (graph_wcc_sizes is excluded: at smoke scale its adaptive CC takes
+    # the driver union-find path, so the returned plan is a
+    # LocalTableScan with no file scan at all)
+    for key in ("graph_degree_distribution", "graph_assortativity",
+                "graph_jaccard_link_prediction"):
+        p = _plan(spark, key)
+        locs = [ln for ln in p.splitlines() if "Location:" in ln]
+        assert any(".scratch/affinity" in ln for ln in locs), (key, locs)
+        # and the raw events fact must NOT be re-scanned
+        assert not any("events.parquet" in ln for ln in locs), (key, locs)
+
+
+def test_attribution_and_spatial_joins_stay_keyed(spark):
+    # both ride equi keys (user_id / grid cell) with residual predicates
+    # — never a cartesian or nested-loop join
+    for key in ("win_last_touch_attribution", "join_spatial_grid_eps"):
+        p = _plan(spark, key)
+        assert "CartesianProduct" not in p, key
+        assert "BroadcastNestedLoopJoin" not in p, key
