@@ -325,12 +325,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from a self-join on shared shingles — an inverted index, so cost
     scales with shared-shingle pairs, not n² — over the df-capped
     vocabulary (JACCARD_MAX_DF): one stop-shingle can no longer make
-    the candidate join quadratic."""
-    from engine.session import scan_units
+    the candidate join quadratic. Served from the shared materialized
+    pair relation (materialize_jaccard_pairs) — the dedup DECISION key
+    (dedup_clusters) consumes the identical pairs, so the expensive
+    inverted-index join runs once per corpus fingerprint."""
+    return materialize_jaccard_pairs(spark, sf)
 
-    return jaccard_pairs(
-        T(spark, sf, "documents"), units=scan_units(sf, "documents")
+
+_JACCARD_MEMO: set = set()
+
+
+def materialize_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard pair evidence, materialized once per (sf, documents
+    fingerprint) — the affinity-edges contract applied to the dedup
+    family: pair evidence is a derived relation two keys consume, and a
+    100 TB pipeline computes it once, persists it, and feeds every
+    downstream decision from the same parquet. Oracles rebuild the
+    pairs in SQL, so the materialization stays value-checked."""
+    import os
+
+    from engine.session import data_fingerprint, scan_units, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = scratch_dir("jaccard") + (
+        f"/pairs_{tag}_{data_fingerprint(sf, 'documents')}"
     )
+    key = ("jacpairs", path)
+    if not (key in _JACCARD_MEMO and os.path.exists(path + "/_SUCCESS")):
+        jaccard_pairs(
+            T(spark, sf, "documents"), units=scan_units(sf, "documents")
+        ).write.mode("overwrite").parquet(path)
+        _JACCARD_MEMO.add(key)
+    return spark.read.parquet(path)
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
@@ -928,14 +954,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     the step that turns pairwise similarity into an actual dedup
     decision; at 100 TB the components run over the candidate-pair
     output, which is orders of magnitude smaller than the corpus."""
-    # the UNWRAPPED helper, not the registered dedup_ngram_jaccard: the
-    # registry wrapper drains scratch caches on entry, and a registered
-    # query must never re-enter another mid-build
-    from engine.session import scan_units
-
-    pairs = jaccard_pairs(
-        T(spark, sf, "documents"), units=scan_units(sf, "documents")
-    ).select("a", "b")
+    # the UNWRAPPED materializer, not the registered dedup_ngram_jaccard:
+    # the registry wrapper drains scratch caches on entry, and a
+    # registered query must never re-enter another mid-build
+    pairs = materialize_jaccard_pairs(spark, sf).select("a", "b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("label")
