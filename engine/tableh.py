@@ -2615,3 +2615,131 @@ def agg_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: langid confusion matrix (documents)
+# --------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    from engine.text import _LANGID_ARGMAX_SQL, _LANGID_SCORES_SQL
+
+    return f"""
+    WITH pred AS (
+      SELECT lang, {_LANGID_ARGMAX_SQL} AS pred_lang
+      FROM (SELECT lang, {_LANGID_SCORES_SQL} FROM documents) t
+    )
+    SELECT lang AS actual, pred_lang AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / (SUM(COUNT(*)) OVER (PARTITION BY lang) * 1.0)
+                 * 1e6) / 1e6 AS row_frac
+    FROM pred GROUP BY lang, pred_lang
+    ORDER BY actual, predicted
+"""
+
+
+@register("text_langid_confusion", sql=_langid_confusion_sql())
+def text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the gold
+    lang labels — the evaluation every classifier-in-the-pipeline needs
+    NEXT TO the classifier itself (text_langid ships predictions; this
+    key grades them). Cells carry the count and the row-normalized
+    fraction (per-actual recall mass).
+
+    Single narrow scoring pass reusing text_langid's exact marker
+    expressions (single source of truth — the oracle reuses the same
+    SQL fragments), one ≤25-cell aggregation, a window over the tiny
+    matrix for row fractions."""
+    from engine.text import LANGID_MARKERS
+
+    d = T(spark, sf, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANGID_MARKERS.items()
+    }
+    scored = d.select(
+        "lang", *[scores[lang].alias(f"s_{lang}") for lang in scores]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGID_MARKERS])
+    pred = F.when(F.col("s_en") >= best, "en")
+    for lang in ("es", "fr", "de", "zh"):
+        pred = pred.when(F.col(f"s_{lang}") >= best, lang)
+    c = (
+        scored.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("actual")
+    return (
+        c.select(
+            "actual",
+            "predicted",
+            "n",
+            dround(F.col("n") / (F.sum("n").over(w) * F.lit(1.0)), 6).alias(
+                "row_frac"
+            ),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust trimmed mean (events)
+# --------------------------------------------------------------------------
+
+_TRIMMED_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    q AS (
+      SELECT event_type,
+             ROUND(QUANTILE_CONT(value, 0.10) * 1e6) / 1e6 AS lo,
+             ROUND(QUANTILE_CONT(value, 0.90) * 1e6) / 1e6 AS hi
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN value >= q.lo AND value <= q.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN value >= q.lo AND value <= q.hi
+                     THEN value END)
+                 / SUM(CASE WHEN value >= q.lo AND value <= q.hi
+                       THEN 1 END) * 1e4) / 1e4 AS trimmed_mean,
+           ROUND(AVG(value) * 1e4) / 1e4 AS raw_mean
+    FROM e JOIN q USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@register("agg_trimmed_mean", sql=_TRIMMED_SQL)
+def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10%-trimmed mean per group next to the raw mean — the robust
+    location estimate that survives the fat tails raw averages drown
+    in. Two passes: exact decile cut points (one grouped sort, rounded
+    1e-6 so both engines trim at bit-identical fences — the equi-depth
+    recipe) broadcast back onto the fact; the trimmed aggregate is a
+    conditional partial-aggregable sum."""
+    ev = load_events(spark, sf)
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.10, 0.90])).alias("qs")
+    ).select(
+        "event_type",
+        dround(F.col("qs").getItem(0), 6).alias("lo"),
+        dround(F.col("qs").getItem(1), 6).alias("hi"),
+    )
+    inb = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(inb, 1).otherwise(0)).cast("long").alias("n_kept"),
+            dround(
+                F.sum(F.when(inb, F.col("value")))
+                / F.sum(F.when(inb, 1)),
+                4,
+            ).alias("trimmed_mean"),
+            dround(F.avg("value"), 4).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
