@@ -816,3 +816,33 @@ def test_attribution_and_spatial_joins_stay_keyed(spark):
         p = _plan(spark, key)
         assert "CartesianProduct" not in p, key
         assert "BroadcastNestedLoopJoin" not in p, key
+
+
+def test_langid_confusion_diagonal_consistency(spark):
+    """Matrix rows must sum to each actual lang's doc count and row
+    fractions to ~1; diagonal mass equals text_langid's own accuracy."""
+    rows = QUERIES["text_langid_confusion"](spark, SF_SMOKE).collect()
+    preds = QUERIES["text_langid"](spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    want = Counter((p["lang"], p["pred_lang"]) for p in preds)
+    got = {(r["actual"], r["predicted"]): r["n"] for r in rows}
+    assert got == dict(want)
+    per_actual = {}
+    for r in rows:
+        per_actual.setdefault(r["actual"], 0.0)
+        per_actual[r["actual"]] += r["row_frac"]
+    for v in per_actual.values():
+        assert abs(v - 1.0) < 1e-4
+
+
+def test_trimmed_mean_ignores_planted_outlier(spark, tmp_path):
+    # 99 values of 10 + one 1e9 outlier: raw mean explodes, trimmed
+    # mean stays 10
+    rows = [
+        (i, 1_700_000_000_000_000 + i, 1, "m", 10.0) for i in range(99)
+    ] + [(999, 1_700_000_000_000_000, 1, "m", 1e9)]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_trimmed_mean"](spark, sf).collect()[0]
+    assert r["trimmed_mean"] == 10.0
+    assert r["raw_mean"] > 1e6
