@@ -2743,3 +2743,84 @@ def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted clustered write, layout value-checked from parquet footers
+# --------------------------------------------------------------------------
+
+
+def _sorted_write_path(sf: str) -> str:
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return scratch_dir("sorted_write") + (
+        f"/li_{tag}_{data_fingerprint(sf, 'lineitem')}"
+    )
+
+
+def _sorted_write_oracle_sql() -> str:
+    path = _sorted_write_path("/root/testdata/sf0.01")
+    return f"""
+    SELECT parse_filename(file_name) AS fname,
+           CAST(row_group_id AS BIGINT) AS rg,
+           row_group_num_rows AS n_rows,
+           CAST(stats_min_value AS BIGINT) AS k_min,
+           CAST(stats_max_value AS BIGINT) AS k_max
+    FROM parquet_metadata('{path}/*.parquet')
+    WHERE path_in_schema = 'k'
+    ORDER BY fname, rg
+"""
+
+
+@register("sink_sorted_clustered_write", sql=_sorted_write_oracle_sql())
+def sink_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-clustered sorted write — and a check that the LAYOUT
+    ITSELF landed: lineitem is written repartitionByRange +
+    sortWithinPartitions on an epoch-µs ship-date key, then BOTH
+    engines read the parquet FOOTERS of the same files (pyarrow here,
+    DuckDB parquet_metadata in the oracle) and report per-row-group
+    (rows, min, max). This is the property that makes time-range scans
+    prune at 100 TB — min/max stats that actually partition the key
+    space (non-overlap asserted in tests) — verified from the physical
+    artifact rather than assumed from the plan.
+
+    The write is fingerprint-memoized (the kmeans-artifact contract);
+    the metadata probe is JVM-free (the scan_units precedent), row
+    counts and key bounds are exact integers on both engines."""
+    import os
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    path = _sorted_write_path(sf)
+    if not os.path.exists(path + "/_SUCCESS"):
+        li = T(spark, sf, "lineitem").select(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("k"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        (
+            li.repartitionByRange(8, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    rows = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            rows.append(
+                (
+                    f.name,
+                    rg,
+                    md.row_group(rg).num_rows,
+                    int(col.statistics.min),
+                    int(col.statistics.max),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "fname string, rg long, n_rows long, k_min long, k_max long"
+    ).orderBy("fname", "rg")

@@ -846,3 +846,14 @@ def test_trimmed_mean_ignores_planted_outlier(spark, tmp_path):
     r = QUERIES["agg_trimmed_mean"](spark, sf).collect()[0]
     assert r["trimmed_mean"] == 10.0
     assert r["raw_mean"] > 1e6
+
+
+def test_sorted_write_rowgroups_partition_keyspace(spark):
+    """The written layout must actually enable pruning: row-group
+    [min, max] ranges must be pairwise NON-OVERLAPPING across the
+    whole dataset (each range query touches a contiguous run)."""
+    rows = QUERIES["sink_sorted_clustered_write"](spark, SF_SMOKE).collect()
+    assert rows
+    spans = sorted((r["k_min"], r["k_max"]) for r in rows)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
