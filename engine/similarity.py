@@ -1575,3 +1575,98 @@ def pipeline_semdedup_keep_central(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit (Table H): grade the banding against exact truth
+# --------------------------------------------------------------------------
+
+_LSH_RECALL_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    shing2 AS (SELECT doc_id, sh FROM shing WHERE LEN(sh) > 0),
+    inv AS (SELECT doc_id, UNNEST(sh) AS s FROM shing2),
+    co AS (
+      SELECT i1.doc_id AS a, i2.doc_id AS b, COUNT(*) AS c
+      FROM inv i1 JOIN inv i2 ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+      GROUP BY i1.doc_id, i2.doc_id
+    ),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM shing2),
+    truth AS (
+      SELECT a, b FROM co
+      JOIN sizes x ON x.doc_id = a JOIN sizes y ON y.doc_id = b
+      WHERE ROUND(c / (x.n + y.n - c * 1.0) * 10000) / 10000 >= 0.7
+    ),
+    ds AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(sh,
+                    s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT
+                         % {_MINHASH_P})) AS x
+           FROM shing2),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(((2 * band + 1) * x + 12345 * band) % {_MINHASH_P}) AS h
+      FROM ds CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band)
+      GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.h = sb.h AND sa.doc_id < sb.doc_id
+    ),
+    hit AS (SELECT t.a, t.b FROM truth t JOIN cand c USING (a, b))
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           ROUND((SELECT COUNT(*) FROM hit)
+                 / ((SELECT COUNT(*) FROM truth) * 1.0) * 1e4) / 1e4
+             AS recall
+"""
+
+
+@register("pipeline_lsh_recall_audit", sql=_LSH_RECALL_SQL)
+def pipeline_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH recall audit — grade the MinHash banding against EXACT
+    ground truth: truth = all pairs with exact 5-shingle Jaccard ≥ 0.7
+    from an uncapped inverted-index join; found = truth pairs whose
+    banded signatures collide on any band. The production recall
+    monitor for a probabilistic dedup stage: exact truth is
+    quadratic-ish, so at 100 TB it runs on a fixed audit sample while
+    the LSH pass runs on everything — the audit corpus HERE is the
+    whole testdata (25 truth pairs at the driver's sf0.01; expected
+    recall for b=6, r=1 at s=0.7 is 1−(1−0.7)⁶ ≈ 0.999).
+
+    Both pipelines reuse the engine's own building blocks
+    (jaccard_pairs uncapped for truth, the banded candidate join from
+    minhash_pairs for found); the oracle rebuilds both in SQL from the
+    same shared shingle/hash definitions."""
+    from engine.session import scan_units
+
+    d = T(spark, sf, "documents")
+    units = scan_units(sf, "documents")
+    truth = (
+        jaccard_pairs(d, max_df=1_000_000_000, units=units)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a", "b")
+    )
+    truth = scratch_cache(truth)
+    found = minhash_pairs(d, units=units).select("a", "b")
+    hit = truth.join(found, ["a", "b"])
+    n_truth = truth.count()  # counted audit scalars — sample-sized
+    n_found = hit.count()
+    import math
+
+    # half-away-from-zero on the scaled double (ratio is non-negative) —
+    # the engines' shared ROUND semantics, never python banker's round()
+    recall = (
+        math.floor(n_found / n_truth * 1e4 + 0.5) / 1e4 if n_truth else None
+    )
+    return spark.createDataFrame(
+        [(n_truth, n_found, recall)],
+        "n_truth long, n_found long, recall double",
+    )
