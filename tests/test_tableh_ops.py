@@ -857,3 +857,11 @@ def test_sorted_write_rowgroups_partition_keyspace(spark):
     spans = sorted((r["k_min"], r["k_max"]) for r in rows)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_lsh_recall_audit_bounds(spark):
+    r = QUERIES["pipeline_lsh_recall_audit"](spark, SF_SMOKE).collect()[0]
+    assert r["n_found"] <= r["n_truth"]
+    if r["n_truth"]:
+        # b=6,r=1 banding at s >= 0.7: P(miss) <= 0.3^6 ~ 7e-4 per pair
+        assert r["recall"] >= 0.9
