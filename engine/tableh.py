@@ -2824,3 +2824,147 @@ def sink_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fname string, rg long, n_rows long, k_min long, k_max long"
     ).orderBy("fname", "rg")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic (events)
+# --------------------------------------------------------------------------
+
+_KS_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    s AS (
+      SELECT value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM e WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT value, SUM(ia) AS na_v, SUM(ib) AS nb_v
+      FROM s GROUP BY value
+    ),
+    c AS (
+      SELECT value,
+             SUM(na_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb_v) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      FROM g
+    )
+    SELECT CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(ca / (na * 1.0) - cb / (nb * 1.0))) * 1e6) / 1e6
+             AS ks_stat
+    FROM c
+"""
+
+
+@register("agg_ks_statistic", sql=_KS_SQL)
+def agg_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the 'view' and
+    'purchase' value distributions — the distribution-level A/B
+    read-out that catches shape changes a mean test (agg_ab_test_welch)
+    misses. D = max |ECDF_a − ECDF_b| evaluated at every distinct
+    value: per-value arm counts are one partial-aggregable pass, the
+    ECDFs are cumulative windows over the DISTINCT-value relation
+    (orders smaller than the data), and the cumulative counts are exact
+    integers so the ECDF division is bit-identical on both engines.
+    The global-order window is over distinct values only — the
+    documented export-only single-reducer class; at 100 TB, bucket the
+    value domain first (equi-depth recipe) for a banded D bound."""
+    ev = load_events(spark, sf)
+    s = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v")
+    )
+    wc = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = g.select(
+        F.sum("na_v").over(wc).alias("ca"),
+        F.sum("nb_v").over(wc).alias("cb"),
+        F.sum("na_v").over(wall).alias("na"),
+        F.sum("nb_v").over(wall).alias("nb"),
+    )
+    return c.agg(
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        dround(
+            F.max(
+                F.abs(
+                    F.col("ca") / (F.col("na") * F.lit(1.0))
+                    - F.col("cb") / (F.col("nb") * F.lit(1.0))
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (events)
+# --------------------------------------------------------------------------
+
+_BENFORD_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    k AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM e WHERE value > 0
+    ),
+    d AS (
+      SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM k WHERE cents >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / (SUM(COUNT(*)) OVER () * 1.0) * 1e6) / 1e6
+             AS observed_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit) * 1e6) / 1e6 AS benford_freq
+    FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+@register("agg_benford_first_digit", sql=_BENFORD_SQL)
+def agg_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit profile — the classic synthetic-
+    data / fraud / unit-mixup audit: natural multiplicative data
+    follows log10(1+1/d); flat or spiked digit profiles flag generated
+    or truncated values. The digit is INTEGER-EXACT: values quantize
+    to cents with the shared ROUND semantics and the first digit comes
+    from the decimal string — no float log in the bucketing path
+    (log10 appears only in the reference column, where both engines
+    compute it from the same small integers). One narrow pass + a
+    9-row rollup."""
+    ev = load_events(spark, sf)
+    cents = dround(F.col("value") * 100, 0).cast("long")
+    d = (
+        ev.filter(F.col("value") > 0)
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            dround(F.col("n") / (F.sum("n").over(w) * F.lit(1.0)), 6).alias(
+                "observed_freq"
+            ),
+            dround(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+                "benford_freq"
+            ),
+        )
+        .orderBy("digit")
+    )
