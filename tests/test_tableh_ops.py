@@ -865,3 +865,28 @@ def test_lsh_recall_audit_bounds(spark):
     if r["n_truth"]:
         # b=6,r=1 banding at s >= 0.7: P(miss) <= 0.3^6 ~ 7e-4 per pair
         assert r["recall"] >= 0.9
+
+
+def test_ks_identical_arms_zero(spark, tmp_path):
+    # identical view/purchase samples -> D = 0; disjoint -> D = 1
+    rows = []
+    eid = 0
+    for arm in ("view", "purchase"):
+        for v in (1.0, 2.0, 3.0):
+            rows.append((eid, 1_700_000_000_000_000 + eid, 1, arm, v)); eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    assert QUERIES["agg_ks_statistic"](spark, sf).collect()[0]["ks_stat"] == 0.0
+    rows = [(i, 1_700_000_000_000_000 + i, 1, "view", float(i + 1)) for i in range(3)]
+    rows += [(10 + i, 1_700_000_000_000_000 + i, 1, "purchase", float(i + 100)) for i in range(3)]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    assert QUERIES["agg_ks_statistic"](spark, sf).collect()[0]["ks_stat"] == 1.0
+
+
+def test_benford_digits_integer_exact(spark, tmp_path):
+    # planted values whose cents are exact powers/edges: 0.01 -> digit 1,
+    # 0.95 -> 9, 2.00 -> 2, 19.99 -> 1, 300.0 -> 3
+    vals = [0.01, 0.95, 2.00, 19.99, 300.0]
+    rows = [(i, 1_700_000_000_000_000 + i, 1, "m", v) for i, v in enumerate(vals)]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["digit"]: r["n"] for r in QUERIES["agg_benford_first_digit"](spark, sf).collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 9: 1}
