@@ -2968,3 +2968,124 @@ def agg_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency via sweep line (events)
+# --------------------------------------------------------------------------
+
+#: synthetic session length per event, µs (5 minutes)
+_SESSION_US = 300_000_000
+
+_PEAK_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    iv AS (
+      SELECT event_type, epoch_us(ts) AS t0,
+             epoch_us(ts) + {_SESSION_US} AS t1
+      FROM e
+    ),
+    pts AS (
+      SELECT event_type, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, t1 AS t, -1 FROM iv
+    ),
+    sw AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(load) AS BIGINT) AS peak_concurrency
+    FROM sw GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("win_peak_concurrency", sql=_PEAK_SQL)
+def win_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrency by sweep line — the interval-stabbing maximum
+    (max sessions alive at any instant) that capacity planning runs on
+    session tables: each event opens a 5-minute interval, endpoints
+    become ±1 deltas, a running sum over the ordered endpoint stream is
+    the live-session count, its max the peak. Tie order pinned (t, then
+    delta ASC so closes at -1 sort BEFORE opens at +1 — half-open
+    interval semantics, identical on both engines; integer-exact µs).
+
+    The per-type endpoint sort is the honest cost; at 100 TB the sweep
+    runs per (type, day) partition with per-partition carry-in offsets
+    (the two-phase prefix-sum recipe)."""
+    ev = load_events(spark, sf)
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select("event_type", us.alias("t0"), (us + _SESSION_US).alias("t1"))
+    pts = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sw = pts.select("event_type", F.sum("delta").over(w).alias("load"))
+    return (
+        sw.groupBy("event_type")
+        .agg(F.max("load").cast("long").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document character entropy (documents)
+# --------------------------------------------------------------------------
+
+_CHAR_ENTROPY_SQL = """
+    WITH ch AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS c
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+    t AS (SELECT doc_id, SUM(n) AS tot FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(ANY_VALUE(t.tot) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(SUM(-(n / (t.tot * 1.0)) * LN(n / (t.tot * 1.0))) * 1e4)
+             / 1e4 AS char_entropy
+    FROM f JOIN t USING (doc_id)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
+@register("text_char_entropy", sql=_CHAR_ENTROPY_SQL)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish /
+    binary-contamination detector that complements the corpus-level
+    lang-mix entropy (agg_entropy): natural text sits in a narrow
+    entropy band; base64 blobs score high, repeated-char spam low.
+
+    The char explode is the honest cost shape of every char-level
+    quality filter (rows = total characters) — fanned out before the
+    explode (parallelize_scan), reduced immediately by the (doc, char)
+    count, and the entropy fold runs over the tiny per-doc frequency
+    relation. Counts are exact integers; the entropy rounds at 1e-4
+    (the agg_entropy policy)."""
+    from engine.session import parallelize_scan, scan_units
+
+    d = parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+    ch = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    )
+    f = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    t = f.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / (F.col("tot") * F.lit(1.0))
+    return (
+        f.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("tot").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            dround(F.sum(-p * F.log(p)), 4).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
