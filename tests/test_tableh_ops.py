@@ -890,3 +890,36 @@ def test_benford_digits_integer_exact(spark, tmp_path):
     sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
     got = {r["digit"]: r["n"] for r in QUERIES["agg_benford_first_digit"](spark, sf).collect()}
     assert got == {1: 2, 2: 1, 3: 1, 9: 1}
+
+
+def test_peak_concurrency_planted_overlap(spark, tmp_path):
+    S = 300_000_000  # session length in the op
+    base = 1_700_000_000_000_000
+    rows = [
+        # three overlapping events inside one 5-min window -> peak 3,
+        # then a fourth exactly at the first's close (half-open: the
+        # close sorts first, so it does NOT overlap) -> still 3
+        (1, base, 1, "A", 1.0),
+        (2, base + 60_000_000, 2, "A", 1.0),
+        (3, base + 120_000_000, 3, "A", 1.0),
+        (4, base + S, 4, "A", 1.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["win_peak_concurrency"](spark, sf).collect()[0]
+    assert r["peak_concurrency"] == 3
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    docs = [
+        (1, "aaaaaaaaaa", "en", "s", 10),          # 1 symbol -> H = 0
+        (2, "abcdefghij", "en", "s", 10),          # uniform 10 -> ln 10
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = _write_sf(spark, tmp_path, "documents", d)
+    import math
+
+    got = {r["doc_id"]: r for r in QUERIES["text_char_entropy"](spark, sf).collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert abs(got[2]["char_entropy"] - round(math.log(10), 4)) < 1e-9
