@@ -3089,3 +3089,137 @@ def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert distribution (events)
+# --------------------------------------------------------------------------
+
+_TTC_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    v AS (SELECT user_id, MIN(epoch_us(ts)) AS first_view
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(ts)) AS first_purchase
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE event_type = 'purchase' AND epoch_us(ts) >= v.first_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT (p.first_purchase - v.first_view) / 3600e6 AS hours
+      FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converters,
+           ROUND(COUNT(*) / ((SELECT COUNT(*) FROM v) * 1.0) * 1e4) / 1e4
+             AS conversion_rate,
+           ROUND(QUANTILE_CONT(hours, 0.5) * 1e4) / 1e4 AS median_hours,
+           ROUND(QUANTILE_CONT(hours, 0.9) * 1e4) / 1e4 AS p90_hours
+    FROM d
+"""
+
+
+@register("ts_time_to_convert", sql=_TTC_SQL)
+def ts_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert funnel timing: per user, first view → first
+    subsequent purchase; report conversion rate and the latency
+    distribution (median/p90 hours) — the growth metric behind every
+    "how long does the funnel take" dashboard.
+
+    Two keyed aggregations co-partitioned on user_id (first-view, then
+    first-qualifying-purchase via a filtered join on the SAME key), a
+    users-sized delta relation, and one exact quantile pass over it.
+    Time deltas are exact µs integers divided once by a constant —
+    identical doubles on both engines."""
+    ev = load_events(spark, sf)
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("first_view"))
+    )
+    v = scratch_cache(v)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        ((F.col("first_purchase") - F.col("first_view")) / F.lit(3600e6)).alias(
+            "hours"
+        )
+    )
+    n_viewers = v.count()  # users-sized audit scalar
+    agg = d.agg(
+        F.count("*").alias("n_converters"),
+        F.percentile("hours", F.lit([0.5, 0.9])).alias("q"),
+    ).select(
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+        F.col("n_converters").cast("long"),
+        dround(
+            F.col("n_converters") / (F.lit(n_viewers) * F.lit(1.0)), 4
+        ).alias("conversion_rate"),
+        dround(F.col("q").getItem(0), 4).alias("median_hours"),
+        dround(F.col("q").getItem(1), 4).alias("p90_hours"),
+    )
+    return agg
+
+
+# --------------------------------------------------------------------------
+# Graph reciprocity (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _reciprocity_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    r AS (
+      SELECT d1.src, d1.dst FROM de d1
+      JOIN de d2 ON d1.src = d2.dst AND d1.dst = d2.src
+    )
+    SELECT CAST((SELECT COUNT(*) FROM de) AS BIGINT) AS n_directed_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_reciprocated,
+           ROUND(COUNT(*) / ((SELECT COUNT(*) FROM de) * 1.0) * 1e6) / 1e6
+             AS reciprocity
+    FROM r
+"""
+    )
+
+
+@register("graph_reciprocity", sql=_reciprocity_sql())
+def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed reciprocity of the affinity graph — the fraction of
+    edges whose reverse edge also exists (mutual-follow rate): near 1
+    the graph behaves undirected, near 0 it is a flow. One self-join
+    of the deduped directed edge list on the swapped key pair, exact
+    integer counts; reads the shared materialized edges."""
+    from engine.analytics import materialize_affinity_edges
+
+    de = (
+        materialize_affinity_edges(spark, sf)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    de = scratch_cache(de)
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = de.count()  # edge-list-sized audit scalar
+    n_recip = de.join(rev, ["src", "dst"]).count()
+    import math
+
+    recip = (
+        math.floor(n_recip / n_edges * 1e6 + 0.5) / 1e6 if n_edges else None
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_recip, recip)],
+        "n_directed_edges long, n_reciprocated long, reciprocity double",
+    )
