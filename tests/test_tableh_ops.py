@@ -923,3 +923,31 @@ def test_char_entropy_extremes(spark, tmp_path):
     got = {r["doc_id"]: r for r in QUERIES["text_char_entropy"](spark, sf).collect()}
     assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
     assert abs(got[2]["char_entropy"] - round(math.log(10), 4)) < 1e-9
+
+
+def test_time_to_convert_planted(spark, tmp_path):
+    H = 3_600_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: view then purchase 2h later -> converts in 2h
+        (1, base, 1, "view", 1.0),
+        (2, base + 2 * H, 1, "purchase", 9.0),
+        # user 2: purchase BEFORE any view -> not a (view->purchase) convert
+        (3, base, 2, "purchase", 9.0),
+        (4, base + H, 2, "view", 1.0),
+        # user 3: view only -> viewer, no conversion
+        (5, base, 3, "view", 1.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["ts_time_to_convert"](spark, sf).collect()[0]
+    assert r["n_viewers"] == 3 and r["n_converters"] == 1
+    assert r["median_hours"] == 2.0
+    assert abs(r["conversion_rate"] - 0.3333) < 1e-9
+
+
+def test_reciprocity_bounds_and_symmetric_count(spark):
+    r = QUERIES["graph_reciprocity"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["n_reciprocated"] <= r["n_directed_edges"]
+    if r["reciprocity"] is not None:
+        assert 0.0 <= r["reciprocity"] <= 1.0
+    assert r["n_reciprocated"] % 2 == 0  # mutual pairs count both ways
