@@ -3223,3 +3223,77 @@ def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
         [(n_edges, n_recip, recip)],
         "n_directed_edges long, n_reciprocated long, reciprocity double",
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonality strength (events)
+# --------------------------------------------------------------------------
+
+_SEASONALITY_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    cell AS (
+      SELECT event_type,
+             CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             value
+      FROM e
+    ),
+    m AS (
+      SELECT event_type, dow, hr, AVG(value) AS mu, COUNT(*) AS n
+      FROM cell GROUP BY event_type, dow, hr
+    ),
+    s AS (
+      SELECT c.event_type,
+             COUNT(*) * 1.0 AS n,
+             SUM(c.value) AS sv, SUM(c.value * c.value) AS svv,
+             SUM((c.value - m.mu) * (c.value - m.mu)) AS ssr
+      FROM cell c JOIN m USING (event_type, dow, hr)
+      GROUP BY c.event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND((1 - ssr / (svv - sv * sv / n)) * 1e4) / 1e4
+             AS seasonality_strength
+    FROM s ORDER BY event_type
+"""
+
+
+@register("agg_seasonality_strength", sql=_SEASONALITY_SQL)
+def agg_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality strength per metric: the fraction of value variance
+    explained by the weekday×hour calendar profile (R² of the 168-cell
+    mean model) — THE forecastability probe run before choosing
+    between a seasonal model and a flat baseline (≈0 here, correctly:
+    the synthetic values carry no calendar signal).
+
+    Two passes sharing one shuffle key: cell means (168·types rows,
+    broadcast back), then the residual/total sum bundle — a shared
+    formula over raw sums (the agg_moments rule), rounded 1e-4 to
+    absorb accumulation-order ulps."""
+    ev = load_events(spark, sf)
+    cell = ev.select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+        "value",
+    )
+    cell = scratch_cache(cell)
+    m = cell.groupBy("event_type", "dow", "hr").agg(
+        F.avg("value").alias("mu"), F.count("*").alias("n_cell")
+    )
+    j = cell.join(F.broadcast(m), ["event_type", "dow", "hr"])
+    v = F.col("value")
+    s = j.groupBy("event_type").agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+        F.sum((v - F.col("mu")) * (v - F.col("mu"))).alias("ssr"),
+    )
+    n, sv, svv, ssr = (F.col(c) for c in ("n", "sv", "svv", "ssr"))
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        dround(1 - ssr / (svv - sv * sv / n), 4).alias(
+            "seasonality_strength"
+        ),
+    ).orderBy("event_type")
