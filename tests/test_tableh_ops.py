@@ -951,3 +951,20 @@ def test_reciprocity_bounds_and_symmetric_count(spark):
     if r["reciprocity"] is not None:
         assert 0.0 <= r["reciprocity"] <= 1.0
     assert r["n_reciprocated"] % 2 == 0  # mutual pairs count both ways
+
+
+def test_seasonality_strength_planted_pure_signal(spark, tmp_path):
+    # values a pure function of hour -> R^2 == 1; constant noise-free
+    # flat series with variance across hours only
+    H = 3_600_000_000
+    base = 1_704_067_200_000_000  # Monday 00:00
+    rows = []
+    eid = 0
+    for rep in range(3):
+        for hr in range(4):
+            rows.append((eid, base + rep * 7 * 24 * H + hr * H, 1, "A",
+                         10.0 * (hr + 1)))
+            eid += 1
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_seasonality_strength"](spark, sf).collect()[0]
+    assert r["seasonality_strength"] == 1.0
