@@ -3297,3 +3297,91 @@ def agg_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
             "seasonality_strength"
         ),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U test (events)
+# --------------------------------------------------------------------------
+
+_MWU_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    s AS (
+      SELECT value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM e WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT value, SUM(ia) AS ca, SUM(ib) AS cb, SUM(ia) + SUM(ib) AS t
+      FROM s GROUP BY value
+    ),
+    r AS (
+      SELECT ca, cb, t,
+             COALESCE(SUM(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g
+    ),
+    agg AS (
+      SELECT SUM(ca) * 1.0 AS na, SUM(cb) * 1.0 AS nb,
+             SUM(ca * (before + (t + 1) / 2.0)) AS ra,
+             SUM(t * t * t - t) * 1.0 AS ties
+      FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND((ra - na * (na + 1) / 2) * 1e4) / 1e4 AS u_stat,
+           ROUND(((ra - na * (na + 1) / 2) - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1)
+                           - ties / ((na + nb) * (na + nb - 1))))
+                 * 1e4) / 1e4 AS z_score
+    FROM agg
+"""
+
+
+@register("agg_mann_whitney_u", sql=_MWU_SQL)
+def agg_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U with tie-corrected normal approximation between
+    the 'view' and 'purchase' arms — the NON-PARAMETRIC member of the
+    in-engine test battery (Welch assumes near-normal means, KS reads
+    shapes; U ranks everything, robust to outliers and any monotone
+    transform).
+
+    Rank sums come from the distinct-value relation (the KS recipe):
+    per-value arm counts, an exclusive cumulative count, and midrank =
+    before + (t+1)/2 — counts are exact integers, so every rank sum is
+    an exact multiple of ½ and the statistic is bit-identical on both
+    engines up to the final standardized division (shared formula
+    text, rounded 1e-4)."""
+    ev = load_events(spark, sf)
+    s = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    ).withColumn("t", F.col("ca") + F.col("cb"))
+    wb = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "before", F.coalesce(F.sum("t").over(wb), F.lit(0).cast("long"))
+    )
+    agg = r.agg(
+        (F.sum("ca") * F.lit(1.0)).alias("na"),
+        (F.sum("cb") * F.lit(1.0)).alias("nb"),
+        F.sum(
+            F.col("ca") * (F.col("before") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("ra"),
+        (F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")) * F.lit(1.0)).alias(
+            "ties"
+        ),
+    )
+    na, nb, ra, ties = (F.col(c) for c in ("na", "nb", "ra", "ties"))
+    u = ra - na * (na + 1) / 2
+    var = na * nb / 12 * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        dround(u, 4).alias("u_stat"),
+        dround((u - na * nb / 2) / F.sqrt(var), 4).alias("z_score"),
+    )
