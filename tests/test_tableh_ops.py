@@ -968,3 +968,20 @@ def test_seasonality_strength_planted_pure_signal(spark, tmp_path):
     sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
     r = QUERIES["agg_seasonality_strength"](spark, sf).collect()[0]
     assert r["seasonality_strength"] == 1.0
+
+
+def test_mann_whitney_planted_separation(spark, tmp_path):
+    # view = {1,2}, purchase = {3,4}: complete separation -> U = 0;
+    # no ties -> var = na*nb*(N+1)/12 = 5/3, z = -2/sqrt(5/3)
+    import math
+
+    rows = [
+        (1, 1_700_000_000_000_000, 1, "view", 1.0),
+        (2, 1_700_000_000_000_001, 1, "view", 2.0),
+        (3, 1_700_000_000_000_002, 1, "purchase", 3.0),
+        (4, 1_700_000_000_000_003, 1, "purchase", 4.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_mann_whitney_u"](spark, sf).collect()[0]
+    assert r["u_stat"] == 0.0
+    assert abs(r["z_score"] - round(-2 / math.sqrt(5 / 3), 4)) < 1e-9
