@@ -39,74 +39,27 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (~50 keys) of the enumeration order each
-#: round. Instead of shuffling module import order (fragile — see
-#: ADVICE r2), the keys that most need external confirmation are
-#: enumerated FIRST, explicitly. Rotated for ROUND 4 (VERDICT r3 top
-#: item: an unchanged order would re-verify exactly r3's 50 green keys
-#: and confirm nothing new): (a) the 4 keys whose latest driver word is
-#: FAIL/ERR (fixed r2/r3, never re-sampled); (b) the 6 keys whose SQL
-#: oracles are NEW this round (approx sketches via exact-twin columns,
-#: multimodal via generator-spec oracles); (c) r3's oracle upgrades the
-#: driver has never run with SQL; (d) never-sampled SQL-oracled keys,
-#: highest-complexity first; (e) the remaining rows-only keys.
+#: round. Rotated for ROUND 5. Round 4's driver artifacts
+#: (CORRECTNESS_r04/BENCH_r04/VERDICT r4) were never delivered into this
+#: checkout, so the r4 window's fate is unknown; hedge accordingly:
+#: (a) 6 hedge slots — the keys whose last DELIVERED driver word is
+#:     FAIL/ERR (fixed r2/r3; were in the r4 window, outcome unknown);
+#: (b) the 37 SQL-oracled keys that sat at positions 51+ of the r4
+#:     order (missed every window r1-r4) — never driver-sampled;
+#: (c) 7 highest-complexity Table H keys (added post-window in r4);
+#: positions 51+ enumerate the remaining Table H keys in complexity
+#: order so round 6's rotation is a simple promote-the-tail.
 #: Everything not listed keeps registration order behind the prefix
 #: (driver-green r1-r3, still guarded by tests/test_oracle.py).
 _PRIORITY = (
-    # -- (a) driver's last word is FAIL (r2) / ERR (r1) — fixes in tree
+    # -- (a) hedge: last delivered driver word FAIL/ERR (r4 unknown)
     "fn_array_lambda",
     "pipeline_pretrain_filter",
     "agg_collect_sorted",
     "agg_approx_quantiles",
-    # -- (b) SQL oracles new in r4, never driver-run (incl. the four
-    #    Table G ops added mid-round — brand-new code verifies first)
-    "agg_approx_distinct",
-    "agg_hll_mergeable",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_audio_features",
-    "multimodal_phash_dedup",
-    "win_mad_outliers",
-    "pipeline_keep_best_dedup",
-    "pipeline_bpe_pair_counts",
-    "agg_entropy",
-    # -- (c) r3 oracle upgrades, never driver-run with SQL
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "sink_parquet_partitioned",
-    "sample_per_group",
-    "sample_stratified",
-    "fn_map",
-    "wiki_parse_lines",
-    "text_fingerprint",
     "dedup_near_minhash",
-    "so_kmeans",
-    "sim_cosine_topk_ivf",
-    "sim_ann_partitioned_probe",
-    "dedup_clusters",
-    "dedup_simhash",
-    "stream_static_join",
-    "stream_stateful_count",
-    "stream_stream_join",
-    # -- (d) never driver-sampled, SQL-oracled, highest complexity first
-    "pipeline_e2e_pretrain",
-    "graph_pagerank",
-    "graph_triangles",
-    "merge_upsert_scd2",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_session_timeout",
-    "stream_stateful_tws",
-    "pipeline_pack_sequences",
-    "pipeline_chunk_overlap",
-    "pipeline_quality_composite",
-    "pipeline_dataset_card",
-    "dedup_substring_spans",
-    "dedup_lines_global",
-    "text_lm_score",
-    "text_pii_mask",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
+    "fn_map",
+    # -- (b) never driver-sampled: missed the r1-r4 windows
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q22_sales_opportunity",
@@ -141,14 +94,63 @@ _PRIORITY = (
     "udf_pandas_grouped_map",
     "udf_pandas_iter",
     "udf_map_in_arrow",
-    # -- plans rewritten in r4 (green r2, worth a fresh driver row)
-    "wiki_rank_index",
-    "text_wordcount_topn",
-    # -- (e) rows-only: estimator/streaming semantics, no SQL oracle
     "sim_cosine_topk_lsh",
     "stream_watermark_late",
     "stream_dedup_watermark",
-    "so_kmeans_ml",
+    # -- (c) Table H, highest complexity first (added post-window r4)
+    "graph_wcc_sizes",
+    "graph_bfs_reachability",
+    "merge_cdc_apply",
+    "pipeline_semdedup_keep_central",
+    "pipeline_incremental_dedup",
+    "sim_knn_graph",
+    "sink_sorted_clustered_write",
+    # ---- window cutoff (~50) ----
+    # remaining Table H in complexity order: promote these for round 6
+    "pipeline_lsh_recall_audit",
+    "layout_zorder_cluster",
+    "join_spatial_grid_eps",
+    "pipeline_shard_plan",
+    "pipeline_threshold_sweep",
+    "pipeline_span_corruption",
+    "pipeline_temperature_sample",
+    "win_last_touch_attribution",
+    "win_retention_cohort",
+    "win_peak_concurrency",
+    "win_percent_change_wow",
+    "ts_time_to_convert",
+    "ts_step_detection",
+    "ts_anomaly_zscore",
+    "ts_calendar_features",
+    "ts_autocorr_lag1",
+    "text_bigram_lm",
+    "text_langid_confusion",
+    "text_vocab_oov_rate",
+    "text_char_entropy",
+    "graph_degree_distribution",
+    "graph_jaccard_link_prediction",
+    "graph_assortativity",
+    "graph_reciprocity",
+    "agg_mann_whitney_u",
+    "agg_seasonality_strength",
+    "agg_ks_statistic",
+    "agg_benford_first_digit",
+    "agg_psi_drift",
+    "agg_chi_square_independence",
+    "agg_ab_test_welch",
+    "agg_markov_transitions",
+    "agg_join_key_skew_report",
+    "agg_hist_equi_depth",
+    "agg_hist_log_bins",
+    "agg_quantile_multi",
+    "agg_weighted_median",
+    "agg_trimmed_mean",
+    "agg_moments_skew_kurtosis",
+    "agg_gini_concentration",
+    "multimodal_tile_plan",
+    "scan_binaryfile",
+    "scan_text_lines",
+    "scan_csv_gzip",
 )
 
 
