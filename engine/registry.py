@@ -35,6 +35,7 @@ _MODULES = (
     "engine.relational",
     "engine.analytics",
     "engine.tableh",
+    "engine.tablei",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep

@@ -1,0 +1,577 @@
+"""Round-5 wave (SURVEY.md §2 Table I): sketch-backed frequency
+estimation, corpus readability profiling, duplication observability,
+and explicit-target mixture weighting — the data-quality / telemetry
+layer a 100 TB pretraining pipeline runs alongside dedup.
+
+Scale design notes (100 TB posture):
+- count-min sketch: the sketch IS a (depth × width) aggregate — 256
+  cells regardless of corpus size, built in one partial-aggregable
+  groupBy (map-side combine collapses each partition to ≤ 256 rows
+  before the shuffle). The exact-count twin exists only to value-check
+  the estimate; the production path keeps just the sketch. The hash
+  family is md5-derived (portable: any engine reproduces it), so the
+  DuckDB oracle rebuilds the IDENTICAL sketch and the estimates match
+  exactly — the whole sketch path is hash-checked, not bound-checked.
+- readability: pure per-row narrow expressions (regexp_count /
+  regexp_extract_all run JVM-side inside codegen) + one aggregation on
+  a low-cardinality key. No UDF, no second pass.
+- duplication profile: one hash-groupBy on a 16-byte fingerprint (the
+  shuffle carries md5 prefixes, not documents), then a histogram over
+  the cluster-size relation (already ≤ distinct-size rows). The share
+  denominator is a windowed sum over that tiny histogram, not a second
+  corpus scan.
+- mixture weights: the corpus collapses to a languages-sized rate
+  table in one aggregation; weights are a pure function of that table.
+  The table is exactly what a sampler would broadcast back — the
+  corpus itself never reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.canon import dround
+from engine.registry import register
+from engine.session import T
+
+# --------------------------------------------------------------------------
+# Count-min sketch frequency estimation (orders.o_custkey)
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+#: the shared md5 hash family: row j maps key k to bucket
+#: md5("j:k")[:15 hex] parsed as a positive 60-bit int, mod width.
+#: Verified portable Spark<->DuckDB (the dedup_simhash contract).
+_CM_SQL = f"""
+    WITH js AS (SELECT UNNEST(GENERATE_SERIES(0, {_CM_DEPTH - 1})) AS j),
+    pairs AS (
+      SELECT js.j,
+             (('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)),
+                              1, 15))::BIGINT) % {_CM_WIDTH} AS bucket
+      FROM orders, js
+    ),
+    sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM pairs GROUP BY j, bucket),
+    exact AS (SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY o_custkey),
+    top AS (
+      SELECT o_custkey, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, o_custkey LIMIT 10
+    ),
+    probe AS (
+      SELECT t.o_custkey, t.exact_cnt, s.cell
+      FROM top t
+      JOIN js ON TRUE
+      JOIN sketch s
+        ON s.j = js.j
+       AND s.bucket = (('0x' || substr(md5(js.j || ':' ||
+                          CAST(t.o_custkey AS VARCHAR)), 1, 15))::BIGINT)
+                       % {_CM_WIDTH}
+    )
+    SELECT o_custkey, exact_cnt,
+           MIN(cell) AS cm_est,
+           MIN(cell) - exact_cnt AS overcount
+    FROM probe GROUP BY o_custkey, exact_cnt ORDER BY o_custkey
+"""
+
+
+def _cm_bucket(j: int, key) -> F.Column:
+    """Bucket of ``key`` under hash row ``j`` — md5-derived, portable."""
+    tagged = F.concat(F.lit(f"{j}:"), key.cast("string"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return h % _CM_WIDTH
+
+
+@register("agg_countmin_heavy", sql=_CM_SQL)
+def agg_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation over order custkeys, with
+    the exact count as the verification twin: depth 4 × width 64, the
+    estimate for a key is min over rows of its bucket's cell count.
+
+    The sketch build is ONE partial-aggregable groupBy over (j, bucket)
+    — map-side combine collapses every partition to ≤ depth×width rows
+    before the shuffle, so the sketch costs O(cells) network no matter
+    the corpus size; that mergeability is exactly why CM sketches work
+    as distributed accumulators (the agg_hll_mergeable argument, for
+    frequencies instead of cardinalities). Because the hash family is
+    md5-derived (not Spark-private xxhash/murmur), the oracle rebuilds
+    the identical sketch in SQL and the estimate column is value-checked
+    — stronger than the usual eps·N bound assertion. Probing joins the
+    10-key top list against the 256-cell sketch (broadcast, trivially).
+    CM guarantees est >= exact; `overcount` makes the (deterministic)
+    collision error visible in the output."""
+    orders = T(spark, sf, "orders").select("o_custkey")
+    js = [
+        F.struct(F.lit(j).alias("j"), _cm_bucket(j, F.col("o_custkey")).alias("bucket"))
+        for j in range(_CM_DEPTH)
+    ]
+    pairs = orders.select(F.explode(F.array(*js)).alias("jb")).select("jb.j", "jb.bucket")
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.col("exact_cnt").desc(), "o_custkey")
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))  # 10-row head: tiny sort
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    probe = top.select(
+        "o_custkey", "exact_cnt", F.explode(F.array(*js)).alias("jb")
+    ).select("o_custkey", "exact_cnt", "jb.j", "jb.bucket")
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cell").alias("cm_est"))
+        .withColumn("overcount", F.col("cm_est") - F.col("exact_cnt"))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Readability profile (documents)
+# --------------------------------------------------------------------------
+
+_READABILITY_SQL = """
+    WITH d AS (
+      SELECT source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS words,
+             CAST(GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+')))
+                  AS DOUBLE) AS sents,
+             CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                  AS DOUBLE) AS sylls
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(206.835 - 1.015 * (words / sents)
+                     - 84.6 * (sylls / words)) * 1e4) / 1e4 AS avg_flesch,
+           ROUND(AVG(0.39 * (words / sents) + 11.8 * (sylls / words)
+                     - 15.59) * 1e4) / 1e4 AS avg_fk_grade
+    FROM d GROUP BY source ORDER BY source
+"""
+
+
+@register("text_readability", sql=_READABILITY_SQL)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade profile per source —
+    the classic heuristic quality signal pretraining filters threshold
+    on (complementing text_quality's length/punct ratios). Syllables
+    are approximated as vowel groups, sentences as terminal-punctuation
+    runs (floored at 1 for unpunctuated docs).
+
+    All three counts are single-pass narrow expressions (split /
+    regexp_extract_all stay inside whole-stage codegen — no UDF), then
+    one aggregation on the low-cardinality source key. Per-doc
+    arithmetic is double from the start; only the per-source AVG is
+    rounded, once."""
+    d = T(spark, sf, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("words"),
+        F.greatest(F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+")))
+        .cast("double")
+        .alias("sents"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        )
+        .cast("double")
+        .alias("sylls"),
+    )
+    wps = F.col("words") / F.col("sents")
+    spw = F.col("sylls") / F.col("words")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg(F.lit(206.835) - 1.015 * wps - 84.6 * spw), 4).alias(
+                "avg_flesch"
+            ),
+            dround(F.avg(0.39 * wps + 11.8 * spw - 15.59), 4).alias("avg_fk_grade"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplication profile (documents)
+# --------------------------------------------------------------------------
+
+_DUP_PROFILE_SQL = """
+    WITH fp AS (
+      SELECT md5(substr(text, 1, 40)) AS fingerprint FROM documents
+    ),
+    clusters AS (SELECT fingerprint, COUNT(*) AS sz FROM fp GROUP BY fingerprint)
+    SELECT sz AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(sz) AS DOUBLE)
+                 / SUM(SUM(sz)) OVER () * 1e6) / 1e6 AS corpus_share
+    FROM clusters GROUP BY sz ORDER BY sz
+"""
+
+
+@register("agg_dup_profile", sql=_DUP_PROFILE_SQL)
+def agg_dup_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication-rate histogram: fingerprint every document by the
+    md5 of its 40-char prefix (a deliberately coarse key so near-dup
+    boilerplate collides), group into clusters, then profile cluster
+    sizes — how many docs live in size-1 / size-2 / size-k clusters.
+    The dataset-card number ("X% of the corpus is duplicated") drops
+    out of the corpus_share column.
+
+    The corpus shuffles ONCE, carrying 16-byte fingerprints (the
+    dedup_exact shape — never document bodies); the histogram and its
+    windowed share denominator run over the already-tiny cluster-size
+    relation. On both engines the share is one window sum over the
+    histogram, not a second corpus scan."""
+    fp = T(spark, sf, "documents").select(
+        F.md5(F.substring("text", 1, 40)).alias("fingerprint")
+    )
+    clusters = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("sz"))
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("sz").alias("n_docs")
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(
+        Window.partitionBy()  # histogram-sized relation: global window OK
+    )
+    return (
+        hist.select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            dround(share, 6).alias("corpus_share"),
+        ).orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Explicit-target mixture weights (documents)
+# --------------------------------------------------------------------------
+
+#: English is capped at 30% of the training mix; the remaining 70% is
+#: split evenly across the other languages present. The DoReMi-style
+#: fixed-mixture contract: targets are a config literal, not data.
+_EN_TARGET = 0.30
+
+_MIX_WEIGHTS_SQL = f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    sized AS (
+      SELECT lang, n_docs,
+             SUM(n_docs) OVER () AS total,
+             COUNT(*) OVER () AS n_langs
+      FROM counts
+    ),
+    tgt AS (
+      SELECT lang, n_docs, total,
+             CASE WHEN n_langs = 1 THEN 1.0
+                  WHEN lang = 'en' THEN {_EN_TARGET}
+                  ELSE (1.0 - {_EN_TARGET}) / (n_langs - 1)
+             END AS target_share
+      FROM sized
+    )
+    SELECT lang, n_docs,
+           ROUND(target_share * 1e6) / 1e6 AS target_share,
+           ROUND(LEAST(3.0, target_share * total / n_docs) * 1e6) / 1e6
+             AS weight,
+           CAST(ROUND(n_docs * LEAST(3.0, target_share * total / n_docs))
+                AS BIGINT) AS expected_docs
+    FROM tgt ORDER BY lang
+"""
+
+
+@register("pipeline_domain_mix_weights", sql=_MIX_WEIGHTS_SQL)
+def pipeline_domain_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language sampling weights for an explicit target mixture
+    (English capped at 30%, the rest split evenly): weight_l =
+    target_l · N / n_l, capped at 3.0 epochs so rare languages are
+    upsampled but never repeated more than 3×. `expected_docs` is the
+    resulting per-language volume — what the sampled corpus will
+    actually contain, cap included.
+
+    This is the rate-table half of pipeline_temperature_sample with the
+    mixture specified as config instead of derived from a temperature:
+    the corpus collapses to a languages-sized relation in ONE
+    aggregation; the window total/n_langs run over that tiny relation;
+    the weights are what a sampler broadcasts back. The corpus itself
+    never reshuffles here."""
+    counts = (
+        T(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy()  # languages-sized relation: global window OK
+    sized = counts.withColumn("total", F.sum("n_docs").over(w)).withColumn(
+        "n_langs", F.count(F.lit(1)).over(w)
+    )
+    target = (
+        F.when(F.col("n_langs") == 1, F.lit(1.0))
+        .when(F.col("lang") == "en", F.lit(_EN_TARGET))
+        .otherwise((1.0 - _EN_TARGET) / (F.col("n_langs") - 1))
+    )
+    weight = F.least(F.lit(3.0), target * F.col("total") / F.col("n_docs"))
+    return sized.select(
+        "lang",
+        "n_docs",
+        dround(target, 6).alias("target_share"),
+        dround(weight, 6).alias("weight"),
+        F.round(F.col("n_docs") * weight, 0).cast("long").alias("expected_docs"),
+    ).orderBy("lang")
+
+# --------------------------------------------------------------------------
+# Moving median (events)
+# --------------------------------------------------------------------------
+
+_MOVING_MEDIAN_SQL = """
+    SELECT event_id, user_id,
+           ROUND(MEDIAN(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) * 1e6) / 1e6 AS mov_median
+    FROM events ORDER BY user_id, event_id
+"""
+
+
+@register("win_moving_median", sql=_MOVING_MEDIAN_SQL)
+def win_moving_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-row moving median of event value per user — the
+    robust-smoothing twin of ts_ewma (a median shrugs off the spike
+    that drags a mean, so it's the standard pre-filter before anomaly
+    thresholds). Exact interpolating percentile(0.5) over a bounded
+    ROWS frame: per-task state is the 7-element frame, independent of
+    history length, and the only shuffle is the user_id partitioning.
+    Spark's `median` aggregate refuses window frames; `percentile(v,
+    0.5)` is the same exact-interpolation computation and is
+    frame-legal — matching DuckDB's MEDIAN (quantile_cont 0.5) on
+    doubles."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        T(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            dround(F.expr("percentile(value, 0.5)").over(w), 6).alias("mov_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling regression slope (events)
+# --------------------------------------------------------------------------
+
+_ROLLING_SLOPE_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS DOUBLE) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(value) OVER w AS sy,
+             SUM(x * value) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0) * 1e6) / 1e6 AS slope
+    FROM m ORDER BY user_id, event_id
+"""
+
+
+@register("win_rolling_slope", sql=_ROLLING_SLOPE_SQL)
+def win_rolling_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 10-point OLS slope of event value per user — the local
+    trend detector (is this metric rising?) behind alerting and
+    step-change triage. x is the per-user row index, so the slope is
+    per-step drift, scale-free in time units.
+
+    The slope is assembled from five windowed moments (n, Σx, Σy, Σxy,
+    Σx²) over ONE bounded ROWS frame — a single window pass, partial
+    state of five doubles per task; no self-join, no per-row rescans of
+    the frame. Same formula, same frame, same NULLIF-guard on both
+    engines (n=1 makes the denominator exactly 0 → NULL)."""
+    ev = T(spark, sf, "events")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("double")
+        .alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w)
+    sy = F.sum("value").over(w)
+    sxy = F.sum(F.col("x") * F.col("value")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / F.when(denom != 0, denom)
+    return seq.select(
+        "user_id", "event_id", dround(slope, 6).alias("slope")
+    ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# k-core peel (events affinity graph)
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle_sql() -> str:
+    """Chained-CTE mirror of the fixed-round peel: und{r} is the
+    surviving undirected simple edge set after r rounds; the output
+    unions the per-round summaries. Integer-exact throughout."""
+    from engine.analytics import AFFINITY_EDGES_CTE
+    from engine.session import EVENTS_US_SQL
+
+    parts = [
+        f"WITH e AS ({EVENTS_US_SQL}),",
+        AFFINITY_EDGES_CTE + ",",
+        """
+    und0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges
+    )""",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    deg{p} AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und{p} UNION ALL SELECT b FROM und{p}
+      ) GROUP BY node
+    ),
+    alive{r} AS (SELECT node FROM deg{p} WHERE deg >= {_KCORE_K}),
+    und{r} AS MATERIALIZED (
+      SELECT u.a, u.b FROM und{p} u
+      JOIN alive{r} x ON u.a = x.node
+      JOIN alive{r} y ON u.b = y.node
+    )"""
+        )
+    summaries = "\n    UNION ALL ".join(
+        f"""SELECT {r} AS round,
+           (SELECT COUNT(*) FROM (
+              SELECT a AS node FROM und{r} UNION SELECT b FROM und{r}
+            )) AS nodes_alive,
+           (SELECT COUNT(*) FROM und{r}) AS edges_alive"""
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    parts.append(f"\n    {summaries}\n    ORDER BY round")
+    return "".join(parts)
+
+
+@register("graph_kcore_peel", sql=_kcore_oracle_sql())
+def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-round k-core peeling (k=3, 8 rounds) over the shared
+    affinity graph, reporting the per-round (nodes, edges) trajectory —
+    the standard dense-subgraph / spam-cluster primitive, and the
+    convergence telemetry is the interesting output (where the curve
+    flattens, the 3-core has stabilized).
+
+    The multigraph collapses to a DISTINCT undirected simple edge set
+    once; the per-round trajectory is 9 pairs of LONGS, so it is
+    assembled on the driver from counted rounds rather than as a 9-way
+    union plan (whose un-truncated iterative lineage Catalyst would
+    re-analyze combinatorially — the graph_pagerank lesson).
+
+    ADAPTIVE physical strategy (the BFS / pagerank / CC rule): the edge
+    set — already orders of magnitude smaller than the raw events — is
+    counted first; when driver-sized the peel runs as an exact integer
+    loop on the driver, else each round is one degree aggregation
+    (union of the two endpoint projections, hashed on node) + one
+    semi-join of the edge set against surviving nodes, on a relation
+    that only ever SHRINKS, with localCheckpoint(eager) cutting the
+    per-round lineage. Both paths compute the identical integer
+    trajectory; both run all 8 rounds whether or not the peel has
+    converged, mirroring the oracle's fixed CTE chain."""
+    from engine.analytics import materialize_affinity_edges
+    from engine.session import scratch_cache
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    if und.count() <= _KCORE_DRIVER_EDGES:
+        traj = _kcore_driver(und)
+    else:
+        traj = _kcore_distributed(und)
+    return spark.createDataFrame(
+        traj, "round int, nodes_alive long, edges_alive long"
+    ).orderBy("round")
+
+
+#: counted ceiling for the driver path — same contract as
+#: graph_bfs_reachability's (the COUNTED edge list, not the corpus).
+_KCORE_DRIVER_EDGES = 2_000_000
+
+
+def _kcore_driver(und: DataFrame) -> list[tuple[int, int, int]]:
+    """Exact integer peel over the collected (counted, bounded) edge set."""
+    pairs = {(r["a"], r["b"]) for r in und.collect()}
+    traj = []
+    for r in range(_KCORE_ROUNDS + 1):
+        nodes = {n for p in pairs for n in p}
+        traj.append((r, len(nodes), len(pairs)))
+        if r == _KCORE_ROUNDS:
+            break
+        deg: dict[int, int] = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= _KCORE_K}
+        pairs = {(a, b) for a, b in pairs if a in alive and b in alive}
+    return traj
+
+
+def _kcore_distributed(und: DataFrame) -> list[tuple[int, int, int]]:
+    """Cluster-scale peel: per round one agg + one double semi-join;
+    the driver carries only the 9-tuple trajectory."""
+
+    def counts(u: DataFrame) -> tuple[int, int]:
+        nodes = (
+            u.select(F.col("a").alias("node"))
+            .union(u.select(F.col("b").alias("node")))
+            .distinct()
+            .count()
+        )
+        return nodes, u.count()
+
+    traj = []
+    for r in range(_KCORE_ROUNDS + 1):
+        n, m = counts(und)
+        traj.append((r, n, m))
+        if r == _KCORE_ROUNDS:
+            break
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        und = (
+            und.join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return traj
