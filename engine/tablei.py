@@ -575,3 +575,466 @@ def _kcore_distributed(und: DataFrame) -> list[tuple[int, int, int]]:
             .localCheckpoint(eager=True)
         )
     return traj
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch with set-operation estimates (orders)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+#: 2^60 as an exact double (the md5-60bit hash space size); embedded
+#: via repr so Spark and the SQL oracle share the identical constant.
+_KMV_SPACE = float(1 << 60)
+
+_KMV_SQL = f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    b_keys AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    a_h AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM a_keys),
+    b_h AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM b_keys),
+    a_sk AS MATERIALIZED (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+    b_sk AS MATERIALIZED (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+    u_sk AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    est AS (
+      SELECT
+        (SELECT COUNT(*) FROM a_keys) AS exact_a,
+        (SELECT COUNT(*) FROM b_keys) AS exact_b,
+        (SELECT COUNT(*) FROM (SELECT o_custkey FROM a_keys
+                               UNION SELECT o_custkey FROM b_keys)) AS exact_union,
+        (SELECT COUNT(*) FROM (SELECT o_custkey FROM a_keys
+                               INTERSECT SELECT o_custkey FROM b_keys)) AS exact_intersect,
+        (SELECT COUNT(*) FROM a_sk) AS ka,
+        (SELECT MAX(h) FROM a_sk) AS ha,
+        (SELECT COUNT(*) FROM b_sk) AS kb,
+        (SELECT MAX(h) FROM b_sk) AS hb,
+        (SELECT COUNT(*) FROM u_sk) AS ku,
+        (SELECT MAX(h) FROM u_sk) AS hu,
+        (SELECT COUNT(*) FROM u_sk
+         WHERE h IN (SELECT h FROM a_sk) AND h IN (SELECT h FROM b_sk)) AS n_both
+    )
+    SELECT exact_a, exact_b, exact_union, exact_intersect,
+      ROUND(CASE WHEN ka < {_KMV_K} THEN CAST(ka AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / ha END * 1e4) / 1e4
+        AS est_a,
+      ROUND(CASE WHEN kb < {_KMV_K} THEN CAST(kb AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / hb END * 1e4) / 1e4
+        AS est_b,
+      ROUND(CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)
+                 ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / hu END * 1e4) / 1e4
+        AS est_union,
+      ROUND(CAST(n_both AS DOUBLE) / ku
+            * (CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) * {_KMV_SPACE!r} / hu END)
+            * 1e4) / 1e4 AS est_intersect
+    FROM est
+"""
+
+
+@register("agg_kmv_set_sketch", sql=_KMV_SQL)
+def agg_kmv_set_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct sketches for the 1995
+    and 1996 buyer sets, with union and intersection estimated FROM THE
+    SKETCHES — next to the exact values as verification twins. The
+    union sketch is built by MERGING the two per-set sketches (bottom-k
+    of their union), which is the whole point of KMV at 100 TB: each
+    source/shard keeps k longs, merges are associative, and
+    |A∩B| ≈ Jaccard(bottom-k) × |A∪B| needs no re-scan of either set.
+
+    Each sketch is an ORDER BY h LIMIT k over distinct md5-derived
+    hashes — Spark plans that as TakeOrderedAndProject (per-partition
+    bottom-k + driver merge of k×partitions longs, no global sort).
+    The hash family is portable, so the oracle rebuilds the identical
+    sketches and every ESTIMATE column is value-checked, not just
+    bounded (the agg_countmin_heavy contract, for cardinalities).
+    Estimator: (k-1)·H/h_(k) with H = 2^60, degrading to the exact
+    count when the set has fewer than k members (sketch = whole set)."""
+    orders = T(spark, sf, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    def hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+
+    a_keys, b_keys = keys(1995), keys(1996)
+    a_sk = hashes(a_keys).orderBy("h").limit(_KMV_K)
+    b_sk = hashes(b_keys).orderBy("h").limit(_KMV_K)
+    u_sk = a_sk.union(b_sk).distinct().orderBy("h").limit(_KMV_K)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"k_{name}"), F.max("h").alias(f"h_{name}")
+        )
+
+    n_both = (
+        u_sk.join(a_sk.withColumnRenamed("h", "h"), "h", "semi")
+        .join(b_sk, "h", "semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = (
+        a_keys.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b_keys.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a_keys.union(b_keys).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+        .crossJoin(
+            a_keys.intersect(b_keys).agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+    )
+    row = (
+        exact.crossJoin(est(a_sk, "a"))
+        .crossJoin(est(b_sk, "b"))
+        .crossJoin(est(u_sk, "u"))
+        .crossJoin(n_both)
+    )
+
+    def estimator(k_col: str, h_col: str):
+        return F.when(
+            F.col(k_col) < _KMV_K, F.col(k_col).cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col(h_col)
+        )
+
+    eu = estimator("k_u", "h_u")
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        dround(estimator("k_a", "h_a"), 4).alias("est_a"),
+        dround(estimator("k_b", "h_b"), 4).alias("est_b"),
+        dround(eu, 4).alias("est_union"),
+        dround(F.col("n_both").cast("double") / F.col("k_u") * eu, 4).alias(
+            "est_intersect"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter build + measured-FPR report (orders members, customer probes)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_KH = 3
+
+_BLOOM_SQL = f"""
+    WITH js AS (SELECT UNNEST(GENERATE_SERIES(0, {_BLOOM_KH - 1})) AS j),
+    members AS MATERIALIZED (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT
+        (('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)),
+                         1, 15))::BIGINT) % {_BLOOM_M} AS pos
+      FROM members, js
+    ),
+    probes AS (
+      SELECT c_custkey, COUNT(b.pos) AS n_hit
+      FROM customer
+      CROSS JOIN js
+      LEFT JOIN bits b
+        ON b.pos = (('0x' || substr(md5(js.j || ':' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT)
+                   % {_BLOOM_M}
+      GROUP BY c_custkey
+    ),
+    verdicts AS (
+      SELECT p.c_custkey,
+             p.n_hit = {_BLOOM_KH} AS positive,
+             m.o_custkey IS NOT NULL AS is_member
+      FROM probes p LEFT JOIN members m ON m.o_custkey = p.c_custkey
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_KH} AS BIGINT) AS k_hashes,
+           (SELECT COUNT(*) FROM members) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           COUNT(*) AS n_tested,
+           CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           ROUND(CAST(SUM(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0)
+                 * 1e6) / 1e6 AS fpr_measured
+    FROM verdicts
+"""
+
+
+def _bloom_pos(j: int, key) -> F.Column:
+    tagged = F.concat(F.lit(f"{j}:"), key.cast("string"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return h % _BLOOM_M
+
+
+@register("agg_bloom_filter_report", sql=_BLOOM_SQL)
+def agg_bloom_filter_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a Bloom filter (m=8192 bits, k=3 md5-derived hashes) over
+    the 1995 buyer set, probe it with EVERY customer, and report the
+    measured false-positive rate — the observability half of
+    join_runtime_bloom_filter, where the filter Spark injects is
+    engine-internal: here the filter is an explicit relation whose
+    quality is itself the query result.
+
+    The filter is the distinct (position) relation — ≤ m rows no matter
+    how many members (the same constant-size-summary argument as the
+    count-min sketch). Probing joins candidates' positions against the
+    broadcast-sized bit relation; a candidate is positive iff all k of
+    its positions hit. The hash family is portable, so the oracle
+    rebuilds the identical filter: n_bits_set, every verdict, and the
+    measured FPR are value-checked. Bloom property n_false_negatives=0
+    is structural (asserted in tests, implied here by n_positive ≥
+    members-with-probe)."""
+    orders = T(spark, sf, "orders")
+    members = (
+        orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[_bloom_pos(j, F.col("o_custkey")) for j in range(_BLOOM_KH)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    cust = T(spark, sf, "customer").select("c_custkey")
+    probe_pos = cust.select(
+        "c_custkey",
+        F.posexplode(
+            F.array(*[_bloom_pos(j, F.col("c_custkey")) for j in range(_BLOOM_KH)])
+        ).alias("j", "pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+    )
+    verdicts = hits.join(
+        F.broadcast(members.withColumn("is_member", F.lit(True))),
+        hits.c_custkey == members.o_custkey,
+        "left",
+    ).select(
+        "c_custkey",
+        (F.col("n_hit") == _BLOOM_KH).alias("positive"),
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    fp = F.sum(F.when(F.col("positive") & ~F.col("is_member"), 1).otherwise(0))
+    non_members = F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("n_tested"),
+        F.sum(F.when(F.col("positive"), 1).otherwise(0)).cast("long").alias(
+            "n_positive"
+        ),
+        fp.cast("long").alias("n_false_positive"),
+        dround(
+            fp.cast("double") / F.when(non_members != 0, non_members), 6
+        ).alias("fpr_measured"),
+    )
+    return (
+        agg.crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .select(
+            F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+            F.lit(_BLOOM_KH).cast("long").alias("k_hashes"),
+            "n_members",
+            "n_bits_set",
+            "n_tested",
+            "n_positive",
+            "n_false_positive",
+            "fpr_measured",
+        )
+    )
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank (embeddings)
+# --------------------------------------------------------------------------
+
+_MMR_CANDS = 8
+_MMR_PICKS = 4
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR as a chained-argmax CTE pipeline: sel{s} picks the
+    argmax of lambda*rel - (1-lambda)*max-sim-to-picked at step s.
+    cand/pairs are MATERIALIZED (each is referenced per step — without
+    it DuckDB re-inlines the cosine cross product per step, the
+    graph_kcore_peel lesson)."""
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.e,
+             ROUND(LIST_COSINE_SIMILARITY(q.e, c.e) * 1e6) / 1e6 AS rel
+      FROM q, c WHERE q.vec_id <> c.vec_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, e, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {_MMR_CANDS}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+             ROUND(LIST_COSINE_SIMILARITY(a.e, b.e) * 1e6) / 1e6 AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, 1 AS rnk, {lam} * rel AS mmr_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    picked1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for s in range(2, _MMR_PICKS + 1):
+        p = s - 1
+        parts.append(
+            f""",
+    sc{s} AS (
+      SELECT c.query_id, c.neighbor_id,
+             {lam} * c.rel - {mu} * MAX(p.sim) AS score
+      FROM cand c
+      JOIN pairs p
+        ON p.query_id = c.query_id AND p.na = c.neighbor_id
+      JOIN picked{p} k
+        ON k.query_id = p.query_id AND k.neighbor_id = p.nb
+      LEFT JOIN picked{p} x
+        ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+      WHERE x.neighbor_id IS NULL
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    sel{s} AS (
+      SELECT query_id, neighbor_id, {s} AS rnk, score AS mmr_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+            FROM sc{s}) WHERE rn = 1
+    ),
+    picked{s} AS (SELECT * FROM picked{p}
+                  UNION ALL SELECT query_id, neighbor_id FROM sel{s})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{s}" for s in range(1, _MMR_PICKS + 1)
+    )
+    parts.append(
+        f"""
+    SELECT query_id, neighbor_id, rnk,
+           ROUND(mmr_score * 1e6) / 1e6 AS mmr_score
+    FROM ({union}) ORDER BY query_id, rnk"""
+    )
+    return "".join(parts)
+
+
+@register("sim_mmr_rerank", sql=_mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: take each query's top-8 exact
+    cosine candidates, then greedily pick 4 balancing relevance against
+    redundancy (score = 0.7·rel − 0.3·max-sim-to-already-picked) — the
+    standard diversification pass between retrieval and a RAG prompt,
+    so near-duplicate passages don't crowd out coverage.
+
+    Stage split follows the retrieval shape: the corpus-wide top-8 is
+    the DISTRIBUTED part (the sim_cosine_topk_exact plan — broadcast
+    5-row query side, one corpus pass, WindowGroupLimit); the greedy
+    selection then operates on ≤ 5×8 candidates + their ≤ 5×56 pairwise
+    sims — driver-sized BY CONSTRUCTION (the IVF top_cells contract),
+    and inherently sequential, so it runs as an exact Python loop
+    rather than 4 chained shuffle rounds. All sims are rounded to 6 dp
+    BEFORE ranking on both engines (the half-away-from-zero ADVICE-r4
+    contract), so selection ties break identically; scores are then
+    pure arithmetic on identical doubles."""
+    import math
+
+    from engine.similarity import _as_double, _cosine
+
+    emb = T(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ce",
+            dround(_cosine(F.col("qe"), F.col("ce")), 6).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    cand = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MMR_CANDS
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("na"),
+            F.col("b.neighbor_id").alias("nb"),
+            dround(_cosine(F.col("a.ce"), F.col("b.ce")), 6).alias("sim"),
+        )
+    )
+    rels: dict[tuple[int, int], float] = {
+        (r["query_id"], r["neighbor_id"]): r["rel"]
+        for r in cand.select("query_id", "neighbor_id", "rel").collect()
+    }
+    sims: dict[tuple[int, int, int], float] = {
+        (r["query_id"], r["na"], r["nb"]): r["sim"] for r in pairs.collect()
+    }
+
+    def round6(x: float) -> float:
+        # half-away-from-zero on the scaled double == SQL ROUND(x*1e6)/1e6
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    out = []
+    for query in sorted({k[0] for k in rels}):
+        pool = sorted(n for (qq, n) in rels if qq == query)
+        picked: list[int] = []
+        for step in range(1, _MMR_PICKS + 1):
+            best = None
+            for n in pool:
+                if n in picked:
+                    continue
+                pen = max((sims[(query, n, p)] for p in picked), default=None)
+                score = (
+                    _MMR_LAMBDA * rels[(query, n)]
+                    if pen is None
+                    else _MMR_LAMBDA * rels[(query, n)] - (1.0 - _MMR_LAMBDA) * pen
+                )
+                if best is None or score > best[0] or (
+                    score == best[0] and n < best[1]
+                ):
+                    best = (score, n)
+            picked.append(best[1])
+            out.append((query, best[1], step, round6(best[0])))
+    return spark.createDataFrame(
+        out, "query_id long, neighbor_id long, rnk int, mmr_score double"
+    ).orderBy("query_id", "rnk")

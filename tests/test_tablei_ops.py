@@ -229,3 +229,107 @@ def test_kcore_driver_and_distributed_paths_agree(spark):
         ).distinct()
     )
     assert _kcore_driver(und) == _kcore_distributed(und)
+
+
+# --------------------------------------------------------------------------
+# agg_kmv_set_sketch
+# --------------------------------------------------------------------------
+
+
+def test_kmv_degrades_to_exact_below_k(spark, tmp_path):
+    # 10 buyers in 1995, 6 in 1996, 3 shared — all far below k=64, so
+    # every sketch IS its set and every estimate must equal the exact
+    import datetime
+
+    rows = []
+    oid = 0
+    for ck in range(1, 11):  # A = {1..10}
+        rows.append((oid, ck, datetime.datetime(1995, 3, 1))); oid += 1
+    for ck in range(8, 14):  # B = {8..13}, overlap {8,9,10}
+        rows.append((oid, ck, datetime.datetime(1996, 3, 1))); oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    sf = _write(spark, tmp_path, "orders", orders)
+    r = QUERIES["agg_kmv_set_sketch"](spark, sf).collect()[0]
+    assert (r["exact_a"], r["exact_b"]) == (10, 6)
+    assert (r["exact_union"], r["exact_intersect"]) == (13, 3)
+    assert r["est_a"] == pytest.approx(10.0, abs=1e-4)
+    assert r["est_b"] == pytest.approx(6.0, abs=1e-4)
+    assert r["est_union"] == pytest.approx(13.0, abs=1e-4)
+    assert r["est_intersect"] == pytest.approx(3.0, abs=1e-4)
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    # k=64 -> relative standard error ~ 1/sqrt(64) = 12.5%; allow 4 sigma
+    r = QUERIES["agg_kmv_set_sketch"](spark, SF_SMOKE).collect()[0]
+    for exact, est in (
+        (r["exact_a"], r["est_a"]),
+        (r["exact_b"], r["est_b"]),
+        (r["exact_union"], r["est_union"]),
+    ):
+        assert abs(est - exact) <= max(4, 0.5 * exact)
+
+
+# --------------------------------------------------------------------------
+# agg_bloom_filter_report
+# --------------------------------------------------------------------------
+
+
+def test_bloom_zero_false_negatives_planted(spark, tmp_path):
+    # members {1..5}; probes {1..10}: Bloom FN=0 is structural, so
+    # positives among members == 5 exactly -> n_positive - n_fp == 5
+    import datetime
+
+    orders = spark.createDataFrame(
+        [(i, i, datetime.datetime(1995, 6, 1)) for i in range(1, 6)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "c_custkey long"
+    )
+    sf_dir = str(tmp_path / "sf")
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+    cust.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/customer.parquet")
+    r = QUERIES["agg_bloom_filter_report"](spark, sf_dir).collect()[0]
+    assert r["n_members"] == 5 and r["n_tested"] == 10
+    assert r["n_positive"] - r["n_false_positive"] == 5
+    assert r["n_bits_set"] <= 15  # <= k * members
+
+
+def test_bloom_fpr_sane_at_smoke(spark):
+    r = QUERIES["agg_bloom_filter_report"](spark, SF_SMOKE).collect()[0]
+    assert r["n_positive"] - r["n_false_positive"] >= 0
+    # m=8192 bits vs a few hundred members: measured FPR stays tiny
+    assert r["fpr_measured"] is None or r["fpr_measured"] < 0.25
+
+
+# --------------------------------------------------------------------------
+# sim_mmr_rerank
+# --------------------------------------------------------------------------
+
+
+def test_mmr_planted_geometry(spark, tmp_path):
+    # query 0 = e1; candidates with hand-computable cosines:
+    #   10=[1,0]: rel 1.0      11=[.8,.6]: rel .8, sim(11,10)=.8
+    #   12=[.6,-.8]: rel .6, sim(12,10)=.6, sim(12,11)=0
+    #   13=[0,1]: rel 0, sim(13,11)=.6, sim(13,12)=-.8
+    # greedy (lambda=.7): 10 (.7), 11 (.56-.24=.32),
+    #   12 (.42-.18=.24), 13 (0-.3*.6=-.18)
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (10, [1.0, 0.0, 0.0], 0),
+        (11, [0.8, 0.6, 0.0], 0),
+        (12, [0.6, -0.8, 0.0], 0),
+        (13, [0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    sf = _write(spark, tmp_path, "embeddings", emb)
+    rows = QUERIES["sim_mmr_rerank"](spark, sf).collect()
+    got = [(r["rnk"], r["neighbor_id"], r["mmr_score"]) for r in rows
+           if r["query_id"] == 0]
+    assert [g[1] for g in got] == [10, 11, 12, 13]
+    for (rnk, _n, score), want in zip(got, (0.7, 0.32, 0.24, -0.18)):
+        assert score == pytest.approx(want, abs=1e-6), rnk
