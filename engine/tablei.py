@@ -984,9 +984,16 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             dround(_cosine(F.col("qe"), F.col("ce")), 6).alias("rel"),
         )
     )
+    from engine.session import scratch_cache
+
     w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
-    cand = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _MMR_CANDS
+    # cache: the ≤ 5×8-row candidate relation feeds the rel collect AND
+    # both sides of the pair self-join — without it each consumer
+    # re-runs the corpus-wide cosine pass (profiled: 3.0 s → ~1 s)
+    cand = scratch_cache(
+        scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= _MMR_CANDS
+        )
     )
     a, b = cand.alias("a"), cand.alias("b")
     pairs = (
