@@ -1045,3 +1045,209 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_id long, neighbor_id long, rnk int, mmr_score double"
     ).orderBy("query_id", "rnk")
+
+# --------------------------------------------------------------------------
+# 2-D skyline / Pareto front (part: minimize price, maximize size)
+# --------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+    WITH pm AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS msize
+      FROM part GROUP BY p_retailprice
+    ),
+    run AS (
+      SELECT price, msize,
+             MAX(msize) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_before
+      FROM pm
+    )
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    JOIN run r ON r.price = p.p_retailprice
+    WHERE p.p_size = r.msize
+      AND (r.best_before IS NULL OR p.p_size > r.best_before)
+    ORDER BY price, p.p_partkey
+"""
+
+
+@register("win_skyline_pareto_2d", sql=_SKYLINE_SQL)
+def win_skyline_pareto_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto front) of parts — minimize retail price,
+    maximize size: a part survives iff nothing is simultaneously
+    cheaper-or-equal AND bigger-or-equal with one strict. The
+    multi-objective shortlist operator behind "best tradeoff" queries.
+
+    After collapsing to per-price max size (one partial-aggregable
+    groupBy), the survive rule is a single running-max window over the
+    DISTINCT-PRICE relation: survive iff size > max(size) over all
+    strictly cheaper prices. Spark runs that window in two phases
+    exploiting skyline decomposability — skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B)) — a LOCAL pass partitioned by
+    coarse price range (parallel, eliminates almost everything), then
+    the global pass over local survivors only, so no single reducer
+    ever sees the full price dictionary (the win_pctrank_bucketed
+    construction). The oracle computes the equivalent one-phase rule —
+    the result is implementation-independent."""
+    pm = (
+        T(spark, sf, "part")
+        .groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").alias("msize"))
+    )
+    # local phase: coarse fixed-width price buckets (data-independent)
+    bucket = F.floor(F.col("price") / 100).cast("long")
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        pm.withColumn("bucket", bucket)
+        .withColumn("lbest", F.max("msize").over(w_local))
+        .filter(F.col("lbest").isNull() | (F.col("msize") > F.col("lbest")))
+        .select("price", "msize")
+    )
+    # global phase over local survivors (bounded: each bucket's local
+    # skyline is monotone, so survivors ≈ skyline-sized, not data-sized)
+    w_glob = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    run = local.withColumn("best_before", F.max("msize").over(w_glob))
+    part = T(spark, sf, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    return (
+        part.join(F.broadcast(run), "price")
+        .filter(
+            (F.col("size") == F.col("msize"))
+            & (F.col("best_before").isNull() | (F.col("size") > F.col("best_before")))
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (documents)
+# --------------------------------------------------------------------------
+
+#: stopword delimiters for phrase extraction (present in the corpus)
+_RAKE_STOPS = ("a", "the")
+
+_RAKE_SQL = f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.ts[u.i] AS tok, u.i AS pos
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents) d,
+           UNNEST(GENERATE_SERIES(1, LEN(d.ts))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, tok, pos,
+             SUM(CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+             tok IN {_RAKE_STOPS} AS is_stop
+      FROM toks
+    ),
+    phrases AS MATERIALIZED (
+      SELECT doc_id, grp,
+             STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM marked WHERE NOT is_stop
+      GROUP BY doc_id, grp
+    ),
+    words AS (
+      SELECT p.doc_id, p.grp, p.plen, w.tok
+      FROM phrases p, UNNEST(STRING_SPLIT(p.phrase, ' ')) AS w(tok)
+    ),
+    wstats AS (
+      SELECT tok,
+             CAST(ROUND(SUM(plen) * 1e6 / COUNT(*)) AS BIGINT) AS score_u
+      FROM words GROUP BY tok
+    ),
+    pscore AS (
+      SELECT w.doc_id, w.grp,
+             ANY_VALUE(p.phrase) AS phrase,
+             SUM(s.score_u) AS score_u
+      FROM words w
+      JOIN wstats s ON s.tok = w.tok
+      JOIN phrases p ON p.doc_id = w.doc_id AND p.grp = w.grp
+      GROUP BY w.doc_id, w.grp
+    ),
+    agg AS (
+      SELECT phrase, COUNT(*) AS n_occurrences,
+             MAX(score_u) AS score_u
+      FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences,
+           ROUND(score_u / 1e6 * 1e6) / 1e6 AS rake_score
+    FROM agg
+    ORDER BY score_u DESC, phrase LIMIT 20
+"""
+
+
+@register("text_keyword_rake", sql=_RAKE_SQL)
+def text_keyword_rake(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction: split docs into candidate phrases at
+    stopword delimiters, score each word degree/frequency (degree =
+    Σ phrase-length over its occurrences), score a phrase as the sum of
+    its word scores, return the corpus top-20 — the classic
+    no-training keyphrase baseline for corpus topic drift monitoring.
+
+    Per-word scores are fixed to INTEGER MICRO-UNITS
+    (round(degree·1e6/freq)) before the phrase sum, so the fold is
+    exact integer arithmetic — immune to FP summation order on either
+    engine (the agg_hist_log_bins trick, applied to a score fold). The
+    phrase build is one per-doc running-count window (partitioned by
+    doc — parallel); word stats are two partial-aggregable rollups;
+    the final top-20 is TakeOrderedAndProject, never a global sort."""
+    stops = list(_RAKE_STOPS)
+    toks = (
+        T(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "grp",
+        F.sum(F.when(F.col("tok").isin(stops), 1).otherwise(0)).over(wd),
+    ).withColumn("is_stop", F.col("tok").isin(stops))
+    from engine.session import scratch_cache
+
+    # collect_list is order-nondeterministic after shuffles: build the
+    # phrase via sort_array over (pos, tok) structs instead
+    phrases = scratch_cache(
+        marked.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    words = phrases.select(
+        "doc_id", "grp", "plen", F.explode(F.split("phrase", " ")).alias("tok")
+    )
+    wstats = words.groupBy("tok").agg(
+        F.round(F.sum("plen") * 1e6 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("score_u")
+    )
+    pscore = (
+        words.join(wstats, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score_u").alias("score_u"))
+        .join(phrases.select("doc_id", "grp", "phrase"), ["doc_id", "grp"])
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"), F.max("score_u").alias("score_u")
+    )
+    return (
+        agg.orderBy(F.col("score_u").desc(), "phrase")
+        .limit(20)
+        .select(
+            "phrase",
+            "n_occurrences",
+            dround(F.col("score_u") / 1e6, 6).alias("rake_score"),
+        )
+    )

@@ -333,3 +333,85 @@ def test_mmr_planted_geometry(spark, tmp_path):
     assert [g[1] for g in got] == [10, 11, 12, 13]
     for (rnk, _n, score), want in zip(got, (0.7, 0.32, 0.24, -0.18)):
         assert score == pytest.approx(want, abs=1e-6), rnk
+
+
+# --------------------------------------------------------------------------
+# win_skyline_pareto_2d
+# --------------------------------------------------------------------------
+
+
+def test_skyline_planted_front(spark, tmp_path):
+    # (price, size): front = (1,5) and (2,9); (2,5) dominated by (1,5),
+    # (3,9) dominated by (2,9), (1,5)-duplicate ties both survive
+    parts = spark.createDataFrame(
+        [
+            (1, 1.0, 5),
+            (2, 1.0, 5),   # exact duplicate objective: both on the front
+            (3, 2.0, 5),   # dominated by (1.0, 5): same size, pricier
+            (4, 2.0, 9),
+            (5, 3.0, 9),   # dominated by (2.0, 9)
+            (6, 2.5, 7),   # dominated by (2.0, 9)
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    sf = _write(spark, tmp_path, "part", parts)
+    got = sorted(
+        (r["p_partkey"], r["price"], r["size"])
+        for r in QUERIES["win_skyline_pareto_2d"](spark, sf).collect()
+    )
+    assert got == [(1, 1.0, 5), (2, 1.0, 5), (4, 2.0, 9)]
+
+
+def test_skyline_matches_bruteforce_at_smoke(spark):
+    rows = QUERIES["win_skyline_pareto_2d"](spark, SF_SMOKE).collect()
+    from engine.session import T
+
+    all_parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in T(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in all_parts
+        )
+
+    want = sorted((k, pr, sz) for (k, pr, sz) in all_parts
+                  if not dominated((k, pr, sz)))
+    got = sorted((r["p_partkey"], r["price"], r["size"]) for r in rows)
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# text_keyword_rake
+# --------------------------------------------------------------------------
+
+
+def test_rake_planted_scores(spark, tmp_path):
+    # doc: "x y the x" -> phrases: "x y" (len 2), "x" (len 1)
+    # word x: freq 2, degree 2+1=3 -> score 1.5; y: freq 1, degree 2 -> 2.0
+    # phrase "x y" score 3.5; phrase "x" score 1.5
+    docs = spark.createDataFrame(
+        [(1, "x y the x", "en", "sA", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    got = {r["phrase"]: (r["n_occurrences"], r["rake_score"])
+           for r in QUERIES["text_keyword_rake"](spark, sf).collect()}
+    assert got["x y"] == (1, pytest.approx(3.5, abs=1e-6))
+    assert got["x"] == (1, pytest.approx(1.5, abs=1e-6))
+
+
+def test_rake_phrase_order_preserved(spark, tmp_path):
+    # token order inside a phrase must follow document positions even
+    # after shuffles (sort_array over (pos, tok) structs)
+    docs = spark.createDataFrame(
+        [(1, "zz aa qq the zz aa qq", "en", "sA", 21)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    phrases = [r["phrase"] for r in QUERIES["text_keyword_rake"](spark, sf).collect()]
+    assert phrases == ["zz aa qq"]
