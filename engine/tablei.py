@@ -1251,3 +1251,82 @@ def text_keyword_rake(spark: SparkSession, sf: str) -> DataFrame:
             dround(F.col("score_u") / 1e6, 6).alias("rake_score"),
         )
     )
+
+# --------------------------------------------------------------------------
+# SimHash hamming-radius search (documents)
+# --------------------------------------------------------------------------
+
+_RADIUS = 3
+_BANDS = 4
+_BAND_BITS = 15  # 4 bands x 15 bits = the 60-bit portable fingerprint
+
+
+def _simhash_radius_sql() -> str:
+    from engine.similarity import _SIMHASH_CTE
+
+    bands_q = ", ".join(
+        f"(q.simhash >> {i * _BAND_BITS}) & 32767" for i in range(_BANDS)
+    )
+    band_join = " OR ".join(
+        f"((q.simhash >> {i * _BAND_BITS}) & 32767)"
+        f" = ((c.simhash >> {i * _BAND_BITS}) & 32767)"
+        for i in range(_BANDS)
+    )
+    return f"""
+    WITH {_SIMHASH_CTE},
+    shm AS MATERIALIZED (SELECT doc_id, simhash FROM sh),
+    q AS (SELECT doc_id, simhash FROM shm WHERE doc_id < 5)
+    SELECT q.doc_id AS query_doc_id, c.doc_id,
+           CAST(bit_count(xor(q.simhash, c.simhash)) AS INT) AS hamming
+    FROM q JOIN shm c
+      ON q.doc_id <> c.doc_id AND ({band_join})
+    WHERE bit_count(xor(q.simhash, c.simhash)) <= {_RADIUS}
+    ORDER BY query_doc_id, c.doc_id
+    """
+
+
+@register("sim_simhash_radius", sql=_simhash_radius_sql())
+def sim_simhash_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-radius search over the portable 60-bit SimHash corpus:
+    for each query document (doc_id < 5), every other document whose
+    fingerprint is within hamming distance 3 — the point-lookup twin of
+    dedup_simhash's corpus-wide bucketing, i.e. "what already in the
+    corpus near-duplicates THIS doc" before ingesting it.
+
+    Pigeonhole banding makes the lookup sub-linear: split the 60 bits
+    into 4 bands of 15; distance ≤ 3 can corrupt at most 3 bands, so at
+    least one band matches EXACTLY — candidates come from 4 band-value
+    equi-joins (a union, never a corpus scan per query), then the exact
+    popcount(xor) residual filters. At 100 TB the corpus side is
+    pre-bucketed by band value (the dedup_simhash layout) and each
+    query probes 4 buckets. Fingerprints are md5-derived (portable), so
+    the oracle rebuilds them and the whole path — fingerprint, banding,
+    residual — is value-checked."""
+    from engine.session import parallelize_scan, scan_units, scratch_cache
+    from engine.similarity import simhash_df
+
+    sh = scratch_cache(
+        simhash_df(
+            parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+        ).select("doc_id", "simhash")
+    )
+    q = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_doc_id"), F.col("simhash").alias("qh")
+    )
+
+    def band(col, i: int):
+        return F.shiftright(col, i * _BAND_BITS).bitwiseAND(F.lit(32767))
+
+    cand = None
+    for i in range(_BANDS):
+        qi = q.select("query_doc_id", "qh", band(F.col("qh"), i).alias("bv"))
+        ci = sh.select("doc_id", "simhash", band(F.col("simhash"), i).alias("bv"))
+        part = qi.join(ci, "bv").drop("bv")
+        cand = part if cand is None else cand.unionAll(part)
+    ham = F.bit_count(F.col("qh").bitwiseXOR(F.col("simhash")))
+    return (
+        cand.distinct()
+        .filter((F.col("query_doc_id") != F.col("doc_id")) & (ham <= _RADIUS))
+        .select("query_doc_id", "doc_id", ham.cast("int").alias("hamming"))
+        .orderBy("query_doc_id", "doc_id")
+    )

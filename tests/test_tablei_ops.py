@@ -415,3 +415,37 @@ def test_rake_phrase_order_preserved(spark, tmp_path):
     sf = _write(spark, tmp_path, "documents", docs)
     phrases = [r["phrase"] for r in QUERIES["text_keyword_rake"](spark, sf).collect()]
     assert phrases == ["zz aa qq"]
+
+
+# --------------------------------------------------------------------------
+# sim_simhash_radius
+# --------------------------------------------------------------------------
+
+
+def test_simhash_radius_matches_bruteforce(spark):
+    # pigeonhole banding must recover EXACTLY the popcount<=3 pairs —
+    # band recall at r=3 with 4 bands is structural, not probabilistic
+    from engine.session import T, parallelize_scan, scan_units
+    from engine.similarity import simhash_df
+
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_df(
+            parallelize_scan(
+                T(spark, SF_SMOKE, "documents"), scan_units(SF_SMOKE, "documents")
+            )
+        )
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    want = sorted(
+        (q, d, bin(sh[q] ^ sh[d]).count("1"))
+        for q in sh if q < 5
+        for d in sh
+        if d != q and bin(sh[q] ^ sh[d]).count("1") <= 3
+    )
+    got = sorted(
+        (r["query_doc_id"], r["doc_id"], r["hamming"])
+        for r in QUERIES["sim_simhash_radius"](spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
