@@ -1330,3 +1330,213 @@ def sim_simhash_radius(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_doc_id", "doc_id", ham.cast("int").alias("hamming"))
         .orderBy("query_doc_id", "doc_id")
     )
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (events affinity graph)
+# --------------------------------------------------------------------------
+
+
+def _clustering_coeff_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+    from engine.session import EVENTS_US_SQL
+
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    tri AS (
+      SELECT x.u, COUNT(*) AS t
+      FROM adj x JOIN adj y ON y.u = x.v AND y.v > x.v
+      JOIN und z ON z.a = LEAST(x.u, y.v) AND z.b = GREATEST(x.u, y.v)
+      WHERE x.v < y.v  -- each wedge at u counted once (v < w)
+      GROUP BY x.u
+    )
+    SELECT d.u AS user_id, CAST(d.d AS INT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+           ROUND(COALESCE(t.t, 0) * 2.0 / (d.d * (d.d - 1)) * 1e6) / 1e6
+             AS clustering
+    FROM deg d LEFT JOIN tri t ON t.u = d.u
+    WHERE d.d >= 2
+    ORDER BY user_id
+"""
+    )
+
+
+@register("graph_clustering_coefficient", sql=_clustering_coeff_sql())
+def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient over the shared affinity
+    graph: closed wedges at u / (deg·(deg−1)/2) — the community-
+    tightness signal that separates hub-spoke from clique structure
+    (graph_triangles gives the corpus total; this localizes it).
+
+    Wedges are enumerated per CENTER node (one adjacency self-join on
+    the shared endpoint, v < w so each wedge counts once) and closed by
+    one equi-join back into the undirected edge set — the same join
+    discipline as graph_triangles, keyed so hub fan-out is the only
+    skew axis (at 100 TB: cap or sample hub wedges, the shingle-DF-cap
+    rule). Degrees are a partial-aggregable count; the ratio is
+    integer-exact until the final rounded division."""
+    from engine.analytics import materialize_affinity_edges
+    from engine.session import scratch_cache
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    adj = scratch_cache(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("y.u") == F.col("x.v")) & (F.col("y.v") > F.col("x.v")),
+    ).select(
+        F.col("x.u").alias("u"),
+        F.least(F.col("x.u"), F.col("y.v")).alias("ca"),
+        F.greatest(F.col("x.u"), F.col("y.v")).alias("cb"),
+    )
+    tri = (
+        wedges.join(
+            und, (und["a"] == wedges["ca"]) & (und["b"] == wedges["cb"])
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc = F.coalesce("t", F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1))
+    return (
+        deg.join(tri, "u", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("d").cast("int").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            dround(cc, 6).alias("clustering"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Max drawdown (events)
+# --------------------------------------------------------------------------
+
+_DRAWDOWN_SQL = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - cum AS draw
+      FROM seq
+    )
+    SELECT user_id,
+           ROUND(MAX(draw) * 1e6) / 1e6 AS max_drawdown
+    FROM dd GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("win_drawdown_max", sql=_DRAWDOWN_SQL)
+def win_drawdown_max(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value series — the
+    largest peak-to-trough drop of the running sum (the finance risk
+    metric, equally useful as an error-budget burn alarm on any
+    cumulative KPI).
+
+    Two stacked UNBOUNDED-PRECEDING windows over ONE user_id shuffle
+    (running sum, then running max of it — Spark evaluates both in the
+    same Window operator pass since they share partitioning+ordering),
+    then a partial-aggregable max of the differences. Frame state is
+    O(1) per task. Same two-window construction verbatim in the
+    oracle, so FP accumulation order matches row-for-row."""
+    ev = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("value").over(w)
+    seq = ev.select("user_id", "ts", "event_id", cum.alias("cum"))
+    draw = F.max("cum").over(w) - F.col("cum")
+    dd = seq.select("user_id", draw.alias("draw"))
+    return (
+        dd.groupBy("user_id")
+        .agg(dround(F.max("draw"), 6).alias("max_drawdown"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Burstiness (Fano factor) per event type (events)
+# --------------------------------------------------------------------------
+
+_FANO_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) * 1.0 AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS k, SUM(n) AS sn, SUM(n * n) AS snn
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_hours,
+           ROUND(sn / k * 1e6) / 1e6 AS mean_per_hour,
+           ROUND((snn - sn * sn / k) / (k - 1) / (sn / k) * 1e6) / 1e6
+             AS fano_factor
+    FROM s WHERE k >= 2 ORDER BY event_type
+"""
+
+
+@register("ts_burstiness_fano", sql=_FANO_SQL)
+def ts_burstiness_fano(spark: SparkSession, sf: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of hourly event counts) per
+    event type — the burstiness dial: ≈1 is Poisson-like traffic, ≫1 is
+    bursty/clumped arrivals (retry storms, bot bursts), ≪1 is
+    pacemaker-regular. The arrival-process twin of
+    agg_seasonality_strength.
+
+    Two partial-aggregable rollups (hourly counts, then per-type
+    moment sums) — the same shared sample-variance formula text as
+    agg_ab_test_welch so both engines compute the identical
+    (Σn² − (Σn)²/k)/(k−1) double arithmetic."""
+    hourly = (
+        T(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("sn") / F.col("k")
+    var = (F.col("snn") - F.col("sn") * F.col("sn") / F.col("k")) / (F.col("k") - 1)
+    return (
+        s.filter(F.col("k") >= 2)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("n_hours"),
+            dround(mean, 6).alias("mean_per_hour"),
+            dround(var / mean, 6).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )

@@ -449,3 +449,63 @@ def test_simhash_radius_matches_bruteforce(spark):
         for r in QUERIES["sim_simhash_radius"](spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coefficient
+# --------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_planted_triangle_vs_cycle(spark, tmp_path):
+    # 'view' cohort ring over users 1,2,3 -> K3 (cc = 1.0 each);
+    # 'click' cohort ring over users 4,5,6,7 -> C4 (cc = 0.0 each)
+    day = 86_400_000_000 * 20_000
+    rows, eid = [], 0
+    for pos, user in enumerate([1, 2, 3]):
+        for k in range(3):
+            rows.append((eid, day + pos * 1_000_000 + k, user, "view", 1.0))
+            eid += 1
+    for pos, user in enumerate([4, 5, 6, 7]):
+        for k in range(3):
+            rows.append((eid, day + pos * 1_000_000 + k, user, "click", 1.0))
+            eid += 1
+    sf = _write(spark, tmp_path, "events", _events_df(spark, rows))
+    got = {r["user_id"]: r
+           for r in QUERIES["graph_clustering_coefficient"](spark, sf).collect()}
+    for u in (1, 2, 3):
+        assert (got[u]["degree"], got[u]["triangles"]) == (2, 1)
+        assert got[u]["clustering"] == pytest.approx(1.0)
+    for u in (4, 5, 6, 7):
+        assert (got[u]["degree"], got[u]["triangles"]) == (2, 0)
+        assert got[u]["clustering"] == pytest.approx(0.0)
+
+
+# --------------------------------------------------------------------------
+# win_drawdown_max
+# --------------------------------------------------------------------------
+
+
+def test_drawdown_planted(spark, tmp_path):
+    # cum = [5, 2, -2, 8]; running max = [5,5,5,8]; draw = [0,3,7,0]
+    vals = [5.0, -3.0, -4.0, 10.0]
+    rows = [(i, i * 1_000_000, 7, "view", v) for i, v in enumerate(vals)]
+    sf = _write(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["win_drawdown_max"](spark, sf).collect()[0]
+    assert r["max_drawdown"] == pytest.approx(7.0)
+
+
+# --------------------------------------------------------------------------
+# ts_burstiness_fano
+# --------------------------------------------------------------------------
+
+
+def test_fano_planted(spark, tmp_path):
+    # hour A: 1 event, hour B: 5 events -> mean 3, sample var 8, fano 8/3
+    hour_us = 3_600_000_000
+    rows = [(0, 0, 7, "view", 1.0)]
+    rows += [(i, hour_us + i, 7, "view", 1.0) for i in range(1, 6)]
+    sf = _write(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["ts_burstiness_fano"](spark, sf).collect()[0]
+    assert r["n_hours"] == 2
+    assert r["mean_per_hour"] == pytest.approx(3.0)
+    assert r["fano_factor"] == pytest.approx(8.0 / 3.0, abs=1e-6)
