@@ -1540,3 +1540,149 @@ def ts_burstiness_fano(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap CI for the mean (lineitem)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 16
+#: modulus shared with the minhash universal family
+_BOOT_P = 1_000_000_007
+#: cumulative Poisson(1) CDF — exact double literals shared via repr so
+#: both engines threshold the identical uniforms identically
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+)
+
+
+def _bootstrap_sql() -> str:
+    case = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS x,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+               % {_BOOT_P} AS hx
+      FROM lineitem
+    ),
+    rep AS (
+      SELECT grp, x, i.i,
+             (((2 * i.i + 1) * hx + 12345 * i.i) % {_BOOT_P}) * 1.0
+               / {_BOOT_P} AS u
+      FROM base, (SELECT UNNEST(GENERATE_SERIES(0, {_BOOT_B - 1})) AS i) i
+    ),
+    weighted AS (
+      SELECT grp, i, x, CASE {case} ELSE 5 END AS w FROM rep
+    ),
+    means AS (
+      SELECT grp, i, SUM(w * x) / SUM(w) AS m
+      FROM weighted GROUP BY grp, i
+    ),
+    boot AS (
+      SELECT grp, COUNT(*) * 1.0 AS b, SUM(m) AS sm, SUM(m * m) AS smm
+      FROM means GROUP BY grp
+    ),
+    exact AS (
+      SELECT grp, COUNT(*) AS n_rows, AVG(x) AS sample_mean FROM base GROUP BY grp
+    )
+    SELECT e.grp AS l_returnflag, e.n_rows,
+           ROUND(e.sample_mean * 1e4) / 1e4 AS sample_mean,
+           ROUND(b.sm / b.b * 1e4) / 1e4 AS boot_mean,
+           ROUND(SQRT((b.smm - b.sm * b.sm / b.b) / (b.b - 1)) * 1e4) / 1e4
+             AS boot_se,
+           ROUND((b.sm / b.b - 1.96 * SQRT((b.smm - b.sm * b.sm / b.b)
+                                           / (b.b - 1))) * 1e4) / 1e4 AS ci_lo,
+           ROUND((b.sm / b.b + 1.96 * SQRT((b.smm - b.sm * b.sm / b.b)
+                                           / (b.b - 1))) * 1e4) / 1e4 AS ci_hi
+    FROM exact e JOIN boot b ON b.grp = e.grp
+    ORDER BY l_returnflag
+    """
+
+
+@register("agg_bootstrap_mean_ci", sql=_bootstrap_sql())
+def agg_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson bootstrap (B=16 replicates) standard error + 95% CI for
+    the per-returnflag mean extended price — THE distributed bootstrap:
+    resampling-with-replacement is unshardable, but each row appearing
+    Poisson(1) times per replicate is a pure row-local decision, so the
+    whole procedure is B weighted partial-aggregable means over one
+    pass (explode ×B, then groupBy (grp, replicate)) — no resample
+    materialization, no driver involvement.
+
+    Replicate weights are DETERMINISTIC: one md5 per row gives the base
+    variate, replicate i's uniform comes from the minhash universal
+    family ((2i+1)x + 12345i) mod p — one hash per row, cheap integer
+    arithmetic per replicate — thresholded against exact Poisson(1) CDF
+    double literals shared verbatim with the oracle. Every replicate
+    mean, the SE, and the CI are value-checked."""
+    li = T(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BOOT_P
+        ).alias("hx"),
+    )
+    rep = li.select(
+        "grp",
+        "x",
+        "hx",
+        F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("i"),
+    ).withColumn(
+        "u",
+        ((2 * F.col("i") + 1).cast("long") * F.col("hx") + 12345 * F.col("i"))
+        % _BOOT_P
+        * 1.0
+        / _BOOT_P,
+    )
+    w = F.lit(5)
+    for k, t in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("grp", "i")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+    )
+    boot = means.groupBy("grp").agg(
+        (F.count(F.lit(1)) * 1.0).alias("b"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    exact = li.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.avg("x").alias("sample_mean")
+    )
+    bm = F.col("sm") / F.col("b")
+    se = F.sqrt((F.col("smm") - F.col("sm") * F.col("sm") / F.col("b")) / (F.col("b") - 1))
+    return (
+        exact.join(boot, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n_rows",
+            dround("sample_mean", 4).alias("sample_mean"),
+            dround(bm, 4).alias("boot_mean"),
+            dround(se, 4).alias("boot_se"),
+            dround(bm - 1.96 * se, 4).alias("ci_lo"),
+            dround(bm + 1.96 * se, 4).alias("ci_hi"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -509,3 +509,33 @@ def test_fano_planted(spark, tmp_path):
     assert r["n_hours"] == 2
     assert r["mean_per_hour"] == pytest.approx(3.0)
     assert r["fano_factor"] == pytest.approx(8.0 / 3.0, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# agg_bootstrap_mean_ci
+# --------------------------------------------------------------------------
+
+
+def test_bootstrap_se_tracks_analytic_se(spark):
+    # Poisson-bootstrap SE must approximate sd/sqrt(n); with B=16
+    # replicates allow a generous factor-2 band around the analytic SE
+    rows = {r["l_returnflag"]: r
+            for r in QUERIES["agg_bootstrap_mean_ci"](spark, SF_SMOKE).collect()}
+    from engine.session import T
+
+    stats = {
+        r["l_returnflag"]: r
+        for r in T(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert rows
+    for flag, r in rows.items():
+        analytic = stats[flag]["sd"] / stats[flag]["n"] ** 0.5
+        assert r["boot_se"] > 0
+        assert 0.5 * analytic < r["boot_se"] < 2.0 * analytic, flag
+        assert r["ci_lo"] < r["sample_mean"] < r["ci_hi"], flag
