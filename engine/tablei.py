@@ -1686,3 +1686,123 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+# --------------------------------------------------------------------------
+# Per-column dataset profile (orders)
+# --------------------------------------------------------------------------
+
+#: column -> canonical string projection, shared semantics both engines
+#: (doubles as exact cents, timestamps as ISO dates — engine-native
+#: float/timestamp string casts differ, canonical forms don't)
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+_PROFILE_SQL = """
+    WITH stacked AS (
+      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    vc AS (
+      SELECT col, val, COUNT(*) AS c FROM stacked
+      WHERE val IS NOT NULL GROUP BY col, val
+    ),
+    top AS (
+      SELECT col, val AS top_value, c AS top_count FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY col
+                                     ORDER BY c DESC, val) AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT col, COUNT(*) AS n_rows,
+             COUNT(val) AS n_non_null,
+             COUNT(DISTINCT val) AS n_distinct
+      FROM stacked GROUP BY col
+    )
+    SELECT a.col AS column_name, a.n_rows,
+           a.n_rows - a.n_non_null AS n_null,
+           a.n_distinct, t.top_value,
+           ROUND(t.top_count * 1.0 / a.n_rows * 1e6) / 1e6 AS top_share
+    FROM agg a JOIN top t ON t.col = a.col
+    ORDER BY column_name
+"""
+
+
+@register("scan_profile_columns", sql=_PROFILE_SQL)
+def scan_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column dataset profile of orders — row count, null count,
+    exact distinct count, modal value and its share, one row per
+    column: the data-catalog / dataset-card primitive run before any
+    pipeline touches a new table.
+
+    Columns stack into one (column, canonical-string) relation — a
+    union of narrow projections over the SAME scan (each branch reads
+    one column; Catalyst prunes to exactly it) — then one groupBy per
+    statistic family. Canonical strings sidestep engine-native float/
+    timestamp formatting: doubles become exact cents integers,
+    timestamps ISO dates. The modal value ties break on the value
+    string, so unique-key columns report a deterministic top. At
+    100 TB the exact COUNT(DISTINCT) per column is the declared cost —
+    swap in approx_count_distinct (the agg_approx_distinct path) when
+    a profile beats exactness."""
+    o = T(spark, sf, "orders")
+    branches = [
+        o.select(F.lit("o_orderkey").alias("col"),
+                 F.col("o_orderkey").cast("string").alias("val")),
+        o.select(F.lit("o_custkey").alias("col"),
+                 F.col("o_custkey").cast("string").alias("val")),
+        o.select(F.lit("o_orderstatus").alias("col"),
+                 F.col("o_orderstatus").alias("val")),
+        o.select(
+            F.lit("o_totalprice").alias("col"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string").alias("val"),
+        ),
+        o.select(F.lit("o_orderdate").alias("col"),
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("val")),
+        o.select(F.lit("o_orderpriority").alias("col"),
+                 F.col("o_orderpriority").alias("val")),
+    ]
+    stacked = branches[0]
+    for b in branches[1:]:
+        stacked = stacked.unionAll(b)
+    from engine.session import scratch_cache
+
+    stacked = scratch_cache(stacked)
+    vc = (
+        stacked.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("col").orderBy(F.col("c").desc(), "val")
+    top = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("col", F.col("val").alias("top_value"), F.col("c").alias("top_count"))
+    )
+    agg = stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_non_null"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
+    return (
+        agg.join(top, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+            "n_distinct",
+            "top_value",
+            dround(F.col("top_count") * 1.0 / F.col("n_rows"), 6).alias("top_share"),
+        )
+        .orderBy("column_name")
+    )

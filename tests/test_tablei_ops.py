@@ -539,3 +539,41 @@ def test_bootstrap_se_tracks_analytic_se(spark):
         assert r["boot_se"] > 0
         assert 0.5 * analytic < r["boot_se"] < 2.0 * analytic, flag
         assert r["ci_lo"] < r["sample_mean"] < r["ci_hi"], flag
+
+
+# --------------------------------------------------------------------------
+# scan_profile_columns
+# --------------------------------------------------------------------------
+
+
+def test_profile_planted_stats(spark, tmp_path):
+    import datetime
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 1.5, datetime.datetime(1995, 1, 2), "1-URGENT"),
+            (2, 10, "F", 2.5, datetime.datetime(1995, 1, 2), None),
+            (3, 20, "O", 1.5, datetime.datetime(1996, 3, 4), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = _write(spark, tmp_path, "orders", orders)
+    got = {r["column_name"]: r
+           for r in QUERIES["scan_profile_columns"](spark, sf).collect()}
+    assert set(got) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    k = got["o_custkey"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["top_value"], k["top_share"]) == ("10", pytest.approx(2 / 3, abs=1e-6))
+    p = got["o_orderpriority"]
+    assert (p["n_null"], p["n_distinct"]) == (1, 1)
+    assert p["top_value"] == "1-URGENT"
+    t = got["o_totalprice"]
+    assert t["top_value"] == "150"  # canonical cents, not a float repr
+    d = got["o_orderdate"]
+    assert d["top_value"] == "1995-01-02"  # canonical ISO date
+    # unique key: deterministic tie-break on the value string
+    assert got["o_orderkey"]["top_value"] == "1"
