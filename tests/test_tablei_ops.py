@@ -577,3 +577,59 @@ def test_profile_planted_stats(spark, tmp_path):
     assert d["top_value"] == "1995-01-02"  # canonical ISO date
     # unique key: deterministic tie-break on the value string
     assert got["o_orderkey"]["top_value"] == "1"
+
+
+# --------------------------------------------------------------------------
+# plan gates + properties
+# --------------------------------------------------------------------------
+
+
+def test_kmv_bottom_k_plans_as_take_ordered(spark):
+    # ORDER BY h LIMIT k must be per-partition bottom-k + merge,
+    # never a global sort of the distinct-hash relation
+    assert "TakeOrderedAndProject" in _plan(spark, "agg_kmv_set_sketch")
+
+
+def test_rake_top20_plans_as_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "text_keyword_rake")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # price in cents
+            st.integers(min_value=1, max_value=12),   # size
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_prop_skyline_equals_bruteforce(spark, tmp_path_factory, pts):
+    """Property: the 2-phase bucketed skyline equals the O(n²)
+    dominance definition on ANY point set (duplicates included)."""
+    parts = spark.createDataFrame(
+        [(i, p / 100.0, s) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    sf_dir = str(tmp_path_factory.mktemp("sky") / "sf")
+    parts.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/part.parquet")
+    rows = QUERIES["win_skyline_pareto_2d"](spark, sf_dir).collect()
+    got = sorted((r["p_partkey"], r["price"], r["size"]) for r in rows)
+    pool = [(i, p / 100.0, s) for i, (p, s) in enumerate(pts)]
+    want = sorted(
+        (k, pr, sz)
+        for (k, pr, sz) in pool
+        if not any(
+            q[1] <= pr and q[2] >= sz and (q[1] < pr or q[2] > sz) for q in pool
+        )
+    )
+    assert got == want
