@@ -1806,3 +1806,128 @@ def scan_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+# --------------------------------------------------------------------------
+# Transaction-log snapshot scan (lakehouse manifest replay, orders)
+# --------------------------------------------------------------------------
+
+
+def _manifest_fixture(sf: str) -> str:
+    """Plant a deterministic Delta-style table directory: 4 parquet
+    data files (orders sliced by o_orderkey % 4) plus a _log/ of
+    JSON-lines commits — v0 adds part-0/part-1, v1 adds part-2 and
+    REMOVES part-1, v2 adds part-3, so the live snapshot is
+    {part-0, part-2, part-3}. Path embeds the source fingerprint
+    (the scan_binaryfile contract); built JVM-free with pyarrow."""
+    import json as _json
+    import pathlib
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = pathlib.Path(scratch_dir("manifest")) / (
+        f"{tag}_{data_fingerprint(sf, 'orders')}"
+    )
+    done = root / "_DONE"
+    if not done.exists():
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/orders.parquet")
+        (root / "_log").mkdir(parents=True, exist_ok=True)
+        key_mod = pc.bit_wise_and(t["o_orderkey"], 3)
+        for i in range(4):
+            pq.write_table(
+                t.filter(pc.equal(key_mod, i)), root / f"part-{i}.parquet"
+            )
+        commits = {
+            0: [{"op": "add", "file": "part-0.parquet"},
+                {"op": "add", "file": "part-1.parquet"}],
+            1: [{"op": "add", "file": "part-2.parquet"},
+                {"op": "remove", "file": "part-1.parquet"}],
+            2: [{"op": "add", "file": "part-3.parquet"}],
+        }
+        for v, actions in commits.items():
+            (root / "_log" / f"{v:05d}.json").write_text(
+                "\n".join(
+                    _json.dumps({"version": v, "seq": s, **a})
+                    for s, a in enumerate(actions)
+                )
+            )
+        done.write_text("")
+    return str(root)
+
+
+def _manifest_oracle_sql() -> str:
+    path = _manifest_fixture("/root/testdata/sf0.01")
+    return f"""
+    WITH log AS (
+      SELECT version, seq, op, file
+      FROM read_json('{path}/_log/*.json',
+                     format='newline_delimited',
+                     columns={{'version': 'BIGINT', 'seq': 'BIGINT',
+                               'op': 'VARCHAR', 'file': 'VARCHAR'}})
+    ),
+    latest AS (
+      SELECT file, op FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY file
+                                     ORDER BY version DESC, seq DESC) AS rn
+        FROM log) WHERE rn = 1
+    ),
+    live AS (SELECT file FROM latest WHERE op = 'add'),
+    data AS (
+      SELECT o_orderstatus, o_totalprice,
+             parse_filename(filename) AS fname
+      FROM read_parquet('{path}/part-*.parquet', filename=true)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM data JOIN live ON live.file = data.fname
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("scan_manifest_snapshot", sql=_manifest_oracle_sql())
+def scan_manifest_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot scan over a transaction-log table (the Delta/Iceberg
+    mechanic, engine-neutral): replay the JSON-lines commit log — the
+    LATEST action per file wins (version, then intra-commit seq) — to
+    the live file set, then aggregate only live data files. Add-then-
+    remove files (part-1 here) must not leak into the result: that is
+    snapshot isolation expressed relationally.
+
+    Both the replay (one latest-per-key window over the file-sized log)
+    and the membership (filename semi-join, file list broadcast) are
+    relations — no driver file-list mutation; at 100 TB the log is
+    orders of magnitude smaller than the data and the filename join
+    prunes at the scan's file listing in a production reader (here the
+    semi-join expresses the same semantics engine-neutrally). Money
+    sums ride exact integer cents (the TPC-H suite contract)."""
+    path = _manifest_fixture(sf)
+    log = spark.read.schema("version long, seq long, op string, file string").json(
+        path + "/_log/*.json"
+    )
+    w = Window.partitionBy("file").orderBy(F.col("version").desc(), F.col("seq").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "add"))
+        .select("file")
+    )
+    data = spark.read.parquet(path + "/part-*.parquet").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+    )
+    return (
+        data.join(F.broadcast(live), data.fname == live.file)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

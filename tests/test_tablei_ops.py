@@ -633,3 +633,29 @@ def test_prop_skyline_equals_bruteforce(spark, tmp_path_factory, pts):
         )
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# scan_manifest_snapshot
+# --------------------------------------------------------------------------
+
+
+def test_manifest_snapshot_excludes_removed_file(spark):
+    # live set is {part-0, part-2, part-3} = orders with o_orderkey%4 != 1;
+    # a leak of removed part-1 (or a miss of any live slice) shifts counts
+    from engine.session import T
+
+    got = {r["o_orderstatus"]: (r["n_orders"], r["total_cents"])
+           for r in QUERIES["scan_manifest_snapshot"](spark, SF_SMOKE).collect()}
+    want = {
+        r["o_orderstatus"]: (r["n"], r["cents"])
+        for r in T(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderkey") % 4 != 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
