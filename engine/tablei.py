@@ -1931,3 +1931,83 @@ def scan_manifest_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+# --------------------------------------------------------------------------
+# Time-travel read at an earlier snapshot version
+# --------------------------------------------------------------------------
+
+_TRAVEL_VERSION = 1
+
+
+def _time_travel_oracle_sql() -> str:
+    path = _manifest_fixture("/root/testdata/sf0.01")
+    return f"""
+    WITH log AS (
+      SELECT version, seq, op, file
+      FROM read_json('{path}/_log/*.json',
+                     format='newline_delimited',
+                     columns={{'version': 'BIGINT', 'seq': 'BIGINT',
+                               'op': 'VARCHAR', 'file': 'VARCHAR'}})
+      WHERE version <= {_TRAVEL_VERSION}
+    ),
+    latest AS (
+      SELECT file, op FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY file
+                                     ORDER BY version DESC, seq DESC) AS rn
+        FROM log) WHERE rn = 1
+    ),
+    live AS (SELECT file FROM latest WHERE op = 'add'),
+    data AS (
+      SELECT o_orderstatus, o_totalprice,
+             parse_filename(filename) AS fname
+      FROM read_parquet('{path}/part-*.parquet', filename=true)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM data JOIN live ON live.file = data.fname
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("scan_manifest_time_travel", sql=_time_travel_oracle_sql())
+def scan_manifest_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel read of the transaction-log table AS OF version 1:
+    identical replay to scan_manifest_snapshot but the log is truncated
+    at the requested version FIRST — v1's snapshot is {part-0, part-2}
+    (part-1 added at v0 then removed at v1; part-3 doesn't exist yet).
+    Reproducing yesterday's training set exactly is the pipeline
+    use-case; the version filter on the log is the whole mechanism.
+
+    Same relational shape as the head-snapshot scan: latest-per-file
+    window over the (now version-bounded) log, broadcast filename
+    semi-join onto the data scan."""
+    path = _manifest_fixture(sf)
+    log = (
+        spark.read.schema("version long, seq long, op string, file string")
+        .json(path + "/_log/*.json")
+        .filter(F.col("version") <= _TRAVEL_VERSION)
+    )
+    w = Window.partitionBy("file").orderBy(F.col("version").desc(), F.col("seq").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "add"))
+        .select("file")
+    )
+    data = spark.read.parquet(path + "/part-*.parquet").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+    )
+    return (
+        data.join(F.broadcast(live), data.fname == live.file)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -659,3 +659,23 @@ def test_manifest_snapshot_excludes_removed_file(spark):
         .collect()
     }
     assert got == want
+
+
+def test_manifest_time_travel_reads_v1_snapshot(spark):
+    # as-of v1: live = {part-0, part-2} = o_orderkey % 4 in (0, 2)
+    from engine.session import T
+
+    got = {r["o_orderstatus"]: (r["n_orders"], r["total_cents"])
+           for r in QUERIES["scan_manifest_time_travel"](spark, SF_SMOKE).collect()}
+    want = {
+        r["o_orderstatus"]: (r["n"], r["cents"])
+        for r in T(spark, SF_SMOKE, "orders")
+        .filter((F.col("o_orderkey") % 4).isin(0, 2))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
