@@ -64,6 +64,7 @@ def minhash_pairs(
     threshold: float = 0.3,
     num_hashes: int = 6,
     units: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard distance ≤
     threshold over 5-shingles, implemented entirely in native
@@ -93,19 +94,23 @@ def minhash_pairs(
     # profiled bottleneck of this key — the build is ~3× the cost of
     # everything downstream). Post-shuffle, the string work fans out
     # over all cores and only the raw text crosses the wire.
-    shingled = (
-        parallelize_scan(docs, units)
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        # guard BEFORE shingling: for <5 tokens the sequence bound goes
-        # negative and F.slice(toks, 0, 5) throws at runtime — the
-        # size(sh) filter below runs too late to prevent that
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    # cache: consumed by the band explode AND both sides of the exact-
-    # verify join. Tracked so the registry frees it before the next query.
-    shingled = scratch_cache(shingled)
+    if shingled is None:
+        shingled = (
+            parallelize_scan(docs, units)
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            # guard BEFORE shingling: for <5 tokens the sequence bound
+            # goes negative and F.slice(toks, 0, 5) throws at runtime —
+            # the size(sh) filter below runs too late to prevent that
+            .filter(F.size("toks") >= 5)
+            .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        # cache: consumed by the band explode AND both sides of the
+        # exact-verify join. Tracked so the registry frees it before the
+        # next query. A caller-supplied `shingled` is assumed already
+        # cached (pipeline_lsh_recall_audit shares one build between the
+        # truth and LSH passes).
+        shingled = scratch_cache(shingled)
     # portable hash family (see dedup_simhash): ONE md5 per shingle
     # gives a base integer x; band i's hash is the universal family
     # (a_i·x + b_i) mod p — cheap native arithmetic per band instead of
@@ -274,33 +279,49 @@ _JACCARD_PAIRS_SQL = f"""
 
 
 def jaccard_pairs(
-    docs: DataFrame, max_df: int = JACCARD_MAX_DF, units: int | None = None
+    docs: DataFrame,
+    max_df: int | None = JACCARD_MAX_DF,
+    units: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 5-shingle Jaccard pairs ≥ 0.5 over the capped shingle
     vocabulary (shingles with doc-frequency > max_df are dropped before
     the self-join — and from the per-doc counts, so the Jaccard value is
-    exact over the reduced vocabulary on both engines).
+    exact over the reduced vocabulary on both engines). ``max_df=None``
+    disables the cap AND skips the doc-frequency counting pass entirely
+    (one fewer shuffle+agg over the exploded shingle stream — the
+    recall-audit truth path, where the cap must be off anyway).
 
     Repartition before shingling: the documents scan is one row-group →
     one partition, and the tokenize+5-shingle string build would run
-    serial (the single-core trap profiled in minhash_pairs/simhash)."""
+    serial (the single-core trap profiled in minhash_pairs/simhash).
+    A caller-supplied ``shingled`` (doc_id, sh array — assumed cached)
+    skips the build, sharing it with a sibling pass."""
     from engine.session import parallelize_scan
 
-    sh_all = (
-        parallelize_scan(docs, units)
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
-    )
-    hot = (
-        sh_all.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("s")
-    )
-    # cache: consumed by counts AND both sides of the candidate
-    # self-join; tracked so the registry frees it before the next query
-    sh = scratch_cache(sh_all.join(F.broadcast(hot), "s", "left_anti"))
+    if shingled is not None:
+        sh_all = shingled.select("doc_id", F.explode("sh").alias("s"))
+    else:
+        sh_all = (
+            parallelize_scan(docs, units)
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 5)
+            .select(
+                "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+            )
+        )
+    if max_df is None:
+        sh = scratch_cache(sh_all)
+    else:
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        # cache: consumed by counts AND both sides of the candidate
+        # self-join; tracked so the registry frees it before the next query
+        sh = scratch_cache(sh_all.join(F.broadcast(hot), "s", "left_anti"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -1645,28 +1666,45 @@ def pipeline_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     (jaccard_pairs uncapped for truth, the banded candidate join from
     minhash_pairs for found); the oracle rebuilds both in SQL from the
     same shared shingle/hash definitions."""
-    from engine.session import scan_units
+    from engine.session import parallelize_scan, scan_units
 
     d = T(spark, sf, "documents")
     units = scan_units(sf, "documents")
+    # ONE shingle build feeds both passes (tokenize + 5-shingle + md5
+    # prep is the dominant cost of each pipeline individually); cached
+    # here, consumed by the truth inverted index AND the LSH signatures
+    # AND the exact-verify join inside minhash_pairs.
+    shingled = scratch_cache(
+        parallelize_scan(d, units)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     truth = (
-        jaccard_pairs(d, max_df=1_000_000_000, units=units)
+        jaccard_pairs(d, max_df=None, units=units, shingled=shingled)
         .filter(F.col("jaccard") >= 0.7)
         .select("a", "b")
     )
-    truth = scratch_cache(truth)
-    found = minhash_pairs(d, units=units).select("a", "b")
-    hit = truth.join(found, ["a", "b"])
-    n_truth = truth.count()  # counted audit scalars — sample-sized
-    n_found = hit.count()
-    import math
-
-    # half-away-from-zero on the scaled double (ratio is non-negative) —
-    # the engines' shared ROUND semantics, never python banker's round()
-    recall = (
-        math.floor(n_found / n_truth * 1e4 + 0.5) / 1e4 if n_truth else None
+    found = minhash_pairs(d, units=units, shingled=shingled).select("a", "b")
+    # ONE job: left-mark truth pairs with an LSH hit and aggregate both
+    # counts + the recall ratio in-plan (three driver actions — cached
+    # truth count, hit count, createDataFrame — collapsed into a single
+    # aggregate; at audit-sample scale the job-scheduling overhead was
+    # the measured cost, and at 100 TB one pass over the truth relation
+    # replaces two). floor(x*1e4+0.5)/1e4 = half-away-from-zero on the
+    # scaled double — the engines' shared ROUND semantics (engine.canon).
+    marked = truth.join(
+        found.withColumn("lsh_hit", F.lit(1)), ["a", "b"], "left"
     )
-    return spark.createDataFrame(
-        [(n_truth, n_found, recall)],
-        "n_truth long, n_found long, recall double",
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("lsh_hit").alias("n_found"),
+    ).select(
+        "n_truth",
+        "n_found",
+        (
+            F.floor(F.col("n_found") / F.col("n_truth") * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("recall"),
     )
