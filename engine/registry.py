@@ -36,6 +36,7 @@ _MODULES = (
     "engine.analytics",
     "engine.tableh",
     "engine.tablei",
+    "engine.tablej",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep

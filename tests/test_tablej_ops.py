@@ -1,0 +1,181 @@
+"""Planted-fixture and plan-shape tests for the Table J ops
+(engine/tablej.py): priority sampling, frequent pairs, compaction
+planning. The oracle pre-flight proves Spark ≡ DuckDB; these prove the
+shared semantics are the INTENDED ones and the plans keep their 100 TB
+shape."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import math
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+from engine.tablej import _PRIORITY_K, compaction_bins, frequent_pairs
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _write(spark, tmp_path, table: str, df) -> str:
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    return sf_dir
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# sample_weighted_priority
+# --------------------------------------------------------------------------
+
+
+def _py_priority(doc_id: int, weight: int) -> float:
+    """The portable priority recomputed independently in Python."""
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    q = weight / ((h + 1) / float(1 << 60))
+    return math.floor(q * 1e4 + 0.5) / 1e4 if q >= 0 else None
+
+
+def test_priority_sample_matches_bruteforce(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 10 + 37 * (i % 13)) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    got = [
+        (r["doc_id"], r["weight"], r["priority"])
+        for r in QUERIES["sample_weighted_priority"](spark, sf).collect()
+    ]
+    exp = sorted(
+        ((i, 10 + 37 * (i % 13)) for i in range(200)),
+        key=lambda t: (-_py_priority(*t), t[0]),
+    )[:_PRIORITY_K]
+    assert [(d, w) for d, w, _ in got] == exp
+    for d, w, p in got:
+        assert p == _py_priority(d, w)
+
+
+def test_priority_sample_is_weight_sensitive(spark, tmp_path):
+    # one row with overwhelming weight must always be sampled
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", 1) for i in range(100)]
+        + [(999, "t", "en", "web", 10**9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    ids = {
+        r["doc_id"]
+        for r in QUERIES["sample_weighted_priority"](spark, sf).collect()
+    }
+    assert 999 in ids and len(ids) == _PRIORITY_K
+
+
+def test_priority_sample_plan_is_topk(spark):
+    # global top-k must plan as TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a global sort
+    assert "TakeOrderedAndProject" in _plan(spark, "sample_weighted_priority")
+
+
+# --------------------------------------------------------------------------
+# agg_frequent_pairs
+# --------------------------------------------------------------------------
+
+
+def test_frequent_pairs_planted_counts(spark):
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {b} → ab=2, ac=2, bc=1
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "b"),  # dup collapses
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    b = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r["type_a"], r["type_b"]): (r["pair_users"], r["support"], r["lift"])
+        for r in frequent_pairs(b, min_count=1).collect()
+    }
+    # n_users=4; marginals a=3, b=3, c=2
+    assert got[("a", "b")][0] == 2 and got[("a", "c")][0] == 2
+    assert got[("b", "c")][0] == 1
+    assert got[("a", "b")][1] == 0.5  # support 2/4
+    assert got[("a", "b")][2] == math.floor(2 * 4 / (3 * 3) * 1e4 + 0.5) / 1e4
+    assert got[("a", "c")][2] == math.floor(2 * 4 / (3 * 2) * 1e4 + 0.5) / 1e4
+
+
+def test_frequent_pairs_threshold_filters(spark):
+    b = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "user_id long, event_type string",
+    )
+    got = {
+        (r["type_a"], r["type_b"])
+        for r in frequent_pairs(b, min_count=2).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_frequent_pairs_no_cartesian(spark):
+    assert "CartesianProduct" not in _plan(spark, "agg_frequent_pairs")
+
+
+# --------------------------------------------------------------------------
+# scan_compaction_plan
+# --------------------------------------------------------------------------
+
+
+def test_compaction_bins_planted(spark):
+    # target 100: files of 60,60,60 → cum_before 0,60,120 → bins 0,0,1
+    # (greedy overshoot: bin 0 holds 120 bytes); singleton partition p2
+    files = spark.createDataFrame(
+        [("p1", 0, 60), ("p1", 1, 60), ("p1", 2, 60), ("p2", 0, 10)],
+        "part string, file_id long, bytes long",
+    )
+    got = [
+        (r["part"], r["bin"], r["n_files"], r["total_bytes"])
+        for r in compaction_bins(files, 100).collect()
+    ]
+    assert got == [("p1", 0, 2, 120), ("p1", 1, 1, 60), ("p2", 0, 1, 10)]
+
+
+def test_compaction_bins_respect_partition_boundaries(spark):
+    # bytes never pack across partitions even when both are tiny
+    files = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 1)], "part string, file_id long, bytes long"
+    )
+    got = {(r["part"], r["bin"]) for r in compaction_bins(files, 1000).collect()}
+    assert got == {("a", 0), ("b", 0)}
+
+
+def test_compaction_plan_covers_all_files(spark):
+    # bin totals must re-add to the files relation total (no file lost)
+    df = QUERIES["scan_compaction_plan"](spark, SF_SMOKE)
+    total = df.agg(F.sum("total_bytes")).first()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert total == li.count() * 128
+
+
+# --------------------------------------------------------------------------
+# determinism audit (the Table I contract): double-run byte-identical
+# --------------------------------------------------------------------------
+
+
+def test_tablej_double_run_identical(spark):
+    for key in (
+        "sample_weighted_priority",
+        "agg_frequent_pairs",
+        "scan_compaction_plan",
+    ):
+        a = QUERIES[key](spark, SF_SMOKE).collect()
+        b = QUERIES[key](spark, SF_SMOKE).collect()
+        assert a == b, key
