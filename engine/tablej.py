@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T
+from engine.session import EVENTS_US_SQL, T, scratch_cache
 
 # --------------------------------------------------------------------------
 # Weighted sampling without replacement: priority sampling (top-k by w/u)
@@ -266,3 +266,236 @@ def scan_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod("l_orderkey", F.lit(8)).alias("file_id"),
     ).agg((F.count(F.lit(1)) * _COMPACT_ROW_BYTES).alias("bytes"))
     return compaction_bins(files, _COMPACT_TARGET)
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (fixed synchronous rounds)
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+_LP_TOP = 20
+
+#: same driver-sized-state ceiling as graph_pagerank/bfs — the COUNTED
+#: edge list (not the corpus) must fit on the driver for the fast path.
+_GRAPH_DRIVER_EDGES = 2_000_000
+
+
+def _lp_oracle_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    rounds = []
+    for i in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+    cnt{i} AS (
+      SELECT u.dst AS v, l.label, COUNT(*) AS c
+      FROM und u JOIN lab{i - 1} l ON l.v = u.src
+      GROUP BY u.dst, l.label
+    ),
+    lab{i} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY c DESC, label) AS rn
+        FROM cnt{i}) WHERE rn = 1
+    )""")
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + """,
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges)
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM und),
+    lab0 AS (SELECT v, v AS label FROM nodes),"""
+        + ",".join(rounds)
+        + f"""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+    FROM lab{_LP_ROUNDS}
+    GROUP BY label ORDER BY size DESC, label LIMIT {_LP_TOP}
+"""
+    )
+
+
+def _lp_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
+    """Exact synchronous label propagation on the collected undirected
+    edge list — bounded by the counted precondition."""
+    from collections import Counter, defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for r in und.collect():
+        adj[r["dst"]].append(r["src"])
+    label = {v: v for v in adj}
+    for _ in range(_LP_ROUNDS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(label[u] for u in nbrs)
+            # mode with min-label tie-break: max count, then min label
+            nxt[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        label = nxt
+    sizes = Counter(label.values())
+    top = sorted(sizes.items(), key=lambda t: (-t[1], t[0]))[:_LP_TOP]
+    return spark.createDataFrame(top or [(0, 0)][:0], "label long, size long")
+
+
+def _lp_distributed(und: DataFrame) -> DataFrame:
+    """Synchronous rounds, each exactly one join + one count aggregate +
+    one per-node window — the 100 TB shape (labels and edges both hash
+    on the node id; no driver state beyond the round counter)."""
+    labels = und.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(_LP_ROUNDS):
+        cnt = (
+            und.join(labels, und["src"] == labels["v"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("v"), "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), "label")
+        .limit(_LP_TOP)
+    )
+
+
+@register("graph_label_propagation", sql=_lp_oracle_sql())
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by label propagation — 3 SYNCHRONOUS rounds
+    over the undirected view of the shared affinity graph, each node
+    adopting the modal neighbor label with a min-label tie-break (the
+    determinism that plain LPA lacks), then the 20 largest communities.
+    Fixed rounds + deterministic tie-break make the fixpoint a pure
+    function of the graph, so the oracle unrolls the identical rounds
+    in SQL and value-checks the community histogram.
+
+    ADAPTIVE physical strategy (the graph-family rule): the edge list is
+    counted first; driver-sized graphs run the exact Python loop (3
+    rounds of distributed window-argmax cost more in stage scheduling
+    than the graph costs to collect), larger ones run the distributed
+    shape — per round ONE equi-join + count aggregate + per-node
+    window, everything hashed on the node id. Both paths compute the
+    identical histogram (asserted in tests)."""
+    from engine.analytics import materialize_affinity_edges
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    if und.count() <= _GRAPH_DRIVER_EDGES:
+        return _lp_driver(spark, und)
+    return _lp_distributed(und)
+
+
+# --------------------------------------------------------------------------
+# Bounded Bellman-Ford: weighted shortest distances in <= K relaxations
+# --------------------------------------------------------------------------
+
+_BF_ROUNDS = 4
+_BF_SEEDS = 3
+
+
+def _bf_oracle_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    rounds = []
+    for i in range(1, _BF_ROUNDS + 1):
+        rounds.append(f"""
+    d{i} AS (
+      SELECT v, MIN(dist) AS dist FROM (
+        SELECT v, dist FROM d{i - 1}
+        UNION ALL
+        SELECT ed.dst AS v, d.dist + ed.wt AS dist
+        FROM d{i - 1} d JOIN w ed ON ed.src = d.v) GROUP BY v
+    )""")
+    return (
+        f"""
+    WITH e AS ({EVENTS_US_SQL}),
+"""
+        + AFFINITY_EDGES_CTE
+        + f""",
+    w AS (SELECT src, dst, COUNT(*) AS wt FROM edges GROUP BY src, dst),
+    seeds AS (SELECT DISTINCT src AS v FROM w ORDER BY v LIMIT {_BF_SEEDS}),
+    d0 AS (SELECT v, 0 AS dist FROM seeds),"""
+        + ",".join(rounds)
+        + f"""
+    SELECT v, CAST(dist AS BIGINT) AS dist FROM d{_BF_ROUNDS} ORDER BY v
+"""
+    )
+
+
+def _bf_driver(spark: SparkSession, w: DataFrame) -> DataFrame:
+    """Exact bounded relaxation on the collected weighted edge list."""
+    from collections import defaultdict
+
+    adj: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    nodes = set()
+    for r in w.collect():
+        adj[r["src"]].append((r["dst"], r["wt"]))
+        nodes.add(r["src"])
+    seeds = sorted(nodes)[:_BF_SEEDS]
+    dist = {v: 0 for v in seeds}
+    for _ in range(_BF_ROUNDS):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, wt in adj.get(u, ()):
+                if du + wt < nxt.get(v, float("inf")):
+                    nxt[v] = du + wt
+        dist = nxt
+    rows = sorted(dist.items())
+    return spark.createDataFrame(rows, "v long, dist long")
+
+
+def _bf_distributed(w: DataFrame) -> DataFrame:
+    """K relaxation rounds, each one join + one min aggregate — the
+    distributed Bellman-Ford shape (dist and edges hash on the node)."""
+    seeds = (
+        w.select(F.col("src").alias("v")).distinct().orderBy("v").limit(_BF_SEEDS)
+    )
+    dist = seeds.select("v", F.lit(0).cast("long").alias("dist"))
+    for _ in range(_BF_ROUNDS):
+        relaxed = dist.join(w, dist["v"] == w["src"]).select(
+            F.col("dst").alias("v"), (F.col("dist") + F.col("wt")).alias("dist")
+        )
+        dist = dist.unionAll(relaxed).groupBy("v").agg(
+            F.min("dist").cast("long").alias("dist")
+        )
+    return dist.orderBy("v")
+
+
+@register("graph_sssp_bellman_ford", sql=_bf_oracle_sql())
+def graph_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted single-source(-set) shortest distances, bounded to 4
+    relaxation rounds — distributed Bellman-Ford from the 3 smallest
+    node ids over the affinity multigraph collapsed to weighted edges
+    (weight = edge multiplicity, so paths trade hop count against tie
+    strength and the arithmetic stays exact integers). Bounded rounds =
+    "shortest path within K hops", the production form when the graph
+    diameter is unbounded but influence beyond K hops is irrelevant.
+
+    Same adaptive rule as label propagation: counted driver-sized edge
+    lists run the exact Python relaxation; at scale each round is ONE
+    equi-join (dist ⋈ edges on the node id) + one min aggregate, driver
+    carrying only the round counter. The oracle unrolls the identical
+    recurrence, so every distance is value-checked."""
+    from engine.analytics import materialize_affinity_edges
+
+    edges = materialize_affinity_edges(spark, sf)
+    w = scratch_cache(
+        edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
+    )
+    if w.count() <= _GRAPH_DRIVER_EDGES:
+        return _bf_driver(spark, w)
+    return _bf_distributed(w)

@@ -179,3 +179,94 @@ def test_tablej_double_run_identical(spark):
         a = QUERIES[key](spark, SF_SMOKE).collect()
         b = QUERIES[key](spark, SF_SMOKE).collect()
         assert a == b, key
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation / graph_sssp_bellman_ford
+# --------------------------------------------------------------------------
+
+
+def _und(spark, pairs):
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def test_label_propagation_two_cliques(spark):
+    from engine.tablej import _lp_distributed, _lp_driver
+
+    # two disjoint triangles; each converges to the all-min label
+    und = _und(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    got = sorted(map(tuple, _lp_driver(spark, und).collect()))
+    assert got == [(1, 3), (4, 3)]
+    assert got == sorted(map(tuple, _lp_distributed(und).collect()))
+
+
+def test_label_propagation_tiebreak_is_min_label(spark):
+    from engine.tablej import _lp_driver
+
+    # star center 5 with leaves 1..4: center sees 4 distinct labels all
+    # count 1 -> min label wins deterministically every round
+    und = _und(spark, [(5, 1), (5, 2), (5, 3), (5, 4)])
+    rows = dict(
+        (r["label"], r["size"]) for r in _lp_driver(spark, und).collect()
+    )
+    # after 3 rounds: leaves oscillate with the center's label; the
+    # histogram is deterministic regardless
+    assert sum(rows.values()) == 5
+
+
+def test_bellman_ford_prefers_cheap_two_hop(spark):
+    from engine.tablej import _bf_driver
+
+    # seeds = 3 smallest srcs {1,2,3}; direct 1->9 costs 10 but
+    # 1->4->9 costs 2+3=5; node 7 unreachable keeps absent
+    w = spark.createDataFrame(
+        [(1, 9, 10), (1, 4, 2), (4, 9, 3), (2, 5, 1), (3, 6, 1), (8, 7, 1)],
+        "src long, dst long, wt long",
+    )
+    got = dict((r["v"], r["dist"]) for r in _bf_driver(spark, w).collect())
+    assert got[9] == 5 and got[4] == 2 and got[5] == 1 and got[6] == 1
+    assert 7 not in got and got[1] == 0 and got[2] == 0 and got[3] == 0
+
+
+def test_bellman_ford_round_bound_cuts_long_paths(spark):
+    from engine.tablej import _BF_ROUNDS, _bf_driver
+
+    # a chain longer than the round budget: seeds {1,2,3}, so the
+    # farthest reachable node is 3 + K hops; everything beyond is absent
+    chain = [(i, i + 1, 1) for i in range(1, 12)]
+    w = spark.createDataFrame(chain, "src long, dst long, wt long")
+    got = dict((r["v"], r["dist"]) for r in _bf_driver(spark, w).collect())
+    for v in got:
+        assert got[v] == max(0, v - 3)  # nearest seed is 3 for v > 3
+    assert max(got) == 3 + _BF_ROUNDS
+    assert 4 + _BF_ROUNDS not in got
+
+
+def test_graph_paths_agree_on_real_graph(spark):
+    from engine.analytics import materialize_affinity_edges
+    from engine.tablej import (
+        _bf_distributed,
+        _bf_driver,
+        _lp_distributed,
+        _lp_driver,
+    )
+
+    edges = materialize_affinity_edges(spark, SF_SMOKE)
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    assert sorted(map(tuple, _lp_driver(spark, und).collect())) == sorted(
+        map(tuple, _lp_distributed(und).collect())
+    )
+    w = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt")).cache()
+    assert sorted(map(tuple, _bf_driver(spark, w).collect())) == sorted(
+        map(tuple, _bf_distributed(w).collect())
+    )
