@@ -499,3 +499,186 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     if w.count() <= _GRAPH_DRIVER_EDGES:
         return _bf_driver(spark, w)
     return _bf_distributed(w)
+
+
+# --------------------------------------------------------------------------
+# Interval overlap join (grid-bucketed candidates, exact verify)
+# --------------------------------------------------------------------------
+
+_OVERLAP_TOP = 20
+_OVERLAP_MIN_EVENTS = 3
+
+_INTERVAL_OVERLAP_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_ns(MIN(ts)) // 1000000000 AS s,
+             epoch_ns(MAX(ts)) // 1000000000 AS e2
+      FROM e WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)
+      HAVING COUNT(*) >= {_OVERLAP_MIN_EVENTS}
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.day,
+           CAST(LEAST(a.e2, b.e2) - GREATEST(a.s, b.s) AS BIGINT)
+             AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e2 AND b.s <= a.e2
+    ORDER BY overlap_s DESC, user_a, user_b, a.day
+    LIMIT {_OVERLAP_TOP}
+"""
+
+
+def interval_overlap_pairs(iv: DataFrame, grid_s: int) -> DataFrame:
+    """Overlapping interval pairs from an (owner, day, s, e2) intervals
+    relation — the grid-bucket interval join: each interval explodes to
+    the ``grid_s``-second cells it touches, candidates equi-join on
+    (day, cell) — never an all-pairs compare, and never a range-only
+    theta join — then dedup and EXACT overlap verify. Candidate count
+    scales with true collisions per cell, the property that keeps an
+    interval self-join feasible when the interval table is billions of
+    rows. Returns (user_a, user_b, day, overlap_s)."""
+    cells = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e2",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {grid_s}"), F.expr(f"e2 div {grid_s}")
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(
+            (F.col("a.s") <= F.col("b.e2")) & (F.col("b.s") <= F.col("a.e2"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.day").alias("day"),
+            (
+                F.least(F.col("a.e2"), F.col("b.e2"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).cast("long").alias("overlap_s"),
+        )
+        .distinct()  # one row per pair however many cells they share
+    )
+    return cand
+
+
+@register("join_interval_overlap", sql=_INTERVAL_OVERLAP_SQL)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap self-join: per-user purchase activity intervals
+    (user-days with >= 3 purchase events; [first, last] purchase epoch
+    seconds), find cross-user pairs whose intervals overlap on the same
+    day and rank by overlap duration — concurrent-activity detection
+    (fraud rings, capacity planning, co-session analysis).
+
+    Scale shape: candidates come from an hour-grid bucket join
+    (intervals explode to touched hour cells, equi-join on (day, cell),
+    dedup) — cost follows real collisions per cell rather than
+    intervals², the standard spatial-grid treatment of a 1-D interval
+    join; the exact overlap predicate then verifies. Epochs ride exact
+    integer seconds end-to-end; the final top-20 is
+    TakeOrderedAndProject. The oracle brute-forces the same-day theta
+    join — feasible at oracle scale, identical semantics."""
+    from engine.canon import floordiv_sql
+
+    ev = T(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    iv = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+        .filter(F.col("n_ev") >= _OVERLAP_MIN_EVENTS)
+        .select(
+            "user_id",
+            "day",
+            floordiv_sql("unix_micros(ts_min)", 1_000_000).alias("s"),
+            floordiv_sql("unix_micros(ts_max)", 1_000_000).alias("e2"),
+        )
+    )
+    return (
+        interval_overlap_pairs(scratch_cache(iv), grid_s=3600)
+        .orderBy(F.col("overlap_s").desc(), "user_a", "user_b", "day")
+        .limit(_OVERLAP_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf law fit over the token frequency distribution
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+
+_ZIPF_SQL = f"""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    top AS (
+      SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM top
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(REGR_SLOPE(LN(cnt), LN(rnk)) * 1e6) / 1e6 + 0.0 AS slope,
+           ROUND(REGR_INTERCEPT(LN(cnt), LN(rnk)) * 1e4) / 1e4 + 0.0
+             AS intercept,
+           ROUND(POWER(CORR(LN(cnt), LN(rnk)), 2) * 1e6) / 1e6 + 0.0 AS r2
+    FROM ranked
+"""
+
+
+@register("text_zipf_fit", sql=_ZIPF_SQL)
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ln(frequency) on ln(rank) over the top-500 tokens — slope near -1
+    says natural language, deviations flag boilerplate/templated or
+    synthetic text (a standard corpus-quality diagnostic next to
+    text_repetition_ratio).
+
+    The vocabulary aggregates with partial (map-side) combine; the
+    top-500 selection is orderBy+limit → TakeOrderedAndProject with a
+    deterministic (cnt, token) tie-break, so BOTH engines rank the
+    identical 500 (ties at the boundary included); ranks derive AFTER
+    the limit, so the only single-partition work is over 500 rows. The
+    regression aggregates are one partial-aggregable pass (sums and
+    products underneath); results canonicalize at 1e6/1e4 because the
+    final divisions are accumulation-order sensitive across engines."""
+    d = T(spark, sf, "documents")
+    top = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_ZIPF_TOP)
+    )
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rnk"),
+    )
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        (dround(F.regr_slope(ly, lx), 6) + F.lit(0.0)).alias("slope"),
+        (dround(F.regr_intercept(ly, lx), 4) + F.lit(0.0)).alias("intercept"),
+        (dround(F.pow(F.corr(ly, lx), 2), 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -270,3 +270,78 @@ def test_graph_paths_agree_on_real_graph(spark):
     assert sorted(map(tuple, _bf_driver(spark, w).collect())) == sorted(
         map(tuple, _bf_distributed(w).collect())
     )
+
+
+# --------------------------------------------------------------------------
+# join_interval_overlap / text_zipf_fit
+# --------------------------------------------------------------------------
+
+
+def test_interval_overlap_planted(spark):
+    import datetime as dt
+
+    from engine.tablej import interval_overlap_pairs
+
+    d = dt.date(2024, 1, 1)
+    # u1 [100, 7300] spans 3 hour-cells; u2 [7000, 9000] overlaps 300s;
+    # u3 [20000, 21000] disjoint; u4 same span as u1 but next day
+    iv = spark.createDataFrame(
+        [
+            (1, d, 100, 7300),
+            (2, d, 7000, 9000),
+            (3, d, 20000, 21000),
+            (4, dt.date(2024, 1, 2), 100, 7300),
+        ],
+        "user_id long, day date, s long, e2 long",
+    )
+    got = [
+        (r["user_a"], r["user_b"], r["overlap_s"])
+        for r in interval_overlap_pairs(iv, grid_s=3600).collect()
+    ]
+    assert got == [(1, 2, 300)]
+
+
+def test_interval_overlap_dedups_multicell_pairs(spark):
+    import datetime as dt
+
+    from engine.tablej import interval_overlap_pairs
+
+    # both intervals cover 5 shared hour-cells -> still ONE pair row
+    d = dt.date(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(1, d, 0, 18000), (2, d, 0, 18000)],
+        "user_id long, day date, s long, e2 long",
+    )
+    rows = interval_overlap_pairs(iv, grid_s=3600).collect()
+    assert len(rows) == 1 and rows[0]["overlap_s"] == 18000
+
+
+def test_interval_overlap_touching_endpoints_count(spark):
+    import datetime as dt
+
+    from engine.tablej import interval_overlap_pairs
+
+    # closed-interval semantics: e2 == s touches -> overlap_s == 0
+    d = dt.date(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(1, d, 0, 100), (2, d, 100, 200)],
+        "user_id long, day date, s long, e2 long",
+    )
+    rows = interval_overlap_pairs(iv, grid_s=3600).collect()
+    assert len(rows) == 1 and rows[0]["overlap_s"] == 0
+
+
+def test_zipf_fit_on_exact_zipf_corpus(spark, tmp_path):
+    # token t_k appears round(1000/k) times -> slope ~= -1, r2 ~= 1
+    words = []
+    for k in range(1, 21):
+        words += [f"tok{k:02d}"] * round(1000 / k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "web", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    r = QUERIES["text_zipf_fit"](spark, sf).first()
+    assert r["n_terms"] == 20
+    assert abs(r["slope"] + 1.0) < 0.01
+    assert r["r2"] > 0.999
