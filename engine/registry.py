@@ -50,7 +50,9 @@ _MODULES = (
 #: (b) the 20 Table I keys (engine/tablei.py) — brand-new code written
 #:     this round with zero external verification; newest code verifies
 #:     first;
-#: (c) 24 of the SQL-oracled keys that missed every window r1-r4;
+#: (c) the 7 Table J keys (engine/tablej.py) — the round-5 LATE wave,
+#:     newer still;
+#: (d) 17 of the SQL-oracled keys that missed every window r1-r4;
 #: positions 51+ enumerate the remaining never-sampled keys (rest of the
 #: r4 backlog, then Table H in complexity order) so round 6's rotation
 #: is a simple promote-the-tail.
@@ -85,7 +87,15 @@ _PRIORITY = (
     "win_rolling_slope",
     "win_drawdown_max",
     "ts_burstiness_fano",
-    # -- (c) never driver-sampled: missed the r1-r4 windows
+    # -- (c) Table J: round-5 late wave, even newer than Table I
+    "sample_weighted_priority",
+    "agg_frequent_pairs",
+    "scan_compaction_plan",
+    "graph_label_propagation",
+    "graph_sssp_bellman_ford",
+    "join_interval_overlap",
+    "text_zipf_fit",
+    # -- (d) never driver-sampled: missed the r1-r4 windows
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q22_sales_opportunity",
@@ -103,6 +113,9 @@ _PRIORITY = (
     "win_nth_value",
     "win_distinct_rolling",
     "ts_interpolate_linear",
+    # ---- window cutoff (50) ----
+    # remaining never-sampled r4 backlog, then Table H in complexity
+    # order: promote these for round 6
     "ts_downsample_ohlc",
     "ts_ewma",
     "fn_map_lambda",
@@ -110,9 +123,6 @@ _PRIORITY = (
     "fn_xml",
     "fn_regexp",
     "fn_posexplode",
-    # ---- window cutoff (50) ----
-    # remaining never-sampled r4 backlog, then Table H in complexity
-    # order: promote these for round 6
     "set_intersect_all",
     "set_except_all",
     "scan_csv_malformed",
