@@ -280,7 +280,11 @@ _LP_TOP = 20
 _GRAPH_DRIVER_EDGES = 2_000_000
 
 
-def _lp_oracle_sql() -> str:
+def _lp_cte_sql() -> str:
+    """The shared LPA prelude: events → affinity edges → undirected view
+    → _LP_ROUNDS synchronous rounds, ending at lab{_LP_ROUNDS}. Both the
+    community-histogram oracle and the modularity oracle compose it, so
+    the rounds are defined ONCE."""
     from engine.analytics import AFFINITY_EDGES_CTE
 
     rounds = []
@@ -313,6 +317,12 @@ def _lp_oracle_sql() -> str:
     nodes AS (SELECT DISTINCT src AS v FROM und),
     lab0 AS (SELECT v, v AS label FROM nodes),"""
         + ",".join(rounds)
+    )
+
+
+def _lp_oracle_sql() -> str:
+    return (
+        _lp_cte_sql()
         + f"""
     SELECT label, CAST(COUNT(*) AS BIGINT) AS size
     FROM lab{_LP_ROUNDS}
@@ -321,9 +331,10 @@ def _lp_oracle_sql() -> str:
     )
 
 
-def _lp_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
+def _lp_labels_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
     """Exact synchronous label propagation on the collected undirected
-    edge list — bounded by the counted precondition."""
+    edge list — bounded by the counted precondition. Returns the
+    per-node (v, label) relation."""
     from collections import Counter, defaultdict
 
     adj: dict[int, list[int]] = defaultdict(list)
@@ -337,15 +348,16 @@ def _lp_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
             # mode with min-label tie-break: max count, then min label
             nxt[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
         label = nxt
-    sizes = Counter(label.values())
-    top = sorted(sizes.items(), key=lambda t: (-t[1], t[0]))[:_LP_TOP]
-    return spark.createDataFrame(top or [(0, 0)][:0], "label long, size long")
+    return spark.createDataFrame(
+        sorted(label.items()) or [(0, 0)][:0], "v long, label long"
+    )
 
 
-def _lp_distributed(und: DataFrame) -> DataFrame:
+def _lp_labels_distributed(und: DataFrame) -> DataFrame:
     """Synchronous rounds, each exactly one join + one count aggregate +
     one per-node window — the 100 TB shape (labels and edges both hash
-    on the node id; no driver state beyond the round counter)."""
+    on the node id; no driver state beyond the round counter). Returns
+    the per-node (v, label) relation."""
     labels = und.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
@@ -361,12 +373,43 @@ def _lp_distributed(und: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("v"), "label")
         )
+    return labels
+
+
+def _lp_histogram(labels: DataFrame) -> DataFrame:
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
         .orderBy(F.col("size").desc(), "label")
         .limit(_LP_TOP)
     )
+
+
+def _lp_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
+    return _lp_histogram(_lp_labels_driver(spark, und))
+
+
+def _lp_distributed(und: DataFrame) -> DataFrame:
+    return _lp_histogram(_lp_labels_distributed(und))
+
+
+def _lp_und(edges: DataFrame) -> DataFrame:
+    """Undirected distinct view of the affinity multigraph."""
+    return (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def _lp_labels(spark: SparkSession, und: DataFrame) -> DataFrame:
+    """Adaptive per-node label relation (driver/distributed by counted
+    edge size — both paths compute the identical fixpoint)."""
+    if und.count() <= _GRAPH_DRIVER_EDGES:
+        return _lp_labels_driver(spark, und)
+    return _lp_labels_distributed(und)
 
 
 @register("graph_label_propagation", sql=_lp_oracle_sql())
@@ -681,4 +724,270 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         (dround(F.regr_slope(ly, lx), 6) + F.lit(0.0)).alias("slope"),
         (dround(F.regr_intercept(ly, lx), 4) + F.lit(0.0)).alias("intercept"),
         (dround(F.pow(F.corr(ly, lx), 2), 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the label-propagation partition
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle_sql() -> str:
+    return (
+        _lp_cte_sql()
+        + f""",
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY src),
+    m2 AS (SELECT COUNT(*) AS two_m FROM und),
+    within AS (
+      SELECT COUNT(*) AS w_tot
+      FROM und u
+      JOIN lab{_LP_ROUNDS} la ON la.v = u.src
+      JOIN lab{_LP_ROUNDS} lb ON lb.v = u.dst
+      WHERE la.label = lb.label
+    ),
+    dc AS (
+      SELECT l.label, SUM(d.d) AS d_c
+      FROM lab{_LP_ROUNDS} l JOIN deg d ON d.v = l.v
+      GROUP BY l.label
+    )
+    SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+           CAST(two_m // 2 AS BIGINT) AS m_edges,
+           ROUND((two_m * (SELECT w_tot FROM within)
+                  - (SELECT SUM(d_c * d_c) FROM dc))
+                 / (two_m * two_m * 1.0) * 1e6) / 1e6 AS q_modularity
+    FROM m2
+"""
+    )
+
+
+@register("graph_modularity_lp", sql=_modularity_oracle_sql())
+def graph_modularity_lp(spark: SparkSession, sf: str) -> DataFrame:
+    """Modularity Q of the label-propagation partition — the standard
+    "was this clustering any good" score: Q = Σ_c (m_c/m − (d_c/2m)²)
+    over the same undirected affinity graph and the same 3-round LPA
+    labels as graph_label_propagation (shared rounds: one SQL fragment,
+    one Spark helper — the metric can never drift from the clustering
+    it grades).
+
+    Exact integer core: with W_c = directed within-community edge
+    count and 2m = directed edge count, Q = (2m·ΣW_c − Σd_c²) / (2m)²
+    — integer numerator, ONE double division, then the canonical
+    rounding. Every aggregation is partial-aggregable; the label join
+    hashes on the node id twice (src side, dst side)."""
+    from engine.analytics import materialize_affinity_edges
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(_lp_und(edges))
+    labels = scratch_cache(_lp_labels(spark, und))
+    la = labels.select(F.col("v").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("v").alias("dst"), F.col("label").alias("lb"))
+    w_tot = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).alias("w_tot"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        labels.join(deg, labels["v"] == deg["src"])
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    dstats = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+    )
+    two_m = und.agg(F.count(F.lit(1)).alias("two_m"))
+    return (
+        two_m.crossJoin(F.broadcast(w_tot))
+        .crossJoin(F.broadcast(dstats))
+        .select(
+            "n_communities",
+            F.expr("two_m div 2").cast("long").alias("m_edges"),
+            dround(
+                (
+                    F.col("two_m") * F.col("w_tot") - F.col("sum_dc2")
+                ).cast("double")
+                / (F.col("two_m") * F.col("two_m")).cast("double"),
+                6,
+            ).alias("q_modularity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition of hourly event counts
+# --------------------------------------------------------------------------
+
+_SEASONAL_HALF = 12  # centered moving-average half-width (25-hour window)
+
+_SEASONAL_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             COUNT(*) AS c
+      FROM e GROUP BY event_type, epoch_ns(ts) // 3600000000000
+    ),
+    trended AS (
+      SELECT event_type, hr, c,
+             AVG(c) OVER w AS trend,
+             COUNT(*) OVER w AS n_win
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN {_SEASONAL_HALF} PRECEDING
+                            AND {_SEASONAL_HALF} FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, hr % 24 AS hod, c - trend AS dv
+      FROM trended WHERE n_win = {2 * _SEASONAL_HALF + 1}
+    ),
+    seas AS (
+      SELECT event_type, hod, AVG(dv) AS s, COUNT(*) AS n_obs
+      FROM detr GROUP BY event_type, hod
+    )
+    SELECT d.event_type, CAST(d.hod AS INT) AS hod,
+           ROUND(s.s * 1e4) / 1e4 + 0.0 AS seasonal,
+           CAST(s.n_obs AS BIGINT) AS n_obs,
+           ROUND(AVG(ABS(d.dv - s.s)) * 1e4) / 1e4 + 0.0 AS mean_abs_rem
+    FROM detr d JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hod
+    GROUP BY d.event_type, d.hod, s.s, s.n_obs
+    ORDER BY d.event_type, hod
+"""
+
+
+@register("ts_seasonal_decompose", sql=_SEASONAL_SQL)
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event-count series,
+    per event type: trend = centered 25-hour moving average (full
+    windows only), seasonal = mean detrended value per hour-of-day,
+    remainder = what's left — the classical decompose that turns "is
+    traffic seasonal" into 24 numbers per series, with the remainder
+    magnitude as the model-fit diagnostic.
+
+    One shuffle keys the hourly rollup, a second keys the per-type
+    window (windows PARTITION BY event_type, so no single-reducer
+    global sort — the series per type is hours-of-span long, fine at
+    any corpus size); counts are exact integers through the moving
+    average (sum-of-ints / 25), and the same frame text runs on both
+    engines so FP accumulation matches. Canonicalized at 1e4."""
+    from engine.canon import floordiv_sql
+
+    ev = T(spark, sf, "events")
+    hourly = (
+        ev.select(
+            "event_type", floordiv_sql("unix_micros(ts)", 3_600_000_000).alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-_SEASONAL_HALF, _SEASONAL_HALF)
+    )
+    detr = (
+        hourly.select(
+            "event_type",
+            "hr",
+            "c",
+            F.avg("c").over(w).alias("trend"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .filter(F.col("n_win") == 2 * _SEASONAL_HALF + 1)
+        .select(
+            "event_type",
+            F.pmod("hr", F.lit(24)).cast("int").alias("hod"),
+            (F.col("c") - F.col("trend")).alias("dv"),
+        )
+    )
+    detr = scratch_cache(detr)
+    seas = detr.groupBy("event_type", "hod").agg(
+        F.avg("dv").alias("s"), F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    return (
+        detr.join(F.broadcast(seas), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "s", "n_obs")
+        .agg(F.avg(F.abs(F.col("dv") - F.col("s"))).alias("rem"))
+        .select(
+            "event_type",
+            "hod",
+            (dround(F.col("s"), 4) + F.lit(0.0)).alias("seasonal"),
+            "n_obs",
+            (dround(F.col("rem"), 4) + F.lit(0.0)).alias("mean_abs_rem"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: per-doc share of shingles first seen in THIS doc
+# --------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    inv AS (SELECT doc_id, UNNEST(sh) AS s FROM shing WHERE LEN(sh) > 0),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM inv GROUP BY s)
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1.0) * 1e6) / 1e6 AS novelty
+    FROM inv i JOIN firsts f ON f.s = i.s
+    GROUP BY i.doc_id ORDER BY i.doc_id
+"""
+
+
+@register("text_ngram_novelty", sql=_NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    5-shingles whose FIRST corpus occurrence (min doc_id — the ingest
+    order proxy) is this document. The streaming-ingest quality signal
+    behind "is this crawl batch adding anything new", and the per-doc
+    complement of agg_dup_profile's corpus-level view.
+
+    Two keyed shuffles total: the shingle inverted index aggregates
+    min(doc_id) per shingle (partial-aggregable), then first-ownership
+    joins back on the shingle and re-aggregates per doc. Shingle
+    traffic carries strings once; no all-pairs anything. Same shingle
+    definition as the dedup family (engine/similarity._shingles), so
+    the novelty score is consistent with what dedup would collapse."""
+    from engine.session import parallelize_scan, scan_units
+    from engine.similarity import _shingles
+
+    d = T(spark, sf, "documents")
+    inv = (
+        parallelize_scan(d, scan_units(sf, "documents"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    )
+    inv = scratch_cache(inv)
+    firsts = inv.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        inv.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            dround(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )
