@@ -331,14 +331,13 @@ def _lp_oracle_sql() -> str:
     )
 
 
-def _lp_labels_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
-    """Exact synchronous label propagation on the collected undirected
-    edge list — bounded by the counted precondition. Returns the
-    per-node (v, label) relation."""
+def _lp_py(und_rows) -> dict[int, int]:
+    """The exact synchronous LPA loop on collected (src, dst) rows —
+    shared by the driver label path and the driver modularity path."""
     from collections import Counter, defaultdict
 
     adj: dict[int, list[int]] = defaultdict(list)
-    for r in und.collect():
+    for r in und_rows:
         adj[r["dst"]].append(r["src"])
     label = {v: v for v in adj}
     for _ in range(_LP_ROUNDS):
@@ -348,6 +347,14 @@ def _lp_labels_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
             # mode with min-label tie-break: max count, then min label
             nxt[v] = min(cnt, key=lambda lb: (-cnt[lb], lb))
         label = nxt
+    return label
+
+
+def _lp_labels_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
+    """Exact synchronous label propagation on the collected undirected
+    edge list — bounded by the counted precondition. Returns the
+    per-node (v, label) relation."""
+    label = _lp_py(und.collect())
     return spark.createDataFrame(
         sorted(label.items()) or [(0, 0)][:0], "v long, label long"
     )
@@ -778,7 +785,34 @@ def graph_modularity_lp(spark: SparkSession, sf: str) -> DataFrame:
 
     edges = materialize_affinity_edges(spark, sf)
     und = scratch_cache(_lp_und(edges))
-    labels = scratch_cache(_lp_labels(spark, und))
+    if und.count() <= _GRAPH_DRIVER_EDGES:
+        # driver path: the edge list is already counted driver-sized, so
+        # the LPA labels AND the modularity sums (all exact integers)
+        # compute in one pass over the collected edges — one Spark job
+        # instead of five (the adaptive-graph contract, metric edition)
+        rows = und.collect()
+        label = _lp_py(rows)
+        two_m = len(rows)
+        w_tot = sum(1 for r in rows if label[r["src"]] == label[r["dst"]])
+        deg: dict[int, int] = {}
+        for r in rows:
+            deg[r["src"]] = deg.get(r["src"], 0) + 1
+        d_c: dict[int, int] = {}
+        for v, d in deg.items():
+            d_c[label[v]] = d_c.get(label[v], 0) + d
+        import math
+
+        q = (two_m * w_tot - sum(x * x for x in d_c.values())) / (
+            two_m * two_m
+        )
+        q = math.floor(q * 1e6 + 0.5) / 1e6 if q >= 0 else -(
+            math.floor(-q * 1e6 + 0.5) / 1e6
+        )
+        return spark.createDataFrame(
+            [(len(d_c), two_m // 2, q)],
+            "n_communities long, m_edges long, q_modularity double",
+        )
+    labels = scratch_cache(_lp_labels_distributed(und))
     la = labels.select(F.col("v").alias("src"), F.col("label").alias("la"))
     lb = labels.select(F.col("v").alias("dst"), F.col("label").alias("lb"))
     w_tot = (
