@@ -50,9 +50,9 @@ _MODULES = (
 #: (b) the 20 Table I keys (engine/tablei.py) — brand-new code written
 #:     this round with zero external verification; newest code verifies
 #:     first;
-#: (c) the 7 Table J keys (engine/tablej.py) — the round-5 LATE wave,
+#: (c) the 10 Table J keys (engine/tablej.py) — the round-5 LATE wave,
 #:     newer still;
-#: (d) 17 of the SQL-oracled keys that missed every window r1-r4;
+#: (d) 14 of the SQL-oracled keys that missed every window r1-r4;
 #: positions 51+ enumerate the remaining never-sampled keys (rest of the
 #: r4 backlog, then Table H in complexity order) so round 6's rotation
 #: is a simple promote-the-tail.
@@ -95,6 +95,9 @@ _PRIORITY = (
     "graph_sssp_bellman_ford",
     "join_interval_overlap",
     "text_zipf_fit",
+    "graph_modularity_lp",
+    "ts_seasonal_decompose",
+    "text_ngram_novelty",
     # -- (d) never driver-sampled: missed the r1-r4 windows
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
@@ -110,12 +113,12 @@ _PRIORITY = (
     "sub_lateral_topn",
     "sub_not_in_null_trap",
     "win_gaps_islands",
-    "win_nth_value",
-    "win_distinct_rolling",
-    "ts_interpolate_linear",
     # ---- window cutoff (50) ----
     # remaining never-sampled r4 backlog, then Table H in complexity
     # order: promote these for round 6
+    "win_nth_value",
+    "win_distinct_rolling",
+    "ts_interpolate_linear",
     "ts_downsample_ohlc",
     "ts_ewma",
     "fn_map_lambda",
