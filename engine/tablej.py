@@ -992,17 +992,13 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     traffic carries strings once; no all-pairs anything. Same shingle
     definition as the dedup family (engine/similarity._shingles), so
     the novelty score is consistent with what dedup would collapse."""
-    from engine.session import parallelize_scan, scan_units
-    from engine.similarity import _shingles
+    from engine.similarity import materialize_shingle_index
 
-    d = T(spark, sf, "documents")
-    inv = (
-        parallelize_scan(d, scan_units(sf, "documents"))
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 5)
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    inv = scratch_cache(
+        materialize_shingle_index(spark, sf).select(
+            "doc_id", F.explode("sh").alias("s")
+        )
     )
-    inv = scratch_cache(inv)
     firsts = inv.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         inv.join(firsts, "s")
