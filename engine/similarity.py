@@ -233,7 +233,9 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from engine.session import scan_units
 
     return minhash_pairs(
-        T(spark, sf, "documents"), units=scan_units(sf, "documents")
+        T(spark, sf, "documents"),
+        units=scan_units(sf, "documents"),
+        shingled=scratch_cache(materialize_shingle_index(spark, sf)),
     ).orderBy("a", "b")
 
 
@@ -374,7 +376,9 @@ def materialize_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     key = ("jacpairs", path)
     if not (key in _JACCARD_MEMO and os.path.exists(path + "/_SUCCESS")):
         jaccard_pairs(
-            T(spark, sf, "documents"), units=scan_units(sf, "documents")
+            T(spark, sf, "documents"),
+            units=scan_units(sf, "documents"),
+            shingled=scratch_cache(materialize_shingle_index(spark, sf)),
         ).write.mode("overwrite").parquet(path)
         _JACCARD_MEMO.add(key)
     return spark.read.parquet(path)
