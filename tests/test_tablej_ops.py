@@ -170,15 +170,40 @@ def test_compaction_plan_covers_all_files(spark):
 # --------------------------------------------------------------------------
 
 
+_TABLEJ_KEYS = (
+    "sample_weighted_priority",
+    "agg_frequent_pairs",
+    "scan_compaction_plan",
+    "graph_label_propagation",
+    "graph_sssp_bellman_ford",
+    "join_interval_overlap",
+    "text_zipf_fit",
+    "graph_modularity_lp",
+    "ts_seasonal_decompose",
+    "text_ngram_novelty",
+)
+
+
 def test_tablej_double_run_identical(spark):
-    for key in (
-        "sample_weighted_priority",
-        "agg_frequent_pairs",
-        "scan_compaction_plan",
-    ):
+    for key in _TABLEJ_KEYS:
         a = QUERIES[key](spark, SF_SMOKE).collect()
         b = QUERIES[key](spark, SF_SMOKE).collect()
         assert a == b, key
+
+
+def test_tablej_partition_count_invariant(spark):
+    # a result that changes with spark.sql.shuffle.partitions would let
+    # driver-side config drift flip a value hash — run every Table J key
+    # at 8 and 32 shuffle partitions and require byte-identical output
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = {k: QUERIES[k](spark, SF_SMOKE).collect() for k in _TABLEJ_KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k in _TABLEJ_KEYS:
+            assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --------------------------------------------------------------------------
