@@ -1021,3 +1021,208 @@ def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Staged dedup funnel report (exact -> near-dup), pipeline observability
+# --------------------------------------------------------------------------
+
+
+def _cascade_oracle_sql() -> str:
+    from engine.similarity import _MINHASH_SQL
+
+    return f"""
+    WITH n0 AS (SELECT COUNT(*) AS n FROM documents),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    n1 AS (SELECT COUNT(*) AS n FROM exact_keep),
+    mp AS (SELECT a, b FROM ({_MINHASH_SQL}) near_pairs),
+    near_removed AS (
+      SELECT DISTINCT p.b AS doc_id
+      FROM mp p
+      JOIN exact_keep ka ON ka.doc_id = p.a
+      JOIN exact_keep kb ON kb.doc_id = p.b
+    ),
+    r2 AS (SELECT COUNT(*) AS n FROM near_removed)
+    SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_out AS BIGINT) AS n_out
+    FROM (
+      SELECT '1_exact' AS stage, n0.n AS n_in, n0.n - n1.n AS n_removed,
+             n1.n AS n_out
+      FROM n0, n1
+      UNION ALL
+      SELECT '2_near', n1.n, r2.n, n1.n - r2.n FROM n1, r2)
+    ORDER BY stage
+"""
+
+
+@register("pipeline_dedup_cascade_report", sql=_cascade_oracle_sql())
+def pipeline_dedup_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup funnel, as a report: stage 1 removes exact duplicates
+    (keep the smallest doc_id per md5(text) group), stage 2 removes
+    every exact-survivor that MinHash-near-dups (jaccard_dist ≤ 0.3,
+    the dedup_near_minhash banding) a smaller exact-survivor. Per-stage
+    in/removed/out counts — the dataset-card number a production
+    cascade logs after every run, and the observability twin of the
+    decision keys (dedup_exact / dedup_near_minhash).
+
+    Cost profile at 100 TB: stage 1 is one hash-groupBy on a 16-byte
+    fingerprint; stage 2 reuses the banded LSH pair relation (shared
+    shingle artifact — no second shingle build) semi-joined against the
+    survivor set; the report itself assembles from three 1-row
+    aggregates (broadcast), one job. The near rule is a one-sweep
+    "remove b of every (a < b) surviving pair", deterministic and
+    identical in the oracle (NOT chained clustering — dedup_clusters
+    is the transitive-closure variant)."""
+    from engine.session import scan_units
+    from engine.similarity import materialize_shingle_index, minhash_pairs
+
+    d = T(spark, sf, "documents")
+    n0 = d.agg(F.count(F.lit(1)).alias("n0"))
+    exact_keep = scratch_cache(
+        d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    )
+    n1 = exact_keep.agg(F.count(F.lit(1)).alias("n1"))
+    pairs = minhash_pairs(
+        d,
+        units=scan_units(sf, "documents"),
+        shingled=scratch_cache(materialize_shingle_index(spark, sf)),
+    ).select("a", "b")
+    ka = exact_keep.select(F.col("doc_id").alias("a"))
+    kb = exact_keep.select(F.col("doc_id").alias("b"))
+    r2 = (
+        pairs.join(ka, "a")
+        .join(kb, "b")
+        .select("b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("r2"))
+    )
+    rep = n0.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(r2))
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("1_exact").alias("stage"),
+                F.col("n0").cast("long").alias("n_in"),
+                (F.col("n0") - F.col("n1")).cast("long").alias("n_removed"),
+                F.col("n1").cast("long").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("2_near").alias("stage"),
+                F.col("n1").cast("long").alias("n_in"),
+                F.col("r2").cast("long").alias("n_removed"),
+                (F.col("n1") - F.col("r2")).cast("long").alias("n_out"),
+            ),
+        )
+    )
+    return rep.select(row.alias("s")).select("s.*").orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid drift between corpus halves, per label
+# --------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+    WITH e AS (
+      SELECT vec_id, label, vec_id % 2 AS h, embedding FROM embeddings
+    ),
+    dims AS (
+      SELECT label, h, u.pos,
+             SUM(CAST(ROUND(embedding[u.pos] * 1e6) AS BIGINT)) AS s
+      FROM e, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(pos)
+      GROUP BY label, h, u.pos
+    ),
+    ca AS (SELECT label, pos, s FROM dims WHERE h = 0),
+    cb AS (SELECT label, pos, s FROM dims WHERE h = 1),
+    geom AS (
+      SELECT ca.label,
+             SUM(ca.s * cb.s) AS dp,
+             SUM(ca.s * ca.s) AS na,
+             SUM(cb.s * cb.s) AS nb
+      FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+      GROUP BY ca.label
+    ),
+    cnt AS (
+      SELECT label,
+             SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM e GROUP BY label
+    )
+    SELECT g.label, CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+           ROUND(g.dp / (SQRT(g.na * 1.0) * SQRT(g.nb * 1.0)) * 1e6) / 1e6
+             AS cosine
+    FROM geom g JOIN cnt c ON c.label = g.label
+    ORDER BY g.label
+"""
+
+
+@register("sim_centroid_drift", sql=_DRIFT_SQL)
+def sim_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    deterministic halves (vec_id parity — the A/B the monitor would
+    run between yesterday's and today's batch), compute the per-label
+    centroid of each half, and report the cosine between the two
+    centroids — cosine ≈ 1 says the label's embedding mass hasn't
+    moved; a drop flags drift for that class.
+
+    Exact-integer core: each component is fixed to micro-units
+    (round(v·1e6) as long) BEFORE the per-dimension sums, so the
+    centroid numerators are exact integers and — because cosine is
+    scale-invariant — the count divisions cancel entirely: cosine =
+    Σs_a·s_b / (√Σs_a² · √Σs_b²) on exact longs, one sqrt+division at
+    the end (headroom: |s| ≤ rows·1e6, squares sum within int64
+    through sf0.1; a larger corpus re-scales the unit). One shuffle
+    keys (label, half, dim) — 10×2×64 cells regardless of corpus size;
+    partial aggregation collapses each partition first."""
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", "label", F.pmod("vec_id", F.lit(2)).alias("h"), "embedding"
+    )
+    dims = (
+        e.select(
+            "label",
+            "h",
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .select(
+            "label",
+            "h",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("us"),
+        )
+        .groupBy("label", "h", "pos")
+        .agg(F.sum("us").alias("s"))
+    )
+    dims = scratch_cache(dims)
+    ca = dims.filter("h = 0").select("label", "pos", F.col("s").alias("sa"))
+    cb = dims.filter("h = 1").select("label", "pos", F.col("s").alias("sb"))
+    geom = (
+        ca.join(cb, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dp"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    cnt = e.groupBy("label").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return (
+        geom.join(cnt, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            dround(
+                F.col("dp")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label")
+    )

@@ -181,6 +181,8 @@ _TABLEJ_KEYS = (
     "graph_modularity_lp",
     "ts_seasonal_decompose",
     "text_ngram_novelty",
+    "pipeline_dedup_cascade_report",
+    "sim_centroid_drift",
 )
 
 
@@ -463,3 +465,63 @@ def test_ngram_novelty_duplicate_doc_scores_zero(spark, tmp_path):
     }
     assert out[1][1] == 1.0 and out[2][1] == 1.0
     assert out[3] == (0, 0.0)  # every shingle first seen in doc 1
+
+
+# --------------------------------------------------------------------------
+# pipeline_dedup_cascade_report / sim_centroid_drift
+# --------------------------------------------------------------------------
+
+
+def test_dedup_cascade_planted_funnel(spark, tmp_path):
+    # docs 1 and 2 byte-identical (exact dup), doc 3 a near-dup of 1
+    # (one token changed in a long text), doc 4 unrelated
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 37 else f"w{i}") for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "web", len(base)),
+            (2, base, "en", "web", len(base)),
+            (3, near, "en", "web", len(near)),
+            (4, other, "en", "web", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    rows = {
+        r["stage"]: (r["n_in"], r["n_removed"], r["n_out"])
+        for r in QUERIES["pipeline_dedup_cascade_report"](spark, sf).collect()
+    }
+    assert rows["1_exact"] == (4, 1, 3)   # doc 2 removed (dup of 1)
+    assert rows["2_near"] == (3, 1, 2)    # doc 3 removed (near-dup of 1)
+
+
+def test_centroid_drift_identical_halves_cos_one(spark, tmp_path):
+    # both halves of each label carry the SAME vector -> cosine == 1.0
+    rows = [
+        (i, [0.5, -0.25, 0.125, 0.0625] if i % 3 == 0 else [0.1, 0.2, 0.3, 0.4],
+         i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).select("vec_id", "embedding", "label")
+    sf = _write(spark, tmp_path, "embeddings", emb)
+    out = QUERIES["sim_centroid_drift"](spark, sf).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["cosine"] == 1.0
+        assert r["n_a"] + r["n_b"] == 20
+
+
+def test_centroid_drift_orthogonal_halves_cos_zero(spark, tmp_path):
+    # even vec_ids point along e1, odd along e2 -> centroids orthogonal
+    rows = [
+        (i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], 0) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write(spark, tmp_path, "embeddings", emb)
+    r = QUERIES["sim_centroid_drift"](spark, sf).first()
+    assert r["cosine"] == 0.0 and r["n_a"] == 20 and r["n_b"] == 20
