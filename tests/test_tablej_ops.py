@@ -525,3 +525,127 @@ def test_centroid_drift_orthogonal_halves_cos_zero(spark, tmp_path):
     sf = _write(spark, tmp_path, "embeddings", emb)
     r = QUERIES["sim_centroid_drift"](spark, sf).first()
     assert r["cosine"] == 0.0 and r["n_a"] == 20 and r["n_b"] == 20
+
+
+# --- hypothesis property tests (SURVEY.md §5.2 layer 3) ---------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=1, max_size=80
+    )
+)
+def test_prop_priority_sample_equals_bruteforce(spark, tmp_path_factory, weights):
+    """Property: the distributed top-k priority sample equals the
+    Python brute force under the SAME portable hash on ANY weight set."""
+    from engine.tablej import _PRIORITY_K
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", w) for i, w in enumerate(weights)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path_factory.mktemp("prio") / "sf")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["doc_id"], r["weight"])
+        for r in QUERIES["sample_weighted_priority"](spark, sf_dir).collect()
+    ]
+    want = sorted(
+        enumerate(weights), key=lambda t: (-_py_priority(*t), t[0])
+    )[: _PRIORITY_K]
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=30
+    ),
+    target=st.integers(min_value=1, max_value=600),
+)
+def test_prop_compaction_bins_greedy_equivalent(spark, sizes, target):
+    """Property: window-cumsum bin assignment equals the sequential
+    greedy fold (bin increments when the running total crosses the
+    target) on ANY file-size sequence, and conserves bytes."""
+    files = spark.createDataFrame(
+        [("p", i, s) for i, s in enumerate(sizes)],
+        "part string, file_id long, bytes long",
+    )
+    got = [
+        (r["bin"], r["n_files"], r["total_bytes"])
+        for r in compaction_bins(files, target).orderBy("bin").collect()
+    ]
+    # sequential reference: bin = floor(bytes_before / target)
+    import collections
+
+    bins = collections.defaultdict(lambda: [0, 0])
+    cum = 0
+    for s in sizes:
+        b = cum // target
+        bins[b][0] += 1
+        bins[b][1] += s
+        cum += s
+    want = [(b, n, t) for b, (n, t) in sorted(bins.items())]
+    assert got == want
+    assert sum(t for _, _, t in got) == sum(sizes)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_prop_bellman_ford_equals_khop_minplus(spark, edges):
+    """Property: the driver relaxation equals the K-hop min-plus
+    closure (shortest path using <= K relaxation rounds) on ANY small
+    weighted digraph."""
+    from engine.tablej import _BF_ROUNDS, _BF_SEEDS, _bf_driver
+
+    # collapse parallel edges to min weight like groupBy count wouldn't:
+    # feed the already-weighted relation (the key's w has one row per
+    # (src, dst)); dedupe here keeping the min weight
+    w = {}
+    for s, d, wt in edges:
+        if s != d:
+            w[(s, d)] = min(wt, w.get((s, d), 10**9))
+    if not w:
+        return
+    wdf = spark.createDataFrame(
+        [(s, d, wt) for (s, d), wt in sorted(w.items())],
+        "src long, dst long, wt long",
+    )
+    got = dict(
+        (r["v"], r["dist"]) for r in _bf_driver(spark, wdf).collect()
+    )
+    seeds = sorted({s for s, _ in w})[:_BF_SEEDS]
+    dist = {v: 0 for v in seeds}
+    for _ in range(_BF_ROUNDS):
+        nxt = dict(dist)
+        for (s, d), wt in w.items():
+            if s in dist and dist[s] + wt < nxt.get(d, 10**18):
+                nxt[d] = dist[s] + wt
+        dist = nxt
+    assert got == dist
