@@ -649,3 +649,16 @@ def test_prop_bellman_ford_equals_khop_minplus(spark, edges):
                 nxt[d] = dist[s] + wt
         dist = nxt
     assert got == dist
+
+
+def test_tablej_topk_plans(spark):
+    # every global top-k in Table J must plan as TakeOrderedAndProject
+    # (per-partition heaps + k-row merge), never a full global sort
+    for key in ("text_zipf_fit", "join_interval_overlap",
+                "graph_label_propagation"):
+        assert "TakeOrderedAndProject" in _plan(spark, key), key
+
+
+def test_tablej_no_cartesian_products(spark):
+    for key in _TABLEJ_KEYS:
+        assert "CartesianProduct" not in _plan(spark, key), key
