@@ -1737,13 +1737,23 @@ def materialize_shingle_index(spark: SparkSession, sf: str) -> DataFrame:
     )
     key = ("shingles", path)
     if not (key in _SHINGLE_MEMO and os.path.exists(path + "/_SUCCESS")):
-        d = T(spark, sf, "documents")
-        (
-            parallelize_scan(d, scan_units(sf, "documents"))
-            .select("doc_id", F.split("text", " ").alias("toks"))
-            .filter(F.size("toks") >= 5)
-            .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-            .filter(F.size("sh") > 0)
-        ).write.mode("overwrite").parquet(path)
+        shingle_build_df(spark, sf).write.mode("overwrite").parquet(path)
         _SHINGLE_MEMO.add(key)
     return spark.read.parquet(path)
+
+
+def shingle_build_df(spark: SparkSession, sf: str) -> DataFrame:
+    """The shingle-index BUILD plan (round-robin fan-out of the raw
+    text BEFORE the 5-gram string work — the single-core-trap rule,
+    plan-gated in tests/test_plans.py). Consumers read the artifact;
+    only this builder pays the build."""
+    from engine.session import parallelize_scan, scan_units
+
+    d = T(spark, sf, "documents")
+    return (
+        parallelize_scan(d, scan_units(sf, "documents"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )

@@ -411,28 +411,43 @@ def test_heavy_string_builds_run_post_shuffle(spark):
     serially on the one-row-group scan with its fat arrays shuffled."""
     import re
 
-    def jaccard_builder_plan():
-        # dedup_ngram_jaccard now serves pairs from the materialized
-        # parquet (no exchange in the registered plan); the gate applies
-        # to the BUILDER that writes it
+    def _fmt(df):
         import io
         from contextlib import redirect_stdout
 
-        from engine.session import T, scan_units
-        from engine.similarity import jaccard_pairs
-
-        df = jaccard_pairs(
-            T(spark, SF_SMOKE, "documents"),
-            units=scan_units(SF_SMOKE, "documents"),
-        )
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain(mode="formatted")
         return buf.getvalue()
 
-    for key in ("dedup_near_minhash", "jaccard_builder",
+    def jaccard_builder_plan():
+        # dedup_ngram_jaccard now serves pairs from the materialized
+        # parquet (no exchange in the registered plan); the gate applies
+        # to the BUILDER that writes it
+        from engine.session import T, scan_units
+        from engine.similarity import jaccard_pairs
+
+        return _fmt(
+            jaccard_pairs(
+                T(spark, SF_SMOKE, "documents"),
+                units=scan_units(SF_SMOKE, "documents"),
+            )
+        )
+
+    def shingle_builder_plan():
+        # dedup_near_minhash (and the novelty/LSH-audit keys) consume
+        # the materialized shingle index; the gate applies to its build
+        from engine.similarity import shingle_build_df
+
+        return _fmt(shingle_build_df(spark, SF_SMOKE))
+
+    builders = {
+        "jaccard_builder": jaccard_builder_plan,
+        "shingle_builder": shingle_builder_plan,
+    }
+    for key in ("shingle_builder", "jaccard_builder",
                 "dedup_substring_spans", "dedup_lines_global"):
-        p = jaccard_builder_plan() if key == "jaccard_builder" else plan(spark, key)
+        p = builders[key]() if key in builders else plan(spark, key)
         # formatted mode: each "(n) Exchange" block carries an Input list
         blocks = re.findall(
             r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: RoundRobinPartitioning",
