@@ -1226,3 +1226,81 @@ def sim_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAE / bias per series)
+# --------------------------------------------------------------------------
+
+_SNAIVE_LAG_H = 168  # one week of hours
+
+_SNAIVE_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    hourly AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             COUNT(*) AS c
+      FROM e GROUP BY event_type, epoch_ns(ts) // 3600000000000
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(SUM(ABS(a.c - f.c)) / (COUNT(*) * 1.0) * 1e4) / 1e4 AS mae,
+           ROUND(SUM(a.c - f.c) / (COUNT(*) * 1.0) * 1e4) / 1e4 + 0.0 AS bias
+    FROM hourly a
+    JOIN hourly f ON f.event_type = a.event_type
+                 AND f.hr = a.hr - {_SNAIVE_LAG_H}
+    GROUP BY a.event_type ORDER BY a.event_type
+"""
+
+
+@register("ts_forecast_snaive", sql=_SNAIVE_SQL)
+def ts_forecast_snaive(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's event
+    count with the count from the SAME hour one week earlier
+    (y_hat(t) = y(t-168h)) and score MAE + signed bias per event type —
+    the baseline every real forecaster must beat, and the cheapest
+    continuous forecast-quality monitor a pipeline can run.
+
+    The forecast join is an equi-join on (event_type, hr-168) — NOT a
+    LAG(168) window, which would be wrong on a gappy hourly series
+    (rows ≠ hours); hours with no week-ago observation simply don't
+    score. Errors stay exact integers until the two final divisions
+    (the canonical rounding). Two shuffles total: the hourly rollup
+    and the (event_type, hr)-keyed self-join."""
+    from engine.canon import floordiv_sql
+
+    ev = T(spark, sf, "events")
+    hourly = scratch_cache(
+        ev.select(
+            "event_type",
+            floordiv_sql("unix_micros(ts)", 3_600_000_000).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = hourly.select("event_type", "hr", F.col("c").alias("actual"))
+    f = hourly.select(
+        "event_type",
+        (F.col("hr") + _SNAIVE_LAG_H).alias("hr"),
+        F.col("c").alias("fc"),
+    )
+    return (
+        a.join(f, ["event_type", "hr"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            dround(
+                F.sum(F.abs(F.col("actual") - F.col("fc")))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mae"),
+            (
+                dround(
+                    F.sum(F.col("actual") - F.col("fc"))
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )

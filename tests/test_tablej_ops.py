@@ -183,6 +183,7 @@ _TABLEJ_KEYS = (
     "text_ngram_novelty",
     "pipeline_dedup_cascade_report",
     "sim_centroid_drift",
+    "ts_forecast_snaive",
 )
 
 
@@ -662,3 +663,52 @@ def test_tablej_topk_plans(spark):
 def test_tablej_no_cartesian_products(spark):
     for key in _TABLEJ_KEYS:
         assert "CartesianProduct" not in _plan(spark, key), key
+
+
+def test_snaive_perfect_weekly_cycle_scores_zero_mae(spark, tmp_path):
+    # counts depend only on hour-of-week -> week-ago forecast is exact
+    rows = []
+    eid = 0
+    for day in range(21):  # 3 weeks
+        for hod in range(24):
+            n = 1 + ((day % 7) * 24 + hod) % 5
+            for k in range(n):
+                ts_us = ((day * 24 + hod) * 3600 + k) * 1_000_000
+                rows.append((eid, ts_us, 1, "view", 1.0))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id",
+        "event_type", "value", F.lit("{}").alias("props"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    r = QUERIES["ts_forecast_snaive"](spark, sf_dir).first()
+    assert r["mae"] == 0.0 and r["bias"] == 0.0
+    assert r["n_eval"] == 2 * 7 * 24  # weeks 2-3 score against week 1-2
+
+
+def test_snaive_known_shift_scores_exact_bias(spark, tmp_path):
+    # week 2 counts = week 1 counts + 2 every hour -> mae = bias = 2
+    rows = []
+    eid = 0
+    for day in range(14):
+        for hod in range(24):
+            n = 3 + (2 if day >= 7 else 0)
+            for k in range(n):
+                ts_us = ((day * 24 + hod) * 3600 + k) * 1_000_000
+                rows.append((eid, ts_us, 1, "view", 1.0))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id",
+        "event_type", "value", F.lit("{}").alias("props"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    r = QUERIES["ts_forecast_snaive"](spark, sf_dir).first()
+    assert r["mae"] == 2.0 and r["bias"] == 2.0 and r["n_eval"] == 7 * 24
