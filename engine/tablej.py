@@ -1304,3 +1304,158 @@ def ts_forecast_snaive(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window approximate distinct via mergeable HLL registers
+# --------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (2^6); relative error ~ 1.04/sqrt(64) = 13%
+_HLL_WINDOW_H = 24   # trailing window, hours
+#: alpha_64 * m^2, pre-scaled by 2^55 so the register sum stays an exact
+#: integer (see docstring); 0.709 is the standard alpha for m = 64. The
+#: chain double(0.709) * 2^12 * 2^55 is exact scaling of one parsed
+#: literal — both engines hold the identical constant.
+_HLL_CONST = 0.709 * 4096.0 * float(2**55)
+
+_HLL_SLIDING_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    hu AS (SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS hr, user_id FROM e),
+    hashed AS (SELECT hr, ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT AS h FROM hu),
+    obs AS (
+      SELECT hr, h % {_HLL_M} AS j,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN 55
+                      ELSE 55 - LENGTH(bin(h // {_HLL_M})) END) AS rho
+      FROM hashed GROUP BY hr, h % {_HLL_M}
+    ),
+    hrs AS (SELECT DISTINCT hr FROM hu),
+    grid AS (SELECT hrs.hr, js.j
+             FROM hrs CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+                                  {_HLL_M - 1})) AS j) js),
+    merged AS (
+      SELECT g.hr, g.j,
+             COALESCE(MAX(o.rho) OVER (PARTITION BY g.j ORDER BY g.hr
+                      RANGE BETWEEN {_HLL_WINDOW_H - 1} PRECEDING
+                            AND CURRENT ROW), 0) AS m
+      FROM grid g LEFT JOIN obs o ON o.hr = g.hr AND o.j = g.j
+    ),
+    est AS (
+      SELECT hr,
+             SUM(1::BIGINT << (55 - m)) AS s_scaled,
+             SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+      FROM merged GROUP BY hr
+    ),
+    tw AS (
+      SELECT t.hr, COUNT(DISTINCT u.user_id) AS exact_distinct
+      FROM hrs t JOIN hu u ON u.hr BETWEEN t.hr - {_HLL_WINDOW_H - 1} AND t.hr
+      GROUP BY t.hr
+    )
+    SELECT e2.hr,
+           ROUND(CASE WHEN {_HLL_CONST!r} / (e2.s_scaled * 1.0)
+                           <= {2.5 * _HLL_M} AND e2.v_zero > 0
+                      THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / e2.v_zero)
+                      ELSE {_HLL_CONST!r} / (e2.s_scaled * 1.0) END * 1e4) / 1e4
+             AS hll_est,
+           CAST(e2.v_zero AS BIGINT) AS v_zero,
+           CAST(tw.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est e2 JOIN tw ON tw.hr = e2.hr
+    ORDER BY e2.hr
+"""
+
+
+@register("win_hll_sliding_distinct", sql=_HLL_SLIDING_SQL)
+def win_hll_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-24 h approximate distinct users per hour via MERGEABLE
+    HyperLogLog registers — the streaming-observability pattern where
+    each hour keeps a 64-register sketch and any window is answered by
+    max-merging the member sketches, never re-touching raw data. The
+    exact trailing distinct count rides alongside as the value-checked
+    accuracy twin (win_distinct_rolling's exact cousin at sketch cost).
+
+    Portability contract: the md5-derived hash splits into register
+    j = h mod 64 and rank rho = 55 − bitlen(h div 64); the window
+    merge is MAX over an hr-RANGE frame per register (gap-correct);
+    the harmonic sum is kept EXACT by scaling each 2^−M term to the
+    integer 2^(55−M) — Σ fits int64 (≤ 64·2^55) — so both engines
+    divide the identical constant alpha·m²·2^55 by the identical
+    integer. Linear-counting small-range correction (m·ln(m/V) when
+    raw ≤ 2.5 m and V > 0) matches the published estimator; ln is the
+    only transcendental and rides under the 1e4 rounding.
+
+    Scale: state is (hours × 64) register cells — calendar-sized; the
+    raw corpus is touched once for the per-hour register build. The
+    exact twin explodes each (hr, user) into its ≤ 24 target hours
+    (equi-join, no theta join) — the honest exact cost the sketch
+    avoids at 100 TB."""
+    from engine.canon import floordiv_sql
+
+    ev = T(spark, sf, "events")
+    hu = (
+        ev.select(
+            floordiv_sql("unix_micros(ts)", 3_600_000_000).alias("hr"),
+            "user_id",
+        ).distinct()
+    )
+    hu = scratch_cache(hu)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = hu.select("hr", h.alias("h"))
+    w_field = F.expr(f"h div {_HLL_M}")
+    obs = (
+        hashed.select(
+            "hr",
+            F.pmod("h", F.lit(_HLL_M)).alias("j"),
+            F.when(w_field == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.expr(f"bin(h div {_HLL_M})")))
+            .alias("rho"),
+        )
+        .groupBy("hr", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    hrs = hu.select("hr").distinct()
+    js = spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
+    grid = hrs.crossJoin(F.broadcast(js))
+    win = (
+        Window.partitionBy("j")
+        .orderBy("hr")
+        .rangeBetween(-(_HLL_WINDOW_H - 1), 0)
+    )
+    merged = grid.join(obs, ["hr", "j"], "left").select(
+        "hr",
+        "j",
+        F.coalesce(F.max("rho").over(win), F.lit(0)).alias("m"),
+    )
+    est = merged.groupBy("hr").agg(
+        F.sum(F.expr("shiftleft(1L, cast(55 - m AS int))")).alias("s_scaled"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    raw = F.lit(_HLL_CONST) / F.col("s_scaled").cast("double")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    # exact twin: explode each (hr, user) into the <= 24 hours whose
+    # trailing window contains it, then count distinct per target hour
+    tgt = hu.select(
+        F.explode(
+            F.sequence(F.col("hr"), F.col("hr") + (_HLL_WINDOW_H - 1))
+        ).alias("hr"),
+        "user_id",
+    )
+    tw = (
+        tgt.join(hrs, "hr")
+        .groupBy("hr")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(tw, "hr")
+        .select(
+            "hr",
+            dround(corrected, 4).alias("hll_est"),
+            "v_zero",
+            "exact_distinct",
+        )
+        .orderBy("hr")
+    )

@@ -184,6 +184,7 @@ _TABLEJ_KEYS = (
     "pipeline_dedup_cascade_report",
     "sim_centroid_drift",
     "ts_forecast_snaive",
+    "win_hll_sliding_distinct",
 )
 
 
@@ -712,3 +713,61 @@ def test_snaive_known_shift_scores_exact_bias(spark, tmp_path):
     ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
     r = QUERIES["ts_forecast_snaive"](spark, sf_dir).first()
     assert r["mae"] == 2.0 and r["bias"] == 2.0 and r["n_eval"] == 7 * 24
+
+
+# --------------------------------------------------------------------------
+# win_hll_sliding_distinct
+# --------------------------------------------------------------------------
+
+
+def _py_hll(users) -> float:
+    """The estimator recomputed independently in Python from the same
+    portable hash: register max-merge + scaled harmonic sum + linear
+    counting correction."""
+    M = [0] * 64
+    for u in users:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        j, w = h % 64, h // 64
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        M[j] = max(M[j], rho)
+    s_scaled = sum(1 << (55 - m) for m in M)
+    v = sum(1 for m in M if m == 0)
+    raw = (0.709 * 4096.0 * float(2**55)) / s_scaled
+    est = 64.0 * math.log(64.0 / v) if (raw <= 160.0 and v > 0) else raw
+    return math.floor(est * 1e4 + 0.5) / 1e4
+
+
+def test_hll_sliding_matches_python_reference(spark, tmp_path):
+    # 3 hours of events; hour h sees users h*10 .. h*10+14 (overlap-free
+    # windows at this scale: trailing 24h covers all previous hours)
+    rows = []
+    eid = 0
+    for hh in range(3):
+        for u in range(hh * 10, hh * 10 + 15):
+            rows.append((eid, (hh * 3600 + u) * 1_000_000, u, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id",
+        "event_type", "value", F.lit("{}").alias("props"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["hr"] % 24: (r["hll_est"], r["exact_distinct"])
+        for r in QUERIES["win_hll_sliding_distinct"](spark, sf_dir).collect()
+    }
+    # hour 0 sees users 0-14; hour 1 adds 10-24 (union 0-24); hour 2 0-34
+    assert out[0][1] == 15 and out[1][1] == 25 and out[2][1] == 35
+    assert out[0][0] == _py_hll(range(0, 15))
+    assert out[1][0] == _py_hll(range(0, 25))
+    assert out[2][0] == _py_hll(range(0, 35))
+
+
+def test_hll_sliding_accuracy_on_smoke(spark):
+    rows = QUERIES["win_hll_sliding_distinct"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 * r["exact_distinct"] <= r["hll_est"] <= 2.0 * r["exact_distinct"]
