@@ -50,9 +50,9 @@ _MODULES = (
 #: (b) the 20 Table I keys (engine/tablei.py) — brand-new code written
 #:     this round with zero external verification; newest code verifies
 #:     first;
-#: (c) the 14 Table J keys (engine/tablej.py) — the round-5 LATE wave,
+#: (c) the 15 Table J keys (engine/tablej.py) — the round-5 LATE wave,
 #:     newer still;
-#: (d) 10 of the SQL-oracled keys that missed every window r1-r4;
+#: (d) 9 of the SQL-oracled keys that missed every window r1-r4;
 #: positions 51+ enumerate the remaining never-sampled keys (rest of the
 #: r4 backlog, then Table H in complexity order) so round 6's rotation
 #: is a simple promote-the-tail.
@@ -102,6 +102,7 @@ _PRIORITY = (
     "sim_centroid_drift",
     "ts_forecast_snaive",
     "win_hll_sliding_distinct",
+    "agg_join_size_estimate",
     # -- (d) never driver-sampled: missed the r1-r4 windows
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
@@ -112,10 +113,10 @@ _PRIORITY = (
     "agg_filter_clause",
     "agg_grouping_flags",
     "join_aqe_skew",
-    "join_range_bucketed",
     # ---- window cutoff (50) ----
     # remaining never-sampled r4 backlog, then Table H in complexity
     # order: promote these for round 6
+    "join_range_bucketed",
     "join_asof_nearest",
     "sub_lateral_topn",
     "sub_not_in_null_trap",

@@ -1459,3 +1459,128 @@ def win_hll_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation from mergeable count-min sketches vs exact
+# --------------------------------------------------------------------------
+
+_JSZ_DEPTH = 4
+_JSZ_WIDTH = 1024
+
+_JOIN_SIZE_SQL = f"""
+    WITH js AS (SELECT UNNEST(GENERATE_SERIES(0, {_JSZ_DEPTH - 1})) AS j),
+    ca AS (
+      SELECT js.j,
+             (('0x' || substr(md5(js.j || ':' ||
+                 CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+               % {_JSZ_WIDTH} AS bucket,
+             COUNT(*) AS cell
+      FROM lineitem, js GROUP BY js.j, bucket
+    ),
+    cb AS (
+      SELECT js.j,
+             (('0x' || substr(md5(js.j || ':' ||
+                 CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+               % {_JSZ_WIDTH} AS bucket,
+             COUNT(*) AS cell
+      FROM orders, js GROUP BY js.j, bucket
+    ),
+    per_row AS (
+      SELECT ca.j, SUM(ca.cell * cb.cell) AS est
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      GROUP BY ca.j
+    ),
+    sketch AS (SELECT MIN(est) AS est_join_rows FROM per_row),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS tot_a,
+             (SELECT COUNT(*) FROM orders) AS tot_b
+    ),
+    exact AS (
+      SELECT SUM(a.c * b.c) AS exact_join_rows
+      FROM (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) a
+      JOIN (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) b
+        ON a.k = b.k
+    )
+    SELECT CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+           CAST(est_join_rows AS BIGINT) AS est_join_rows,
+           CAST(est_join_rows - exact_join_rows AS BIGINT) AS overcount,
+           CAST(tot_a * tot_b // 1024 AS BIGINT) AS expected_noise
+    FROM sketch, exact, tots
+"""
+
+
+@register("agg_join_size_estimate", sql=_JOIN_SIZE_SQL)
+def agg_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation — the optimizer primitive as a
+    query: |lineitem ⋈ orders on orderkey| estimated from two
+    count-min sketches (depth 4 × width 64, the shared portable md5
+    family) as min over rows of the sketch-row DOT PRODUCT
+    Σ_b cmA[j,b]·cmB[j,b] — the classic AGMS-style inner-product
+    estimate, a one-sided overestimate exactly like the point-query
+    bound — next to the EXACT size from the per-key count join
+    (Σ_k cntA(k)·cntB(k)). What a planner consults before picking
+    broadcast vs shuffle vs sort-merge when the build side is too big
+    to count exactly.
+
+    The estimate is a ONE-SIDED overestimate whose additive error
+    concentrates around ΣA·ΣB/width — reported alongside as
+    expected_noise so the consumer reads the bound correctly (a
+    planner compares est against broadcast thresholds ORDERS OF
+    MAGNITUDE apart; sketch noise at this width is decision-grade).
+    Everything is exact integer arithmetic (counts, products, sums,
+    min), so the oracle reproduces the estimate bit-for-bit. Sketch
+    cost: each side collapses to ≤ depth×width cells with map-side
+    combine — constant-size state however large the fact tables; the
+    exact twin pays one per-key aggregation per side plus a key join
+    (the cost the sketch exists to avoid)."""
+    li = T(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = T(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+
+    def bucket(j: int) -> F.Column:
+        # the tablei _cm_bucket hash family at THIS key's width
+        tagged = F.concat(F.lit(f"{j}:"), F.col("k").cast("string"))
+        h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+        return h % _JSZ_WIDTH
+
+    def sketch(df: DataFrame) -> DataFrame:
+        rows = [
+            df.select(F.lit(j).alias("j"), bucket(j).alias("bucket"))
+            for j in range(_JSZ_DEPTH)
+        ]
+        u = rows[0]
+        for r in rows[1:]:
+            u = u.unionAll(r)
+        return u.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    ca = sketch(li)
+    cb = sketch(od)
+    per_row = (
+        ca.join(cb.withColumnRenamed("cell", "cell_b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cell") * F.col("cell_b")).alias("est"))
+    )
+    sk = per_row.agg(F.min("est").alias("est_join_rows"))
+    a = li.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    b = od.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        a.join(b, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_rows"))
+    )
+    tots = li.agg(F.count(F.lit(1)).alias("tot_a")).crossJoin(
+        F.broadcast(od.agg(F.count(F.lit(1)).alias("tot_b")))
+    )
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            F.col("exact_join_rows").cast("long").alias("exact_join_rows"),
+            F.col("est_join_rows").cast("long").alias("est_join_rows"),
+            (F.col("est_join_rows") - F.col("exact_join_rows"))
+            .cast("long")
+            .alias("overcount"),
+            F.expr(f"(tot_a * tot_b) div {_JSZ_WIDTH}")
+            .cast("long")
+            .alias("expected_noise"),
+        )
+    )

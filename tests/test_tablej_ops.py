@@ -185,6 +185,7 @@ _TABLEJ_KEYS = (
     "sim_centroid_drift",
     "ts_forecast_snaive",
     "win_hll_sliding_distinct",
+    "agg_join_size_estimate",
 )
 
 
@@ -771,3 +772,21 @@ def test_hll_sliding_accuracy_on_smoke(spark):
     assert rows
     for r in rows:
         assert 0.5 * r["exact_distinct"] <= r["hll_est"] <= 2.0 * r["exact_distinct"]
+
+
+# --------------------------------------------------------------------------
+# agg_join_size_estimate
+# --------------------------------------------------------------------------
+
+
+def test_join_size_estimate_bound_and_exact(spark):
+    r = QUERIES["agg_join_size_estimate"](spark, SF_SMOKE).first()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # FK join: every lineitem matches exactly one order
+    assert r["exact_join_rows"] == li.count()
+    # AGMS/CM inner product is a one-sided overestimate...
+    assert r["overcount"] >= 0
+    # ...whose additive error concentrates around tot_a*tot_b/width:
+    # min over 4 independent rows stays within a small factor of it
+    assert r["overcount"] <= 4 * r["expected_noise"] + r["exact_join_rows"]
+    assert r["est_join_rows"] == r["exact_join_rows"] + r["overcount"]
