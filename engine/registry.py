@@ -40,82 +40,50 @@ _MODULES = (
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
-#: checks a fixed-size PREFIX (exactly 50 keys r1-r3) of the enumeration
-#: order each round. Re-rotated LATE IN ROUND 5 (the r5 driver run
-#: happens at round end, so the window is still movable): round 4's
-#: driver artifacts were never delivered, so the r4 window's fate is
-#: unknown; hedge accordingly:
-#: (a) 6 hedge slots — the keys whose last DELIVERED driver word is
-#:     FAIL/ERR (fixed r2/r3; were in the r4 window, outcome unknown);
-#: (b) the 20 Table I keys (engine/tablei.py) — brand-new code written
-#:     this round with zero external verification; newest code verifies
-#:     first;
-#: (c) the 15 Table J keys (engine/tablej.py) — the round-5 LATE wave,
-#:     newer still;
-#: (d) 9 of the SQL-oracled keys that missed every window r1-r4;
-#: positions 51+ enumerate the remaining never-sampled keys (rest of the
-#: r4 backlog, then Table H in complexity order) so round 6's rotation
-#: is a simple promote-the-tail.
-#: Everything not listed keeps registration order behind the prefix
-#: (driver-green r1-r3, still guarded by tests/test_oracle.py).
+#: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
+#: the enumeration order. ROUND-6 ROTATION (derived from DELIVERED
+#: artifacts r1+r2+r3+r5 only — the round-5 lesson; r4 was never
+#: delivered):
+#: (a) positions 1-9 — the ONLY keys whose last delivered driver word is
+#:     still FAIL/ERR (all fixed r2-r4 + builder-oracle green since; the
+#:     r4 window that would have re-checked them was lost): these are
+#:     the highest-value external rows in the repo;
+#: (b) positions 10-12 — the round-6 forced-distributed graph variants
+#:     (new code this round; certifies the exact joins-and-windows path
+#:     that runs at 100 TB, per VERDICT r5 task 3);
+#: (c) positions 13-17 — all 5 value-oracled multimodal keys (zero
+#:     driver rows ever despite full generator-spec oracles since r4;
+#:     VERDICT r5 task 5);
+#: (d) positions 18-50 — never-sampled keys in prior enumeration order,
+#:     zero re-checks (every previously-green key stays guarded by
+#:     tests/test_oracle.py every pytest run).
+#: Positions 51+ enumerate EVERY remaining never-sampled key explicitly
+#: so the round-7 rotation is a pure promote-the-tail: move positions
+#: 51-100 into the window, nothing else to re-derive. Keys not listed
+#: at all are driver-green r1-r5 and keep registration order behind the
+#: prefix.
 _PRIORITY = (
-    # -- (a) hedge: last delivered driver word FAIL/ERR (r4 unknown)
-    "fn_array_lambda",
-    "pipeline_pretrain_filter",
-    "agg_collect_sorted",
-    "agg_approx_quantiles",
-    "dedup_near_minhash",
-    "fn_map",
-    # -- (b) Table I: added this round, newest code first
-    "agg_countmin_heavy",
-    "agg_kmv_set_sketch",
-    "agg_bloom_filter_report",
-    "agg_bootstrap_mean_ci",
-    "sim_mmr_rerank",
-    "sim_simhash_radius",
-    "graph_kcore_peel",
-    "graph_clustering_coefficient",
-    "win_skyline_pareto_2d",
-    "text_keyword_rake",
-    "scan_profile_columns",
-    "scan_manifest_snapshot",
-    "scan_manifest_time_travel",
-    "text_readability",
-    "agg_dup_profile",
-    "pipeline_domain_mix_weights",
-    "win_moving_median",
-    "win_rolling_slope",
-    "win_drawdown_max",
-    "ts_burstiness_fano",
-    # -- (c) Table J: round-5 late wave, even newer than Table I
-    "sample_weighted_priority",
-    "agg_frequent_pairs",
-    "scan_compaction_plan",
-    "graph_label_propagation",
-    "graph_sssp_bellman_ford",
-    "join_interval_overlap",
-    "text_zipf_fit",
-    "graph_modularity_lp",
-    "ts_seasonal_decompose",
-    "text_ngram_novelty",
-    "pipeline_dedup_cascade_report",
-    "sim_centroid_drift",
-    "ts_forecast_snaive",
-    "win_hll_sliding_distinct",
-    "agg_join_size_estimate",
-    # -- (d) never driver-sampled: missed the r1-r4 windows
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity",
-    "agg_corr_matrix",
-    "agg_bitmap_distinct",
-    "agg_count_distinct_multi",
-    "agg_filter_clause",
-    "agg_grouping_flags",
-    "join_aqe_skew",
-    # ---- window cutoff (50) ----
-    # remaining never-sampled r4 backlog, then Table H in complexity
-    # order: promote these for round 6
+    # -- (a) stale FAIL/ERR at last delivered driver word (r1/r2 ERRs)
+    "scan_csv_roundtrip",
+    "sink_parquet_partitioned",
+    "agg_approx_distinct",
+    "sample_per_group",
+    "sample_stratified",
+    "so_kmeans",
+    "so_kmeans_ml",
+    "text_fingerprint",
+    "wiki_parse_lines",
+    # -- (b) forced-distributed graph paths (new round-6 keys)
+    "graph_lp_distributed",
+    "graph_sssp_distributed",
+    "graph_kcore_distributed",
+    # -- (c) multimodal: value-oracled since r4, zero driver rows
+    "multimodal_decode",
+    "multimodal_phash_dedup",
+    "multimodal_audio_features",
+    "multimodal_frames",
+    "multimodal_tile_plan",
+    # -- (d) never-sampled fill, prior enumeration order
     "join_range_bucketed",
     "join_asof_nearest",
     "sub_lateral_topn",
@@ -149,6 +117,9 @@ _PRIORITY = (
     "merge_cdc_apply",
     "pipeline_semdedup_keep_central",
     "pipeline_incremental_dedup",
+    # ---- window cutoff (50) ----
+    # every remaining never-sampled key, in order: the round-7
+    # window is positions 51-100 verbatim (promote-the-tail)
     "sim_knn_graph",
     "sink_sorted_clustered_write",
     "pipeline_lsh_recall_audit",
@@ -191,12 +162,42 @@ _PRIORITY = (
     "agg_trimmed_mean",
     "agg_moments_skew_kurtosis",
     "agg_gini_concentration",
-    "multimodal_tile_plan",
     "scan_binaryfile",
     "scan_text_lines",
     "scan_csv_gzip",
+    "dedup_simhash",
+    "pipeline_keep_best_dedup",
+    "sim_cosine_topk_ivf",
+    "dedup_clusters",
+    "sim_ann_partitioned_probe",
+    "dedup_substring_spans",
+    "dedup_lines_global",
+    "stream_stateful_count",
+    "stream_stateful_tws",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_session_timeout",
+    "scan_orc_roundtrip",
+    "agg_hll_mergeable",
+    "text_lm_score",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "merge_upsert_scd2",
+    "graph_pagerank",
+    "pipeline_quality_composite",
+    "text_pii_mask",
+    "pipeline_pack_sequences",
+    "pipeline_e2e_pretrain",
+    "pipeline_dataset_card",
+    "graph_triangles",
+    "pipeline_chunk_overlap",
+    "win_mad_outliers",
+    "pipeline_bpe_pair_counts",
+    "agg_entropy",
 )
-
 
 def _ordered(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

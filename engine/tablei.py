@@ -519,6 +519,30 @@ def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("round")
 
 
+@register("graph_kcore_distributed", sql=_kcore_oracle_sql())
+def graph_kcore_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """graph_kcore_peel with the DISTRIBUTED peel FORCED — the 100 TB
+    code path (per round: one degree aggregation over the two endpoint
+    projections + one double semi-join against surviving nodes, with
+    localCheckpoint cutting per-round lineage) registered as its own
+    key so the external sweep certifies the scale path, not just the
+    collected-edge twin. Identical oracle: the peel trajectory is a
+    pure integer function of the simple edge set."""
+    from engine.analytics import materialize_affinity_edges
+    from engine.session import scratch_cache
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    traj = _kcore_distributed(und)
+    return spark.createDataFrame(
+        traj, "round int, nodes_alive long, edges_alive long"
+    ).orderBy("round")
+
+
 #: counted ceiling for the driver path — same contract as
 #: graph_bfs_reachability's (the COUNTED edge list, not the corpus).
 _KCORE_DRIVER_EDGES = 2_000_000

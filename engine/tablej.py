@@ -449,6 +449,24 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     return _lp_distributed(und)
 
 
+@register("graph_lp_distributed", sql=_lp_oracle_sql())
+def graph_lp_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """graph_label_propagation with the DISTRIBUTED path FORCED — no
+    counted-size fallback. This is the exact code that runs at 100 TB
+    (per round: one equi-join + one count aggregate + one per-node
+    window, labels and edges both hashed on the node id, no driver
+    state beyond the round counter), registered as its own key so the
+    external correctness sweep certifies the scale path itself, not
+    just the driver-exact twin it is equivalence-tested against.
+    Identical oracle: both paths compute the same fixpoint because the
+    rounds are synchronous and the tie-break is deterministic."""
+    from engine.analytics import materialize_affinity_edges
+
+    edges = materialize_affinity_edges(spark, sf)
+    und = scratch_cache(_lp_und(edges))
+    return _lp_distributed(und)
+
+
 # --------------------------------------------------------------------------
 # Bounded Bellman-Ford: weighted shortest distances in <= K relaxations
 # --------------------------------------------------------------------------
@@ -548,6 +566,24 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     )
     if w.count() <= _GRAPH_DRIVER_EDGES:
         return _bf_driver(spark, w)
+    return _bf_distributed(w)
+
+
+@register("graph_sssp_distributed", sql=_bf_oracle_sql())
+def graph_sssp_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """graph_sssp_bellman_ford with the DISTRIBUTED relaxation FORCED —
+    the 100 TB code path (per round: one equi-join of the frontier
+    against the weighted edge list + one min aggregate, both hashed on
+    the node id) registered as its own key so the external sweep
+    value-checks the scale path directly rather than only the
+    driver-exact twin. Identical oracle: the recurrence is a pure
+    function of the weighted edge list, so both paths agree exactly."""
+    from engine.analytics import materialize_affinity_edges
+
+    edges = materialize_affinity_edges(spark, sf)
+    w = scratch_cache(
+        edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("wt"))
+    )
     return _bf_distributed(w)
 
 
@@ -1514,7 +1550,7 @@ _JOIN_SIZE_SQL = f"""
 def agg_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Join-cardinality estimation — the optimizer primitive as a
     query: |lineitem ⋈ orders on orderkey| estimated from two
-    count-min sketches (depth 4 × width 64, the shared portable md5
+    count-min sketches (depth 4 × width 1024, the shared portable md5
     family) as min over rows of the sketch-row DOT PRODUCT
     Σ_b cmA[j,b]·cmB[j,b] — the classic AGMS-style inner-product
     estimate, a one-sided overestimate exactly like the point-query
