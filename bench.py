@@ -25,6 +25,19 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = os.environ.get("BENCH_ONLY")
+    # bench measures the PRODUCTION configuration: the sketch family
+    # (count-min / KMV / Bloom / HLL / AGMS join-size / MinHash-LSH)
+    # hashes with JVM-native xxhash64 instead of the portable md5
+    # family that exists only so DuckDB oracles can rebuild identical
+    # sketches. Correctness sweeps never set this (engine.session.
+    # fast_hash defaults off); disclosed below as "hash_mode".
+    # SPARK_GRAFT_FAST_HASH=0 restores the portable family here too.
+    os.environ.setdefault("SPARK_GRAFT_FAST_HASH", "1")
+    hash_mode = (
+        "xxhash64-fast (portable md5 under oracle comparison)"
+        if os.environ["SPARK_GRAFT_FAST_HASH"] == "1"
+        else "portable-md5"
+    )
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -91,6 +104,7 @@ def main() -> None:
                     f"per-query min over >= {runs} adaptive repeats "
                     "(BASELINE.md); value = sum of those minimums"
                 ),
+                "hash_mode": hash_mode,
             }
         )
     )

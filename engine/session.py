@@ -111,6 +111,39 @@ EVENTS_US_SQL = (
 )
 
 
+def fast_hash() -> bool:
+    """True when ``SPARK_GRAFT_FAST_HASH=1``: the sketch family hashes
+    with JVM-native ``xxhash64`` instead of the portable md5-derived
+    60-bit family. Fast mode is the production configuration (one
+    codegen'd long op per row instead of md5 + hex-substring + base
+    conversion, ~2× on hash-dominated sketches); portable mode — the
+    default, and what every oracle comparison runs under — exists so
+    DuckDB can rebuild the IDENTICAL sketch and value-check estimates
+    instead of merely bound-checking them. bench.py enables fast mode
+    (and discloses it in its JSON); correctness sweeps never do."""
+    import os as _os
+
+    return _os.environ.get("SPARK_GRAFT_FAST_HASH") == "1"
+
+
+def hash60(col) -> F.Column:
+    """Uniform non-negative 60-bit hash of a (string-castable) column —
+    the ONE hash primitive behind the sketch family (count-min, KMV,
+    Bloom, HLL, join-size AGMS, MinHash). Portable mode: first 15 hex
+    chars of md5 parsed base-16 (any engine reproduces it — verified
+    Spark ``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``). Fast mode (see
+    :func:`fast_hash`): ``xxhash64`` masked to the same 60-bit range,
+    so every downstream register/width/space constant (2^60, div/mod
+    splits) holds unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    if fast_hash():
+        return F.xxhash64(c.cast("string")).bitwiseAND(F.lit((1 << 60) - 1))
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Parquet scan → Catalyst gets pushdown,
     column pruning, and row-group skipping for free.

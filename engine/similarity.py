@@ -120,15 +120,12 @@ def minhash_pairs(
     # by the SQL oracle. xxhash64(s, band) is the drop-in at 100 TB
     # when cross-engine reproducibility isn't needed.
     p = F.lit(_MINHASH_P)
+    from engine.session import hash60
+
     base = shingled.select(
         "doc_id",
         "sh",
-        F.transform(
-            "sh",
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), p
-            ),
-        ).alias("hx"),
+        F.transform("sh", lambda s: F.pmod(hash60(s), p)).alias("hx"),
     )
     sig = base.select(
         "doc_id",

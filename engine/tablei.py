@@ -77,10 +77,12 @@ _CM_SQL = f"""
 
 
 def _cm_bucket(j: int, key) -> F.Column:
-    """Bucket of ``key`` under hash row ``j`` — md5-derived, portable."""
+    """Bucket of ``key`` under hash row ``j`` — hash60 family (portable
+    md5 under oracle comparison, xxhash64 in fast mode)."""
+    from engine.session import hash60
+
     tagged = F.concat(F.lit(f"{j}:"), key.cast("string"))
-    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
-    return h % _CM_WIDTH
+    return hash60(tagged) % _CM_WIDTH
 
 
 @register("agg_countmin_heavy", sql=_CM_SQL)
@@ -689,11 +691,9 @@ def agg_kmv_set_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     def hashes(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h")
-        )
+        from engine.session import hash60
+
+        return df.select(hash60("o_custkey").alias("h"))
 
     a_keys, b_keys = keys(1995), keys(1996)
     a_sk = hashes(a_keys).orderBy("h").limit(_KMV_K)
@@ -801,9 +801,10 @@ _BLOOM_SQL = f"""
 
 
 def _bloom_pos(j: int, key) -> F.Column:
+    from engine.session import hash60
+
     tagged = F.concat(F.lit(f"{j}:"), key.cast("string"))
-    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
-    return h % _BLOOM_M
+    return hash60(tagged) % _BLOOM_M
 
 
 @register("agg_bloom_filter_report", sql=_BLOOM_SQL)

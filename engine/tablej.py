@@ -1434,10 +1434,9 @@ def win_hll_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
         ).distinct()
     )
     hu = scratch_cache(hu)
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hashed = hu.select("hr", h.alias("h"))
+    from engine.session import hash60
+
+    hashed = hu.select("hr", hash60("user_id").alias("h"))
     w_field = F.expr(f"h div {_HLL_M}")
     obs = (
         hashed.select(
@@ -1575,9 +1574,10 @@ def agg_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
 
     def bucket(j: int) -> F.Column:
         # the tablei _cm_bucket hash family at THIS key's width
+        from engine.session import hash60
+
         tagged = F.concat(F.lit(f"{j}:"), F.col("k").cast("string"))
-        h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
-        return h % _JSZ_WIDTH
+        return hash60(tagged) % _JSZ_WIDTH
 
     def sketch(df: DataFrame) -> DataFrame:
         rows = [
