@@ -37,6 +37,7 @@ _MODULES = (
     "engine.tableh",
     "engine.tablei",
     "engine.tablej",
+    "engine.tablek",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
@@ -54,7 +55,9 @@ _MODULES = (
 #: (c) positions 13-17 — all 5 value-oracled multimodal keys (zero
 #:     driver rows ever despite full generator-spec oracles since r4;
 #:     VERDICT r5 task 5);
-#: (d) positions 18-50 — never-sampled keys in prior enumeration order,
+#: (d) positions 18-26 — the round-6 Table K additions
+#:     (engine/tablek.py): newest code verifies first;
+#: (e) positions 27-50 — never-sampled keys in prior enumeration order,
 #:     zero re-checks (every previously-green key stays guarded by
 #:     tests/test_oracle.py every pytest run).
 #: Positions 51+ enumerate EVERY remaining never-sampled key explicitly
@@ -83,7 +86,17 @@ _PRIORITY = (
     "multimodal_audio_features",
     "multimodal_frames",
     "multimodal_tile_plan",
-    # -- (d) never-sampled fill, prior enumeration order
+    # -- (d) Table K (engine/tablek.py): round-6 additions, newest first
+    "graph_hits_topk",
+    "agg_funnel_paths_top",
+    "pipeline_preference_pairs",
+    "pipeline_curriculum_schedule",
+    "text_dp_bigram_release",
+    "sim_srp_hamming_topk",
+    "scan_file_skip_stats",
+    "sample_kfold_stratified",
+    "win_rolling_corr",
+    # -- (e) never-sampled fill, prior enumeration order
     "join_range_bucketed",
     "join_asof_nearest",
     "sub_lateral_topn",
@@ -108,6 +121,9 @@ _PRIORITY = (
     "sample_split_train_eval",
     "udf_pandas_grouped_map",
     "udf_pandas_iter",
+    # ---- window cutoff (50) ----
+    # every remaining never-sampled key, in order: the round-7
+    # window is positions 51-100 verbatim (promote-the-tail)
     "udf_map_in_arrow",
     "sim_cosine_topk_lsh",
     "stream_watermark_late",
@@ -117,9 +133,6 @@ _PRIORITY = (
     "merge_cdc_apply",
     "pipeline_semdedup_keep_central",
     "pipeline_incremental_dedup",
-    # ---- window cutoff (50) ----
-    # every remaining never-sampled key, in order: the round-7
-    # window is positions 51-100 verbatim (promote-the-tail)
     "sim_knn_graph",
     "sink_sorted_clustered_write",
     "pipeline_lsh_recall_audit",
