@@ -2870,8 +2870,9 @@ def agg_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
     (orders smaller than the data), and the cumulative counts are exact
     integers so the ECDF division is bit-identical on both engines.
     The global-order window is over distinct values only — the
-    documented export-only single-reducer class; at 100 TB, bucket the
-    value domain first (equi-depth recipe) for a banded D bound."""
+    documented export-only single-reducer class (value is a double, so
+    at 100 TB distinct ≈ rows); the scale path is the quantized +
+    bucketed twin :func:`agg_ks_banded`."""
     ev = load_events(spark, sf)
     s = ev.filter(F.col("event_type").isin("view", "purchase")).select(
         "value",
@@ -2903,6 +2904,215 @@ def agg_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("ks_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Banded (scale-safe) twins of the KS / Mann–Whitney rank statistics
+# --------------------------------------------------------------------------
+
+#: shared quantized two-arm CTE: `value` snaps to the cents grid (the
+#: agg_benford_first_digit idiom — ROUND semantics shared with dround),
+#: so the distinct relation is bounded by the grid, not the row count.
+_QUANT_ARMS_CTE = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    s AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS q,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM e WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT q, SUM(ia) AS na_v, SUM(ib) AS nb_v
+      FROM s GROUP BY q
+    )
+"""
+
+
+def _quantized_arm_buckets(
+    spark: SparkSession, sf: str, n_buckets: int = 32
+) -> tuple[DataFrame, list]:
+    """(q, na_v, nb_v, bucket) relation for the banded rank statistics:
+    per-quantized-value arm counts, range-bucketed by width_bucket so
+    every downstream cumulative window runs partitioned by bucket.
+    Returns the bucketed relation plus the collected per-bucket arm
+    totals (≤ n_buckets tiny rows — the only driver traffic)."""
+    ev = load_events(spark, sf)
+    cents = dround(F.col("value") * 100, 0).cast("long")
+    s = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        cents.alias("q"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ib"),
+    )
+    g = s.groupBy("q").agg(F.sum("ia").alias("na_v"), F.sum("ib").alias("nb_v"))
+    lo, hi = g.agg(F.min("q"), F.max("q")).first()
+    bucketed = g.withColumn(
+        "bucket",
+        F.width_bucket(
+            F.col("q"), F.lit(float(lo)), F.lit(float(hi) + 1.0), n_buckets
+        ),
+    )
+    totals = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("na_v").alias("ba"), F.sum("nb_v").alias("bb"))
+        .collect()
+    )
+    return bucketed, sorted(totals, key=lambda r: r["bucket"])
+
+
+_KS_BANDED_SQL = (
+    _QUANT_ARMS_CTE
+    + """,
+    c AS (
+      SELECT q,
+             SUM(na_v) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb_v) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      FROM g
+    )
+    SELECT CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(ca / (na * 1.0) - cb / (nb * 1.0))) * 1e6) / 1e6
+             AS ks_stat
+    FROM c
+"""
+)
+
+
+@register("agg_ks_banded", sql=_KS_BANDED_SQL)
+def agg_ks_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded two-sample KS statistic — the 100 TB twin of
+    :func:`agg_ks_statistic` (VERDICT r6 task 5: `value` is a double,
+    so at scale distinct values ≈ rows and the exact key's global-order
+    window over the distinct relation becomes a single-reducer sort).
+
+    Two changes make it scale: (1) values QUANTIZE to the cents grid,
+    bounding the distinct relation by the grid (D on the quantized
+    ECDFs — for KS this loses nothing when data are prices; in general
+    it is the standard binned-KS bound); (2) the cumulative arm counts
+    decompose via the width_bucket + broadcast-offset merge
+    (win_pctrank_bucketed recipe): per-bucket windows run
+    hash-partition parallel and only ≤32 (bucket, arm-total) rows
+    touch the driver. The oracle replays the SAME quantized statistic
+    with a plain global window — proving the decomposition exact on
+    the grid. ECDF divisions are exact-int / exact-int in IEEE double
+    on both engines, rounded 1e-6."""
+    bucketed, totals = _quantized_arm_buckets(spark, sf)
+    offa, offb, acca, accb = {}, {}, 0, 0
+    for r in totals:
+        offa[r["bucket"]] = acca
+        offb[r["bucket"]] = accb
+        acca += r["ba"]
+        accb += r["bb"]
+    na, nb = acca, accb
+    offa_map = F.create_map(*[F.lit(x) for kv in offa.items() for x in kv])
+    offb_map = F.create_map(*[F.lit(x) for kv in offb.items() for x in kv])
+    wc = (
+        Window.partitionBy("bucket")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = bucketed.select(
+        (F.sum("na_v").over(wc) + offa_map[F.col("bucket")]).alias("ca"),
+        (F.sum("nb_v").over(wc) + offb_map[F.col("bucket")]).alias("cb"),
+    )
+    return c.agg(
+        dround(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.lit(float(na)) - F.col("cb") / F.lit(float(nb))
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    ).select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        "ks_stat",
+    )
+
+
+_MWU_BANDED_SQL = (
+    _QUANT_ARMS_CTE
+    + """,
+    g2 AS (SELECT q, na_v AS ca, nb_v AS cb, na_v + nb_v AS t FROM g),
+    r AS (
+      SELECT ca, cb, t,
+             COALESCE(SUM(t) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g2
+    ),
+    agg AS (
+      SELECT SUM(ca) * 1.0 AS na, SUM(cb) * 1.0 AS nb,
+             SUM(ca * (before + (t + 1) / 2.0)) AS ra,
+             SUM(t * t * t - t) * 1.0 AS ties
+      FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND((ra - na * (na + 1) / 2) * 1e4) / 1e4 AS u_stat,
+           ROUND(((ra - na * (na + 1) / 2) - na * nb / 2)
+                 / SQRT(na * nb / 12
+                        * ((na + nb + 1)
+                           - ties / ((na + nb) * (na + nb - 1))))
+                 * 1e4) / 1e4 AS z_score
+    FROM agg
+"""
+)
+
+
+@register("agg_mwu_banded", sql=_MWU_BANDED_SQL)
+def agg_mwu_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded Mann–Whitney U — the 100 TB twin of
+    :func:`agg_mann_whitney_u`, same decomposition as
+    :func:`agg_ks_banded`: cents-grid quantization bounds the distinct
+    relation (midranks on the grid ARE the tie-corrected midranks of
+    the quantized data — U on binned data is the standard
+    grouped-ranks statistic), and the exclusive cumulative count
+    `before` splits into a per-bucket window plus a broadcast bucket
+    offset. Rank sums stay exact multiples of ½ (integer counts), so
+    both engines agree bit-for-bit up to the final standardized
+    division (shared formula text, rounded 1e-4)."""
+    bucketed, totals = _quantized_arm_buckets(spark, sf)
+    offt, acct = {}, 0
+    for r in totals:
+        offt[r["bucket"]] = acct
+        acct += r["ba"] + r["bb"]
+    offt_map = F.create_map(*[F.lit(x) for kv in offt.items() for x in kv])
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = bucketed.select(
+        F.col("na_v").alias("ca"),
+        F.col("nb_v").alias("cb"),
+        (F.col("na_v") + F.col("nb_v")).alias("t"),
+        (
+            F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(wb), F.lit(0))
+            + offt_map[F.col("bucket")]
+        ).alias("before"),
+    )
+    agg = g2.agg(
+        (F.sum("ca") * F.lit(1.0)).alias("na"),
+        (F.sum("cb") * F.lit(1.0)).alias("nb"),
+        F.sum(
+            F.col("ca") * (F.col("before") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("ra"),
+        (
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")) * F.lit(1.0)
+        ).alias("ties"),
+    )
+    na, nb, ra, ties = (F.col(c) for c in ("na", "nb", "ra", "ties"))
+    u = ra - na * (na + 1) / 2
+    var = na * nb / 12 * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        dround(u, 4).alias("u_stat"),
+        dround((u - na * nb / 2) / F.sqrt(var), 4).alias("z_score"),
     )
 
 
@@ -3352,7 +3562,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
     before + (t+1)/2 — counts are exact integers, so every rank sum is
     an exact multiple of ½ and the statistic is bit-identical on both
     engines up to the final standardized division (shared formula
-    text, rounded 1e-4)."""
+    text, rounded 1e-4). The cumulative window shares agg_ks_statistic's
+    export-only single-reducer caveat; the scale path is
+    :func:`agg_mwu_banded`."""
     ev = load_events(spark, sf)
     s = ev.filter(F.col("event_type").isin("view", "purchase")).select(
         "value",

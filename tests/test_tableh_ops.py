@@ -985,3 +985,50 @@ def test_mann_whitney_planted_separation(spark, tmp_path):
     r = QUERIES["agg_mann_whitney_u"](spark, sf).collect()[0]
     assert r["u_stat"] == 0.0
     assert abs(r["z_score"] - round(-2 / math.sqrt(5 / 3), 4)) < 1e-9
+
+
+def test_ks_banded_planted_and_matches_exact(spark, tmp_path):
+    # view = {1.00, 2.00}, purchase = {2.00, 3.00}: quantized ECDFs
+    # differ by 0.5 at q=100 and q=200 -> D = 0.5. Data sit ON the
+    # cents grid, so the banded statistic must equal the exact key's.
+    rows = [
+        (1, 1_700_000_000_000_000, 1, "view", 1.0),
+        (2, 1_700_000_000_000_001, 1, "view", 2.0),
+        (3, 1_700_000_000_000_002, 1, "purchase", 2.0),
+        (4, 1_700_000_000_000_003, 1, "purchase", 3.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_ks_banded"](spark, sf).collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (2, 2, 0.5)
+    exact = QUERIES["agg_ks_statistic"](spark, sf).collect()[0]
+    assert r["ks_stat"] == exact["ks_stat"]
+
+
+def test_mwu_banded_planted_ties_and_matches_exact(spark, tmp_path):
+    # view = {1,2}, purchase = {2,3}: midranks 1, 2.5 | 2.5, 4 ->
+    # ra = 3.5, U = 0.5; ties term = 6 -> var = 1.5,
+    # z = -1.5/sqrt(1.5). On-grid data -> banded == exact.
+    import math
+
+    rows = [
+        (1, 1_700_000_000_000_000, 1, "view", 1.0),
+        (2, 1_700_000_000_000_001, 1, "view", 2.0),
+        (3, 1_700_000_000_000_002, 1, "purchase", 2.0),
+        (4, 1_700_000_000_000_003, 1, "purchase", 3.0),
+    ]
+    sf = _write_sf(spark, tmp_path, "events", _events_df(spark, rows))
+    r = QUERIES["agg_mwu_banded"](spark, sf).collect()[0]
+    assert (r["n_a"], r["n_b"], r["u_stat"]) == (2, 2, 0.5)
+    assert abs(r["z_score"] - round(-1.5 / math.sqrt(1.5), 4)) < 1e-9
+    exact = QUERIES["agg_mann_whitney_u"](spark, sf).collect()[0]
+    assert (r["u_stat"], r["z_score"]) == (exact["u_stat"], exact["z_score"])
+
+
+def test_banded_rank_stats_bucket_partitioned_windows(spark):
+    # the banded twins' cumulative windows must run partitioned by the
+    # range bucket -- never an unpartitioned global sort over the
+    # distinct-value relation (the exact keys' documented weakness)
+    for key in ("agg_ks_banded", "agg_mwu_banded"):
+        p = _plan(spark, key)
+        assert "hashpartitioning(bucket" in p, (key, p)
+        assert "windowspecdefinition(bucket" in p, (key, p)
