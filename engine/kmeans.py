@@ -269,24 +269,67 @@ def so_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("so_kmeans_ml")  # rows-only: library implementation, seeded
+def _ml_assign_path(sf_tag: str) -> str:
+    return scratch_dir("kmeans") + f"/ml_assignments_{sf_tag}"
+
+
+def materialize_ml_assignments(spark: SparkSession, sf: str) -> str:
+    """Fit the library model (pyspark.ml KMeans, seeded) and persist its
+    (vec_id, label, cluster) assignment — the materialize_assignments
+    contract applied to the library fit (VERDICT r6 task 7: this was
+    the repo's only permanently-unverifiable key). The fit itself stays
+    rows-only by nature (library RNG, no SQL twin), but its RESULT is a
+    relation both engines share, so every downstream aggregate gets a
+    full value oracle exactly like `so_kmeans`."""
+    import os
+
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    path = _ml_assign_path(_sf_tag(sf))
+    key = ("ml_assign", sf, data_fingerprint(sf, "embeddings"))
+    if key in _MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
+        return path
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = MLKMeans(k=K, seed=42, maxIter=MAX_ITER, tol=1e-4).fit(emb)
+    (
+        model.transform(emb)
+        .select("vec_id", "label", F.col("prediction").cast("int").alias("cluster"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _MATERIALIZED.add(key)
+    return path
+
+
+@register(
+    "so_kmeans_ml",
+    sql=f"""
+    SELECT cluster, COUNT(*) AS size,
+           COUNT(DISTINCT label) AS n_labels
+    FROM read_parquet('{_ml_assign_path("sf0_01")}/*.parquet')
+    GROUP BY cluster ORDER BY cluster
+    """,
+)
 def so_kmeans_ml(spark: SparkSession, sf: str) -> DataFrame:
     """The library counterpart of so_kmeans (SURVEY.md §2 A18: both the
     semantics-faithful manual loop AND pyspark.ml.clustering.KMeans):
     same k, seeded init, summarized to the same schema shape. The manual
     loop is the declared reference port; this one is what you'd actually
-    deploy (DataFrame-native, tree-aggregated updates)."""
-    from pyspark.ml.clustering import KMeans as MLKMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = T(spark, sf, "embeddings").select(
-        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = MLKMeans(k=K, seed=42, maxIter=MAX_ITER, tol=1e-4).fit(emb)
-    pred = model.transform(emb)
+    deploy (DataFrame-native, tree-aggregated updates). Oracled via the
+    materialized-assignment contract: the Spark query writes the
+    library model's assignment parquet, both engines aggregate it."""
+    path = materialize_ml_assignments(spark, sf)
+    a = spark.read.parquet(path)
     return (
-        pred.groupBy("prediction")
-        .agg(F.count("*").alias("size"), F.count_distinct("label").alias("n_labels"))
-        .withColumnRenamed("prediction", "cluster")
+        a.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            F.count_distinct("label").alias("n_labels"),
+        )
         .orderBy("cluster")
     )
