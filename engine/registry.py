@@ -42,88 +42,38 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-6 ROTATION (derived from DELIVERED
-#: artifacts r1+r2+r3+r5 only — the round-5 lesson; r4 was never
-#: delivered):
-#: (a) positions 1-9 — the ONLY keys whose last delivered driver word is
-#:     still FAIL/ERR (all fixed r2-r4 + builder-oracle green since; the
-#:     r4 window that would have re-checked them was lost): these are
-#:     the highest-value external rows in the repo;
-#: (b) positions 10-12 — the round-6 forced-distributed graph variants
-#:     (new code this round; certifies the exact joins-and-windows path
-#:     that runs at 100 TB, per VERDICT r5 task 3);
-#: (c) positions 13-17 — all 5 value-oracled multimodal keys (zero
-#:     driver rows ever despite full generator-spec oracles since r4;
-#:     VERDICT r5 task 5);
-#: (d) positions 18-26 — the round-6 Table K additions
-#:     (engine/tablek.py): newest code verifies first;
-#: (e) positions 27-50 — never-sampled keys in prior enumeration order,
-#:     zero re-checks (every previously-green key stays guarded by
-#:     tests/test_oracle.py every pytest run).
+#: the enumeration order. ROUND-7 ROTATION (r6 delivered 50/50 green —
+#: zero FAIL/ERR hedges needed; promote-the-tail per VERDICT r6 task 1):
+#: (a) positions 1-4 — keys whose code or oracle CHANGED this round
+#:     (so_kmeans_ml gained a full value oracle via materialized library
+#:     assignments; pipeline_curriculum_schedule was rebuilt on the
+#:     bucketed offset-merge; agg_ks_banded / agg_mwu_banded are new):
+#:     changed code certifies first, always;
+#: (b) positions 5-10 — the 6 never-sampled true-streaming keys
+#:     (VERDICT r6 task 6: finish external certification of streaming;
+#:     3 SQL-oracled + the stateful-timeout rows-only key);
+#: (c) positions 11-50 — the never-sampled tail in prior enumeration
+#:     order, verbatim (udf_map_in_arrow .. agg_psi_drift), which
+#:     includes the approximate-similarity block (LSH/kNN/recall-audit)
+#:     and the remaining watermark streaming keys at their r6 slots.
 #: Positions 51+ enumerate EVERY remaining never-sampled key explicitly
-#: so the round-7 rotation is a pure promote-the-tail: move positions
-#: 51-100 into the window, nothing else to re-derive. Keys not listed
-#: at all are driver-green r1-r5 and keep registration order behind the
-#: prefix.
+#: so the round-8 rotation is again a pure promote-the-tail. Keys not
+#: listed are driver-green r1-r6 and keep registration order behind the
+#: prefix (guarded by tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) stale FAIL/ERR at last delivered driver word (r1/r2 ERRs)
-    "scan_csv_roundtrip",
-    "sink_parquet_partitioned",
-    "agg_approx_distinct",
-    "sample_per_group",
-    "sample_stratified",
-    "so_kmeans",
+    # -- (a) changed/new this round
     "so_kmeans_ml",
-    "text_fingerprint",
-    "wiki_parse_lines",
-    # -- (b) forced-distributed graph paths (new round-6 keys)
-    "graph_lp_distributed",
-    "graph_sssp_distributed",
-    "graph_kcore_distributed",
-    # -- (c) multimodal: value-oracled since r4, zero driver rows
-    "multimodal_decode",
-    "multimodal_phash_dedup",
-    "multimodal_audio_features",
-    "multimodal_frames",
-    "multimodal_tile_plan",
-    # -- (d) Table K (engine/tablek.py): round-6 additions, newest first
-    "graph_hits_topk",
-    "agg_funnel_paths_top",
-    "pipeline_preference_pairs",
     "pipeline_curriculum_schedule",
-    "text_dp_bigram_release",
-    "sim_srp_hamming_topk",
-    "scan_file_skip_stats",
-    "sample_kfold_stratified",
-    "win_rolling_corr",
-    # -- (e) never-sampled fill, prior enumeration order
-    "join_range_bucketed",
-    "join_asof_nearest",
-    "sub_lateral_topn",
-    "sub_not_in_null_trap",
-    "win_gaps_islands",
-    "win_nth_value",
-    "win_distinct_rolling",
-    "ts_interpolate_linear",
-    "ts_downsample_ohlc",
-    "ts_ewma",
-    "fn_map_lambda",
-    "fn_url_parse",
-    "fn_xml",
-    "fn_regexp",
-    "fn_posexplode",
-    "set_intersect_all",
-    "set_except_all",
-    "scan_csv_malformed",
-    "scan_wholetext_docs",
-    "scan_observe_metrics",
-    "sink_partition_overwrite_dynamic",
-    "sample_split_train_eval",
-    "udf_pandas_grouped_map",
-    "udf_pandas_iter",
-    # ---- window cutoff (50) ----
-    # every remaining never-sampled key, in order: the round-7
-    # window is positions 51-100 verbatim (promote-the-tail)
+    "agg_ks_banded",
+    "agg_mwu_banded",
+    # -- (b) true-streaming certification (never sampled)
+    "stream_stateful_count",
+    "stream_stateful_tws",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_foreachbatch_upsert",
+    "stream_stateful_session_timeout",
+    # -- (c) never-sampled tail, prior enumeration order
     "udf_map_in_arrow",
     "sim_cosine_topk_lsh",
     "stream_watermark_late",
@@ -164,6 +114,9 @@ _PRIORITY = (
     "agg_ks_statistic",
     "agg_benford_first_digit",
     "agg_psi_drift",
+    # ---- window cutoff (50) ----
+    # every remaining never-sampled key, in order: the round-8
+    # window is positions 51+ verbatim (promote-the-tail)
     "agg_chi_square_independence",
     "agg_ab_test_welch",
     "agg_markov_transitions",
@@ -185,12 +138,6 @@ _PRIORITY = (
     "sim_ann_partitioned_probe",
     "dedup_substring_spans",
     "dedup_lines_global",
-    "stream_stateful_count",
-    "stream_stateful_tws",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_session_timeout",
     "scan_orc_roundtrip",
     "agg_hll_mergeable",
     "text_lm_score",
