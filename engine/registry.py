@@ -38,22 +38,24 @@ _MODULES = (
     "engine.tablei",
     "engine.tablej",
     "engine.tablek",
+    "engine.tablel",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
 #: the enumeration order. ROUND-7 ROTATION (r6 delivered 50/50 green —
 #: zero FAIL/ERR hedges needed; promote-the-tail per VERDICT r6 task 1):
-#: (a) positions 1-4 — keys whose code or oracle CHANGED this round
+#: (a) positions 1-6 — keys whose code or oracle CHANGED this round
 #:     (so_kmeans_ml gained a full value oracle via materialized library
 #:     assignments; pipeline_curriculum_schedule was rebuilt on the
-#:     bucketed offset-merge; agg_ks_banded / agg_mwu_banded are new):
+#:     bucketed offset-merge; agg_ks_banded / agg_mwu_banded and the
+#:     pipeline_embed_* batched-inference pair are new):
 #:     changed code certifies first, always;
-#: (b) positions 5-10 — the 6 never-sampled true-streaming keys
+#: (b) positions 7-12 — the 6 never-sampled true-streaming keys
 #:     (VERDICT r6 task 6: finish external certification of streaming;
 #:     3 SQL-oracled + the stateful-timeout rows-only key);
-#: (c) positions 11-50 — the never-sampled tail in prior enumeration
-#:     order, verbatim (udf_map_in_arrow .. agg_psi_drift), which
+#: (c) positions 13-50 — the never-sampled tail in prior enumeration
+#:     order, verbatim (udf_map_in_arrow .. agg_ks_statistic), which
 #:     includes the approximate-similarity block (LSH/kNN/recall-audit)
 #:     and the remaining watermark streaming keys at their r6 slots.
 #: Positions 51+ enumerate EVERY remaining never-sampled key explicitly
@@ -66,6 +68,8 @@ _PRIORITY = (
     "pipeline_curriculum_schedule",
     "agg_ks_banded",
     "agg_mwu_banded",
+    "pipeline_embed_batch",
+    "pipeline_embed_incremental",
     # -- (b) true-streaming certification (never sampled)
     "stream_stateful_count",
     "stream_stateful_tws",
@@ -112,11 +116,11 @@ _PRIORITY = (
     "agg_mann_whitney_u",
     "agg_seasonality_strength",
     "agg_ks_statistic",
-    "agg_benford_first_digit",
-    "agg_psi_drift",
     # ---- window cutoff (50) ----
     # every remaining never-sampled key, in order: the round-8
     # window is positions 51+ verbatim (promote-the-tail)
+    "agg_benford_first_digit",
+    "agg_psi_drift",
     "agg_chi_square_independence",
     "agg_ab_test_welch",
     "agg_markov_transitions",
