@@ -39,6 +39,7 @@ _MODULES = (
     "engine.tablej",
     "engine.tablek",
     "engine.tablel",
+    "engine.tablem",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
@@ -161,6 +162,13 @@ _PRIORITY = (
     "win_mad_outliers",
     "pipeline_bpe_pair_counts",
     "agg_entropy",
+    # -- Table M (new in the round-7 second wave): never-sampled; the
+    #    round-8 rotation promotes new-code keys to the window head
+    "agg_hdr_histogram_quantiles",
+    "win_ewma_irregular",
+    "pipeline_seeded_shuffle",
+    "pipeline_dataset_diff",
+    "scan_manifest_vacuum_plan",
 )
 
 def _ordered(d: dict) -> dict:
