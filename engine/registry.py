@@ -169,6 +169,7 @@ _PRIORITY = (
     "pipeline_seeded_shuffle",
     "pipeline_dataset_diff",
     "scan_manifest_vacuum_plan",
+    "stream_rate_micro_batch",
 )
 
 def _ordered(d: dict) -> dict:

@@ -640,3 +640,88 @@ def stream_stateful_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = _run_to_memory(sessions, "append")
     return out.orderBy("user_id", "session_start_us")
+
+
+# --------------------------------------------------------------------------
+# Deterministic rate-source replay (source-matrix completion, SQL-oracled)
+# --------------------------------------------------------------------------
+
+_RATE_ROWS_PER_BATCH = 2000
+_RATE_BATCHES = 3
+
+_RATE_SQL = f"""
+    WITH v AS (
+      SELECT UNNEST(generate_series(
+        0, {_RATE_ROWS_PER_BATCH * _RATE_BATCHES - 1})) AS v
+    )
+    SELECT (v // {_RATE_ROWS_PER_BATCH}) // 2 * 2 AS win_start_s,
+           COUNT(*) AS cnt,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM v GROUP BY 1 ORDER BY win_start_s
+"""
+
+
+@register("stream_rate_micro_batch", sql=_RATE_SQL)
+def stream_rate_micro_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """True Structured Streaming over the `rate-micro-batch` SOURCE —
+    the generator source whose batches are DETERMINISTIC by contract
+    (batch b = values [b·R, (b+1)·R), every row stamped
+    startTimestamp + b·advance), which makes it the one true-streaming
+    key whose output is fully SQL-oracle-checkable: no replay fixture,
+    no arrival-order caveat.
+
+    Termination is the interesting part: `rate-micro-batch` is
+    unbounded, but Trigger.AvailableNow processes EXACTLY ONE batch per
+    query start against a persistent checkpoint, so N sequential
+    start→drain→stop cycles replay exactly batches 0..N−1 through a
+    file sink — the restart-recovery path (offsets from the checkpoint,
+    exactly-once into the sink) exercised N−1 times, which a
+    single-process availableNow run never covers. The windowed rollup
+    then runs in batch over the sink (the stream_tumbling two-tier
+    contract): 2-second tumbling count + sum over 3 batches 1 s apart
+    → windows holding batches {{0,1}} and {{2}}.
+
+    100 TB posture: the source is a generator (no scan); the sink is an
+    append-only parquet dir with checkpointed offsets — the shape of
+    any replayable ingest. State is bounded by one batch in flight."""
+    import shutil
+    import uuid
+
+    base = scratch_dir("rate_replay")
+    # fresh checkpoint per invocation: batch ids must start at 0 for
+    # the output to be deterministic; stale runs are swept first
+    shutil.rmtree(base, ignore_errors=True)
+    run = os.path.join(base, uuid.uuid4().hex[:12])
+    ckpt, out = os.path.join(run, "ckpt"), os.path.join(run, "out")
+    for _ in range(_RATE_BATCHES):
+        s = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", _RATE_ROWS_PER_BATCH)
+            .option("numPartitions", 4)
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = spark.read.parquet(out)
+    return (
+        rows.groupBy(F.window("timestamp", "2 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("win_start_s"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start_s")
+    )

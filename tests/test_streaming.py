@@ -214,3 +214,21 @@ def test_stateful_session_timeout_matches_batch_sessionizer(spark):
             mismatch += 1
     assert mismatch == 0, f"{mismatch} users beyond the open-final-session rule"
     assert exact >= 0.8 * len(b), (exact, open_final, len(b))
+
+
+def test_rate_micro_batch_replays_exactly_n_checkpointed_batches(spark):
+    """The availableNow-restart loop must process exactly _RATE_BATCHES
+    deterministic generator batches (values [0, N·R), one timestamp per
+    batch, 1 s apart) — not fewer (checkpoint ignored) and not more
+    (unbounded run)."""
+    from engine.streaming import _RATE_BATCHES, _RATE_ROWS_PER_BATCH
+
+    from .conftest import SF_SMOKE
+
+    out = all_queries()["stream_rate_micro_batch"](spark, SF_SMOKE).collect()
+    total = sum(r["cnt"] for r in out)
+    assert total == _RATE_BATCHES * _RATE_ROWS_PER_BATCH
+    n = total
+    assert sum(r["sum_value"] for r in out) == n * (n - 1) // 2
+    # 2-second windows over batches 1 s apart: ceil(_RATE_BATCHES/2) rows
+    assert len(out) == (_RATE_BATCHES + 1) // 2
