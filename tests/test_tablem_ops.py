@@ -237,3 +237,37 @@ def test_vacuum_plan_only_tombstoned_file(spark, tmp_path):
     assert r["file"] == "part-1.parquet"
     assert r["removed_at_version"] == 1
     assert r["reclaimed_rows"] == 2
+
+
+# --------------------------------------------------------------------------
+# determinism audits (the Table I/J contract): double-run byte-identical
+# and invariant to spark.sql.shuffle.partitions
+# --------------------------------------------------------------------------
+
+_TABLEM_KEYS = (
+    "agg_hdr_histogram_quantiles",
+    "win_ewma_irregular",
+    "pipeline_seeded_shuffle",
+    "pipeline_dataset_diff",
+    "scan_manifest_vacuum_plan",
+    "stream_rate_micro_batch",
+)
+
+
+def test_tablem_double_run_identical(spark):
+    for key in _TABLEM_KEYS:
+        a = QUERIES[key](spark, SF_SMOKE).collect()
+        b = QUERIES[key](spark, SF_SMOKE).collect()
+        assert a == b, key
+
+
+def test_tablem_partition_count_invariant(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = {k: QUERIES[k](spark, SF_SMOKE).collect() for k in _TABLEM_KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k in _TABLEM_KEYS:
+            assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
