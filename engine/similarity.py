@@ -1754,3 +1754,229 @@ def shingle_build_df(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
         .filter(F.size("sh") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (asymmetric distance computation, embeddings)
+# --------------------------------------------------------------------------
+
+_PQ_S = 8  # subspaces
+_PQ_D = 8  # dims per subspace (embeddings are 64-d)
+_PQ_K = 16  # centroids per subspace
+_PQ_TOPK = 5
+
+#: DuckDB fragments shared across the oracle: left-fold sums so both
+#: engines add in identical order (list_sum's summation order is not
+#: contractually the left fold F.aggregate performs)
+_PQ_DOT = (
+    "list_reduce(list_transform(generate_series(1, {d}), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_PQ_D2 = (
+    "list_reduce(list_transform(generate_series(1, {d}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+_PQ_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(
+               {_PQ_DOT.format(d=64, a="e", b="e")})) AS en
+      FROM base
+    ),
+    cb AS (
+      SELECT vec_id, en, rn - 1 AS cid FROM (
+        SELECT vec_id, en, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM nrm) WHERE rn <= {_PQ_K}
+    ),
+    sub AS (SELECT UNNEST(generate_series(0, {_PQ_S - 1})) AS s),
+    cent_sub AS (
+      SELECT cid, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS csub
+      FROM cb, sub
+    ),
+    corpus_sub AS (
+      SELECT vec_id, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS vsub
+      FROM nrm, sub
+    ),
+    enc AS (
+      SELECT vec_id, s, cid, csub FROM (
+        SELECT c.vec_id, c.s, k.cid, k.csub,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+                 CAST(ROUND({_PQ_D2.format(d=_PQ_D, a="c.vsub", b="k.csub")}
+                       * 1e6) AS BIGINT), k.cid) AS rn
+        FROM corpus_sub c JOIN cent_sub k ON k.s = c.s)
+      WHERE rn = 1
+    ),
+    q_sub AS (
+      SELECT vec_id AS query_id, s, vsub AS qsub
+      FROM corpus_sub WHERE vec_id < {_PQ_TOPK}
+    ),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             SUM(CAST(ROUND({_PQ_DOT.format(d=_PQ_D, a="q.qsub", b="e.csub")}
+                   * 1e6) AS BIGINT)) / 1e6 AS adc
+      FROM enc e JOIN q_sub q ON q.s = e.s
+      WHERE e.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    pq_top AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rnk
+      FROM adc
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND({_PQ_DOT.format(d=64, a="q.en", b="c.en")} * 1e6) / 1e6
+                   DESC, c.vec_id) AS rnk
+        FROM (SELECT * FROM nrm WHERE vec_id < {_PQ_TOPK}) q
+        JOIN nrm c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {_PQ_TOPK}
+    )
+    SELECT p.query_id, p.neighbor_id, p.rnk, p.adc,
+           (et.neighbor_id IS NOT NULL) AS in_exact
+    FROM pq_top p LEFT JOIN exact_top et
+      ON et.query_id = p.query_id AND et.neighbor_id = p.neighbor_id
+    WHERE p.rnk <= {_PQ_TOPK}
+    ORDER BY p.query_id, p.rnk
+"""
+
+
+@register("sim_cosine_topk_pq", sql=_PQ_SQL)
+def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the codebook-compression leg of the ANN method matrix next
+    to brute force / LSH / IVF / SRP: vectors L2-normalize, split into
+    S={_PQ_S} subspaces of d={_PQ_D} dims, and each subvector is coded
+    as its nearest of K={_PQ_K} per-subspace centroids; a query then
+    scores a DATABASE VECTOR by summing query-to-centroid dots — at
+    100 TB the corpus stores S bytes per vector instead of 4·D, and
+    scoring reads a precomputed S×K lookup table, never the vectors.
+
+    Determinism/oracle contract: the codebook is the deterministic
+    hash-bottom-{_PQ_K} sample of the corpus (one-step init; production
+    would k-means-refine these, same plumbing — the so_kmeans seeded
+    contract), assignment argmins compare micro-unit-QUANTIZED
+    distances with centroid-id tie-breaks, and ADC accumulates EXACT
+    LONG micro-units so partial-aggregation order cannot move a hash.
+    recall@{_PQ_TOPK} is self-auditing: every PQ hit carries in_exact
+    vs the exact cosine top-{_PQ_TOPK} computed alongside.
+
+    Plan shape: codebook (K rows) and query subvectors broadcast; the
+    encode pass is one broadcast join + per-(vector, subspace) argmin
+    window; nothing all-pairs (the corpus never joins itself)."""
+    emb = T(spark, sf, "embeddings")
+    from engine.session import hash60
+
+    # the heavy higher-order expressions are built as SINGLE SQL
+    # strings: the equivalent nested F.transform/F.aggregate lambdas
+    # cost ~3 s of py4j round-trips just CONSTRUCTING the plan
+    # (measured), before any row is touched
+    norm = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(transform(e, y -> y * y), 0D, (a, v) -> a + v))"),
+        )
+        .select("vec_id", F.expr("transform(e, x -> x / nrm)").alias("en"))
+    )
+    cb = (
+        norm.withColumn(
+            "h", hash60(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+    )
+    w_cid = Window.orderBy("h", "vec_id")
+    cb = cb.select((F.row_number().over(w_cid) - 1).alias("cid"), "en")
+    subs = F.expr(
+        f"explode(transform(sequence(0, {_PQ_S - 1}), g -> struct("
+        f"cast(g as int) as s, slice(en, g * {_PQ_D} + 1, {_PQ_D}) as v)))"
+    )
+    cent_sub = cb.select("cid", subs.alias("x")).select(
+        "cid", F.col("x.s").alias("s"), F.col("x.v").alias("csub")
+    )
+    corpus_sub = norm.select("vec_id", subs.alias("x")).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("vsub")
+    )
+    # encode WITHOUT the K-way row expansion: the per-subspace codebook
+    # rides as ONE broadcast array column, all K distances evaluate
+    # inside a single projection, and the argmin is an array_sort on
+    # (quantized d2, cid) structs — no shuffle, no argmin window
+    cent_arr = cent_sub.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
+    )
+    best = F.expr(
+        "element_at(array_sort(transform(cents, c -> struct("
+        "cast(round(aggregate(zip_with(vsub, c.csub,"
+        " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v) * 1e6) as bigint)"
+        " as d2i, c.cid as cid, c.csub as csub))), 1)"
+    )
+    enc = (
+        corpus_sub.join(F.broadcast(cent_arr), "s")
+        .withColumn("b", best)
+        .select(
+            "vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.csub").alias("csub")
+        )
+    )
+    q_sub = corpus_sub.filter(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("vsub").alias("qsub")
+    )
+    term_int = F.expr(
+        "cast(round(aggregate(zip_with(qsub, csub, (p, q) -> p * q), 0D,"
+        " (a, v) -> a + v) * 1e6) as bigint)"
+    )
+    adc = (
+        enc.join(F.broadcast(q_sub), "s")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), term_int.alias("t"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("t") / 1e6).alias("adc"))
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    pq_top = adc.withColumn("rnk", F.row_number().over(w_pq)).filter(
+        F.col("rnk") <= _PQ_TOPK
+    )
+    qn = norm.filter(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
+    )
+    cn = norm.select(F.col("vec_id").alias("neighbor_id"), F.col("en").alias("ce"))
+    w_ex = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    exact_top = (
+        F.broadcast(qn)
+        .join(cn, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "round(aggregate(zip_with(qe, ce, (p, q) -> p * q), 0D,"
+                " (a, v) -> a + v) * 1e6) / 1e6"
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", F.col("neighbor_id").alias("ex_neighbor"))
+    )
+    return (
+        pq_top.join(
+            exact_top,
+            (pq_top.query_id == exact_top.query_id)
+            & (pq_top.neighbor_id == exact_top.ex_neighbor),
+            "left",
+        )
+        .select(
+            pq_top.query_id,
+            "neighbor_id",
+            "rnk",
+            "adc",
+            F.col("ex_neighbor").isNotNull().alias("in_exact"),
+        )
+        .orderBy("query_id", "rnk")
+    )

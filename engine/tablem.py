@@ -637,3 +637,128 @@ def scan_manifest_vacuum_plan(spark: SparkSession, sf: str) -> DataFrame:
         .select("file", "removed_at_version", F.col("n_rows").alias("reclaimed_rows"))
         .orderBy("file")
     )
+
+
+# --------------------------------------------------------------------------
+# Positional delete vectors (lakehouse merge-on-read mechanics, orders)
+# --------------------------------------------------------------------------
+
+
+def _dv_fixture(sf: str) -> str:
+    """Plant a merge-on-read table: 3 parquet data files (orders sliced
+    by o_orderkey % 3) plus a dv.parquet sidecar of POSITIONAL deletes
+    — (file, pos) pairs marking row ordinals pos % 7 == 3 of part-0 and
+    part-2 as deleted (part-1 carries no delete vector: the common case
+    of untouched files must stay on the fast path). Path embeds the
+    source fingerprint (the scan_binaryfile contract); built JVM-free
+    with pyarrow."""
+    import pathlib
+
+    import pyarrow as pa
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = pathlib.Path(scratch_dir("dv_table")) / (
+        f"{tag}_{data_fingerprint(sf, 'orders')}"
+    )
+    done = root / "_DONE"
+    if not done.exists():
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/orders.parquet")
+        root.mkdir(parents=True, exist_ok=True)
+        key_mod = pc.cast(
+            pc.subtract(
+                t["o_orderkey"], pc.multiply(pc.divide(t["o_orderkey"], 3), 3)
+            ),
+            "int64",
+        )
+        dv_files, dv_pos = [], []
+        for i in range(3):
+            part = t.filter(pc.equal(key_mod, i))
+            pq.write_table(part, root / f"part-{i}.parquet")
+            if i != 1:
+                for pos in range(3, part.num_rows, 7):
+                    dv_files.append(f"part-{i}.parquet")
+                    dv_pos.append(pos)
+        pq.write_table(
+            pa.table({"file": dv_files, "pos": pa.array(dv_pos, pa.int64())}),
+            root / "dv.parquet",
+        )
+        done.write_text("")
+    return str(root)
+
+
+def _dv_oracle_sql() -> str:
+    path = _dv_fixture("/root/testdata/sf0.01")
+    return f"""
+    WITH data AS (
+      SELECT o_orderstatus, o_totalprice,
+             parse_filename(filename) AS fname, file_row_number AS pos
+      FROM read_parquet('{path}/part-*.parquet',
+                        filename=true, file_row_number=true)
+    ),
+    dv AS (SELECT file, pos FROM read_parquet('{path}/dv.parquet'))
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE dv.file IS NULL) AS n_live,
+           COUNT(*) FILTER (WHERE dv.file IS NOT NULL) AS n_deleted,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  FILTER (WHERE dv.file IS NULL) AS BIGINT) AS live_cents
+    FROM data LEFT JOIN dv ON dv.file = data.fname AND dv.pos = data.pos
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("scan_delete_vectors_apply", sql=_dv_oracle_sql())
+def scan_delete_vectors_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read scan applying POSITIONAL DELETE VECTORS (the
+    Iceberg v2 / Delta deletion-vector mechanic): rows are deleted by
+    (file, row ordinal) sidecar entries, never by rewriting data files
+    — the write-cheap half of upserts whose read side this key
+    expresses relationally. Completes the lakehouse mechanics matrix
+    next to snapshot / time-travel / vacuum (scan_manifest_*).
+
+    The row ordinal comes from the scan itself — Spark's
+    `_metadata.row_index` hidden column (DuckDB: file_row_number) — so
+    no synthetic key is materialized in the data. The DV sidecar is
+    orders of magnitude smaller than the data and BROADCASTS; untouched
+    files (part-1 here) pay the join probe but no match, and the
+    aggregate reports live vs deleted per status so a silently-ignored
+    DV cannot pass (n_deleted is value-checked). Money rides exact
+    integer cents."""
+    path = _dv_fixture(sf)
+    data = (
+        spark.read.parquet(path + "/part-*.parquet")
+        .select(
+            "o_orderstatus",
+            "o_totalprice",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "fname"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    dv = spark.read.parquet(path + "/dv.parquet")
+    j = data.join(
+        F.broadcast(dv),
+        (data.fname == dv.file) & (data.pos == dv.pos),
+        "left",
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("file").isNull(), 1)).alias("n_live"),
+            F.count(F.when(F.col("file").isNotNull(), 1)).alias("n_deleted"),
+            F.sum(
+                F.when(
+                    F.col("file").isNull(),
+                    dround(F.col("o_totalprice") * 100, 0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("live_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
