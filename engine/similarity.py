@@ -1762,7 +1762,9 @@ def shingle_build_df(spark: SparkSession, sf: str) -> DataFrame:
 
 _PQ_S = 8  # subspaces
 _PQ_D = 8  # dims per subspace (embeddings are 64-d)
-_PQ_K = 16  # centroids per subspace
+_PQ_K = 64  # centroids per subspace (6-bit codes; K=64 measured 0.36
+# recall@5 vs 0.20 at K=16 on the isotropic test embeddings, and Lloyd
+# refinement does NOT lift recall on such data — measured 1–2 steps)
 _PQ_TOPK = 5
 
 #: DuckDB fragments shared across the oracle: left-fold sums so both
@@ -1861,8 +1863,10 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     scoring reads a precomputed S×K lookup table, never the vectors.
 
     Determinism/oracle contract: the codebook is the deterministic
-    hash-bottom-{_PQ_K} sample of the corpus (one-step init; production
-    would k-means-refine these, same plumbing — the so_kmeans seeded
+    hash-bottom-{_PQ_K} sample of the corpus (one-step init; Lloyd
+    refinement was measured NOT to lift recall on these isotropic
+    embeddings, so the shipped contract stays sample-init — clustered
+    production data would k-means-refine via the so_kmeans seeded
     contract), assignment argmins compare micro-unit-QUANTIZED
     distances with centroid-id tie-breaks, and ADC accumulates EXACT
     LONG micro-units so partial-aggregation order cannot move a hash.

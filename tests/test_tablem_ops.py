@@ -239,6 +239,50 @@ def test_vacuum_plan_only_tombstoned_file(spark, tmp_path):
     assert r["reclaimed_rows"] == 2
 
 
+# -- scan_delete_vectors_apply ---------------------------------------------
+
+
+def test_delete_vectors_match_planted_expectation(spark, tmp_path):
+    """Plant 60 orders with known keys/statuses/prices, recompute the
+    merge-on-read result with an INDEPENDENT pure-python walk of the
+    fixture's contract (keys % 3 → file, ordinals % 7 == 3 deleted in
+    parts 0 and 2, part 1 untouched), and require the Spark scan to
+    agree on live/deleted counts and exact live cents per status."""
+    rows = [
+        (i, "AB"[i % 2], float(100 + 7 * i) + 0.25)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    sf = _write(spark, tmp_path, "orders", df)
+
+    exp = {}  # status -> [n_live, n_deleted, live_cents]
+    for part in range(3):
+        part_rows = [r for r in rows if r[0] % 3 == part]
+        dead = set(range(3, len(part_rows), 7)) if part != 1 else set()
+        for pos, (_, st, price) in enumerate(part_rows):
+            e = exp.setdefault(st, [0, 0, 0])
+            if pos in dead:
+                e[1] += 1
+            else:
+                e[0] += 1
+                e[2] += round(price * 100)
+
+    got = QUERIES["scan_delete_vectors_apply"](spark, sf).collect()
+    assert {
+        r["o_orderstatus"]: [r["n_live"], r["n_deleted"], r["live_cents"]]
+        for r in got
+    } == exp
+    assert sum(v[1] for v in exp.values()) > 0  # the DV actually bit
+
+
+def test_delete_vectors_join_is_broadcast(spark):
+    plan = _plan(spark, "scan_delete_vectors_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # --------------------------------------------------------------------------
 # determinism audits (the Table I/J contract): double-run byte-identical
 # and invariant to spark.sql.shuffle.partitions
@@ -251,6 +295,7 @@ _TABLEM_KEYS = (
     "pipeline_dataset_diff",
     "scan_manifest_vacuum_plan",
     "stream_rate_micro_batch",
+    "scan_delete_vectors_apply",
 )
 
 
