@@ -40,6 +40,7 @@ _MODULES = (
     "engine.tablek",
     "engine.tablel",
     "engine.tablem",
+    "engine.tablen",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
