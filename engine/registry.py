@@ -41,6 +41,7 @@ _MODULES = (
     "engine.tablel",
     "engine.tablem",
     "engine.tablen",
+    "engine.tableo",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep

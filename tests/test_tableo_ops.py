@@ -1,0 +1,192 @@
+"""Planted-fixture and plan-shape tests for the Table O ops
+(engine/tableo.py): the custom Python DataSource, incremental rollup
+maintenance, and the expectations report."""
+
+from __future__ import annotations
+
+import datetime
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from engine.registry import all_queries
+from engine.tableo import _GEN_MOD, _GEN_MULT, _GEN_N, _GEN_PARTS, _DetGenSource
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _write(spark, tmp_path, table, df) -> str:
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/{table}.parquet")
+    return sf_dir
+
+
+# -- scan_python_datasource --------------------------------------------------
+
+
+def test_python_datasource_partition_parallel_and_exact(spark):
+    try:
+        spark.dataSource.register(_DetGenSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("spark_graft_detgen")
+        .option("n", "1000")
+        .option("parts", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r["id"]: r["val"] for r in df.collect()}
+    assert len(rows) == 1000
+    for i in (0, 1, 5, 999):
+        assert rows[i] == (i * _GEN_MULT) % _GEN_MOD
+
+
+def test_python_datasource_scan_is_batch_not_row_udf(spark):
+    plan = _plan(spark, "scan_python_datasource")
+    assert "BatchScan" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_python_datasource_group_counts_cover_all_rows(spark):
+    rows = QUERIES["scan_python_datasource"](spark, SF_SMOKE).collect()
+    assert [r["grp"] for r in rows] == list(range(16))
+    assert sum(r["n_rows"] for r in rows) == _GEN_N
+    assert _GEN_PARTS == 32  # the shard map the docstring claims
+
+
+# -- agg_incremental_rollup --------------------------------------------------
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark, tmp_path):
+    # 3 days x 2 types; the last day is the delta side by construction
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for typ, vals in [("click", [1.25, 2.50]), ("view", [10.0])]:
+            for v in vals:
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, minutes=eid), typ, v)
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["agg_incremental_rollup"](spark, sf).collect()
+    }
+    assert got["click"]["n_events"] == 6
+    assert got["click"]["sum_val_cents"] == 3 * (125 + 250)
+    assert got["click"]["n_days"] == 3
+    assert got["view"]["n_events"] == 3
+    assert got["view"]["sum_val_cents"] == 3 * 1000
+    assert got["click"]["first_date"] == datetime.date(2024, 3, 1)
+    assert got["click"]["last_date"] == datetime.date(2024, 3, 3)
+
+
+def test_incremental_rollup_single_day_state_is_empty(spark, tmp_path):
+    # all rows on the cutoff day: the state side is EMPTY and the merge
+    # must still equal the full recompute (the first-ever-refresh path)
+    df = spark.createDataFrame(
+        [(0, datetime.datetime(2024, 5, 5, 1), "a", 1.0),
+         (1, datetime.datetime(2024, 5, 5, 2), "a", 2.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    rows = QUERIES["agg_incremental_rollup"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2 and rows[0]["n_days"] == 1
+    assert rows[0]["sum_val_cents"] == 300
+
+
+# -- scan_expectations_report ------------------------------------------------
+
+
+def test_expectations_catch_each_planted_violation(spark, tmp_path):
+    ts = datetime.datetime
+    orders = [
+        # key, custkey, status, totalprice, orderdate
+        (1, 10, "O", 100.0, ts(1998, 1, 1)),
+        (2, 10, "F", -5.0, ts(1998, 1, 2)),       # negative price
+        (3, 11, "X", 50.0, ts(1998, 1, 3)),        # bad status
+        (3, 10, "P", 60.0, ts(1998, 1, 4)),        # duplicate key
+        (4, 99, "O", 70.0, ts(1998, 1, 5)),        # orphan custkey
+        (5, 11, "O", 80.0, ts(2002, 6, 1)),        # past SLA horizon
+    ]
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    cdf = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    sf = _write(spark, tmp_path, "orders", odf)
+    _write(spark, tmp_path, "customer", cdf)
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in QUERIES["scan_expectations_report"](spark, sf).collect()
+    }
+    assert got == {
+        "positive_totalprice": (6, 1, False),
+        "status_domain": (6, 1, False),
+        "orderdate_sla": (6, 1, False),
+        "unique_orderkey": (6, 1, False),
+        "ri_custkey_exists": (6, 1, False),
+    }
+
+
+def test_expectations_all_green_on_clean_data(spark, tmp_path):
+    odf = spark.createDataFrame(
+        [(1, 10, "O", 100.0, datetime.datetime(1998, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    cdf = spark.createDataFrame([(10,)], "c_custkey long")
+    sf = _write(spark, tmp_path, "orders", odf)
+    _write(spark, tmp_path, "customer", cdf)
+    rows = QUERIES["scan_expectations_report"](spark, sf).collect()
+    assert all(r["passed"] for r in rows)
+    assert len(rows) == 5
+
+
+# --------------------------------------------------------------------------
+# determinism audits (the Table I/J contract)
+# --------------------------------------------------------------------------
+
+_TABLEO_KEYS = (
+    "scan_python_datasource",
+    "agg_incremental_rollup",
+    "scan_expectations_report",
+)
+
+
+def test_tableo_double_run_identical(spark):
+    for key in _TABLEO_KEYS:
+        a = QUERIES[key](spark, SF_SMOKE).collect()
+        b = QUERIES[key](spark, SF_SMOKE).collect()
+        assert a == b, key
+
+
+def test_tableo_partition_count_invariant(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = {k: QUERIES[k](spark, SF_SMOKE).collect() for k in _TABLEO_KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k in _TABLEO_KEYS:
+            assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
