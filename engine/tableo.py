@@ -1,8 +1,9 @@
 """Round-7 fourth wave (SURVEY.md §2 Table O): platform mechanics —
-a custom PySpark Python DataSource (partition-parallel ingestion from
-a non-file system), incremental mergeable-rollup maintenance, and a
-data-quality expectations report (rule violations incl. referential
-integrity).
+custom PySpark Python DataSource reader AND writer (partition-parallel
+ingestion from / two-phase-commit publication to non-file systems),
+incremental mergeable-rollup maintenance, a data-quality expectations
+report (rule violations incl. referential integrity), tie-aware
+Spearman rank correlation, and fixed-round k-truss peeling.
 
 Reference parity: the reference (coursework fork, SURVEY.md §0) has no
 analog; these extend the engine along the platform axis with the
@@ -15,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from engine.canon import dround
 from engine.registry import register
@@ -259,3 +266,407 @@ def scan_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-aware, scale-safe ranks) — lineitem
+# --------------------------------------------------------------------------
+
+_SP_BUCKETS = 32
+
+_SP_SQL = """
+    WITH c AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2
+      FROM (SELECT x, COUNT(*) AS cnt FROM c GROUP BY x)
+    ),
+    ry AS (
+      SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2
+      FROM (SELECT y, COUNT(*) AS cnt FROM c GROUP BY y)
+    ),
+    j AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM c JOIN rx ON rx.x = c.x JOIN ry ON ry.y = c.y
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+             SUM(CAST(a * a AS HUGEINT)) AS saa,
+             SUM(CAST(b * b AS HUGEINT)) AS sbb,
+             SUM(CAST(a * b AS HUGEINT)) AS sab
+      FROM j
+    )
+    SELECT n AS n_rows,
+           (SELECT COUNT(*) FROM rx) AS n_distinct_x,
+           (SELECT COUNT(*) FROM ry) AS n_distinct_y,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                    * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) * 1e6) / 1e6
+             AS spearman_rho
+    FROM s
+"""
+
+
+def _avg_rank2(vals: DataFrame, col: str) -> DataFrame:
+    """(value, doubled-average-rank) relation for a column with ties:
+    r2(v) = 2·|{rows < v}| + cnt(v) + 1 — an exact INTEGER (average
+    ranks are half-integers, so everything rides doubled). The
+    cumulative count over ordered DISTINCT VALUES is computed with the
+    width_bucket offset-merge (value-range buckets, per-bucket windows,
+    bucket totals broadcast back) — never a single-reducer window: at
+    100 TB the distinct-value relation of a price column is itself
+    fact-scale."""
+    from pyspark.sql import Window
+
+    cnts = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    lo, hi = cnts.agg(F.min(col), F.max(col)).first()
+    bucketed = cnts.withColumn(
+        "bucket",
+        F.width_bucket(
+            F.col(col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1.0),
+            _SP_BUCKETS,
+        ),
+    )
+    totals = {
+        r["bucket"]: r["t"]
+        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("bucket").orderBy(col)
+    cum_in_bucket = F.sum("cnt").over(w) - F.col("cnt")
+    return bucketed.select(
+        col,
+        (
+            2 * (cum_in_bucket + off_map[F.col("bucket")]) + F.col("cnt") + 1
+        ).alias("r2"),
+    )
+
+
+@register("agg_spearman_rank", sql=_SP_SQL)
+def agg_spearman_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between quantity and price —
+    the robust monotone-association statistic (Pearson on average
+    ranks), the standard screen for nonlinear feature/target
+    relationships where raw Pearson (agg_corr_matrix) is fooled by
+    outliers.
+
+    Exactness contract: average ranks are half-integers, so they ride
+    DOUBLED as exact longs (r2 = 2·cum_before + cnt + 1 from
+    value-level counts); all five moment sums accumulate exact
+    integers (decimal-promoted), and ρ's one division over two IEEE
+    sqrt's lands on the same doubles in both engines, quantized 1e-6.
+    Quantity has ~50 distinct values but PRICE's distinct-value
+    relation is fact-scale at 100 TB, so the rank cumsum uses the
+    width_bucket offset-merge (never a single-reducer global window);
+    rank join-back on quantity is broadcast-sized, on price it is an
+    ordinary hash equi-join."""
+    c = T(spark, sf, "lineitem").select(
+        dround(F.col("l_quantity"), 0).cast("long").alias("x"),
+        dround(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    rx = _avg_rank2(c.select("x"), "x").withColumnRenamed("r2", "a")
+    ry = _avg_rank2(c.select("y"), "y").withColumnRenamed("r2", "b")
+    j = c.join(F.broadcast(rx), "x").join(ry, "y")
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast(dec)).alias("sa"),
+        F.sum(F.col("b").cast(dec)).alias("sb"),
+        F.sum((F.col("a") * F.col("a")).cast(dec)).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast(dec)).alias("sbb"),
+        F.sum((F.col("a") * F.col("b")).cast(dec)).alias("sab"),
+    )
+    ndx = rx.count()
+    ndy = ry.count()
+    n = F.col("n").cast(dec)
+    rho = dround(
+        (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+        / (
+            F.sqrt((n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+            * F.sqrt((n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+        ),
+        6,
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.lit(ndx).cast("long").alias("n_distinct_x"),
+        F.lit(ndy).cast("long").alias("n_distinct_y"),
+        rho.alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-round k-truss peeling (cohort clique graph from events)
+# --------------------------------------------------------------------------
+
+_KT_K = 4  # truss order: surviving edges need support >= K - 2
+_KT_ROUNDS = 3
+_KT_CHECK_MULT = 1_000_003  # edge checksum: u * MULT + v (exact longs)
+
+
+def _ktruss_oracle_sql() -> str:
+    ctes = [
+        """
+    cohort AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cohort a JOIN cohort b
+        ON a.event_type = b.event_type AND a.day = b.day
+      WHERE a.user_id < b.user_id
+    )"""
+    ]
+    for i in range(_KT_ROUNDS):
+        ctes.append(
+            f"""
+    tri{i} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.v
+      JOIN e{i} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup{i} AS MATERIALIZED (
+      SELECT u, v, COUNT(*) AS sup FROM (
+        SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT b AS u, c AS v FROM tri{i}
+        UNION ALL SELECT a AS u, c AS v FROM tri{i}) _t
+      GROUP BY 1, 2
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.sup >= {_KT_K - 2}
+    )"""
+        )
+    rounds = "\n      UNION ALL ".join(
+        f"""SELECT {i + 1} AS round,
+             (SELECT COUNT(*) FROM e{i}) AS n_edges_before,
+             (SELECT COUNT(*) FROM e{i + 1}) AS n_edges_after,
+             (SELECT COALESCE(CAST(SUM(u * {_KT_CHECK_MULT} + v) AS BIGINT), 0)
+              FROM e{i + 1}) AS checksum_after"""
+        for i in range(_KT_ROUNDS)
+    )
+    return (
+        "WITH " + ",".join(ctes) + "\n    " + rounds + "\n    ORDER BY round"
+    )
+
+
+@register("graph_ktruss_peel", sql=_ktruss_oracle_sql())
+def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-round k-truss peeling (k={_KT_K}, {_KT_ROUNDS} rounds) over
+    the cohort CLIQUE graph (graph_triangles' edge set): each round
+    computes per-EDGE triangle support and drops edges supporting fewer
+    than k−2 triangles — the community-core primitive one notch
+    stronger than k-core (node degrees survive where edge support does
+    not). The per-round (edges_before, edges_after, checksum) trajectory
+    is the output; the checksum u·{_KT_CHECK_MULT}+v sums value-check
+    WHICH edges survive, not just how many.
+
+    Scale shape: the peel is a DataFrame loop on a relation that only
+    ever SHRINKS; each round is one triangle enumeration on the ordered
+    (u<v) edge set — two equi-joins — plus one partial-aggregable
+    support count and a semi-join filter, with localCheckpoint(eager)
+    cutting the per-round lineage (the k-core / pagerank lesson). All
+    {_KT_ROUNDS} rounds run unconditionally, mirroring the oracle's
+    fixed CTE chain; the trajectory rows are driver-assembled longs
+    (≤ {_KT_ROUNDS} rows), never a union plan."""
+    ev = T(spark, sf, "events")
+    cohort = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+        )
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .filter(F.col("n_ev") >= 3)
+        .drop("n_ev")
+    )
+    a, b = cohort.alias("a"), cohort.alias("b")
+    edges = (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    traj = []
+    for rnd in range(1, _KT_ROUNDS + 1):
+        n_before = edges.count()
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= _KT_K - 2)
+            .select("u", "v")
+        )
+        edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(
+            eager=True
+        )
+        after = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("u") * _KT_CHECK_MULT + F.col("v")), F.lit(0)
+            ).alias("ck"),
+        ).first()
+        traj.append((rnd, n_before, after["n"], after["ck"]))
+    return spark.createDataFrame(
+        traj,
+        "round int, n_edges_before long, n_edges_after long, checksum_after long",
+    ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource WRITER (partition-parallel sink + commit protocol)
+# --------------------------------------------------------------------------
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Per-task commit message: (partition id, rows written)."""
+
+    def __init__(self, pid: int, n: int) -> None:
+        self.pid = pid
+        self.n = n
+
+
+class _DetSinkSource(DataSource):
+    """Line-format sink DataSource: each task publishes its partition
+    as one text file via write-temp-then-atomic-rename, and the DRIVER
+    finalizes the job by writing _SUCCESS from the collected commit
+    messages — the standard two-phase commit every real sink
+    (object store, queue, service) needs so a retried task can never
+    double-publish."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spark_graft_detsink"
+
+    def writer(self, schema, overwrite):  # noqa: ANN001 - framework signature
+        return _DetSinkWriter(self.options)
+
+
+class _DetSinkWriter(DataSourceWriter):
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options["path"]
+
+    def write(self, iterator):  # noqa: ANN001
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        lines = [f"{r[0]},{r[1]},{r[2]}" for r in iterator]
+        tmp = os.path.join(self.path, f".part-{pid:05d}.tmp")
+        final = os.path.join(self.path, f"part-{pid:05d}.txt")
+        with open(tmp, "w") as f:
+            if lines:
+                f.write("\n".join(lines) + "\n")
+        os.replace(tmp, final)  # atomic per-task publish
+        return _SinkCommit(pid, len(lines))
+
+    def commit(self, messages):  # noqa: ANN001
+        import os
+
+        total = sum(m.n for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(f"{len(messages)} tasks, {total} rows\n")
+
+    def abort(self, messages):  # noqa: ANN001
+        import glob
+        import os
+
+        for p in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            os.remove(p)
+
+
+_SINK_PARTS = 8
+
+_SINK_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("sink_python_datasource", sql=_SINK_SQL)
+def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """WRITER half of the Python DataSource API (scan_python_datasource
+    is the reader): a deterministic orders slice flows through a custom
+    partition-parallel sink — each task publishes one line-format file
+    by write-then-atomic-rename and returns a WriterCommitMessage; the
+    driver's commit() writes _SUCCESS only after every task reported —
+    the two-phase protocol that makes task retries safe against
+    double-publish on any real external sink. The sink output is then
+    RE-READ and aggregated, so the oracle (the same aggregate straight
+    off orders) value-checks the entire write→commit→read roundtrip,
+    exact cents included.
+
+    Fixture path embeds the source fingerprint; the directory is
+    rebuilt per call (cheap: the slice is 1/7 of orders in
+    {_SINK_PARTS} files) so a stale run can never serve."""
+    import pathlib
+    import shutil
+
+    from engine.session import data_fingerprint, scratch_dir
+
+    try:
+        spark.dataSource.register(_DetSinkSource)
+    except Exception:
+        pass
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = pathlib.Path(scratch_dir("pysink")) / (
+        f"{tag}_{data_fingerprint(sf, 'orders')}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True, exist_ok=True)
+
+    src = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            dround(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .repartition(_SINK_PARTS, "o_orderkey")
+    )
+    (
+        src.write.format("spark_graft_detsink")
+        .option("path", str(root))
+        .mode("append")
+        .save()
+    )
+    parsed = (
+        spark.read.text(str(root) + "/part-*.txt")
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[1].alias("o_orderstatus"),
+            F.col("p")[2].cast("long").alias("cents"),
+        )
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

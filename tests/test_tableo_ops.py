@@ -170,6 +170,8 @@ _TABLEO_KEYS = (
     "scan_python_datasource",
     "agg_incremental_rollup",
     "scan_expectations_report",
+    "agg_spearman_rank",
+    "graph_ktruss_peel",
 )
 
 
@@ -190,3 +192,106 @@ def test_tableo_partition_count_invariant(spark):
             assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# -- agg_spearman_rank -------------------------------------------------------
+
+
+def test_spearman_tie_aware_matches_hand_formula(spark, tmp_path):
+    import math
+
+    xs = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 7.0]
+    ys = [1.10, 0.50, 0.50, 2.00, 2.25, 2.25, 9.99]
+    df = spark.createDataFrame(
+        list(zip(xs, ys)), "l_quantity double, l_extendedprice double"
+    )
+    sf = _write(spark, tmp_path, "lineitem", df)
+    row = QUERIES["agg_spearman_rank"](spark, sf).collect()[0]
+
+    def r2s(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            out[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [out[v] for v in vals]
+
+    a = r2s([round(x) for x in xs])
+    b = r2s([round(y * 100) for y in ys])
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    saa = sum(v * v for v in a)
+    sbb = sum(v * v for v in b)
+    sab = sum(p * q for p, q in zip(a, b))
+    rho = (n * sab - sa * sb) / (
+        math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+    )
+    assert row["n_rows"] == n
+    assert row["n_distinct_x"] == 4 and row["n_distinct_y"] == 5
+    assert row["spearman_rho"] == round(rho * 1e6) / 1e6
+
+
+def test_spearman_perfect_monotone_is_one(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 3.5 + 1) for i in range(1, 50)],
+        "l_quantity double, l_extendedprice double",
+    )
+    sf = _write(spark, tmp_path, "lineitem", df)
+    row = QUERIES["agg_spearman_rank"](spark, sf).collect()[0]
+    assert row["spearman_rho"] == 1.0
+
+
+# -- graph_ktruss_peel -------------------------------------------------------
+
+
+def test_ktruss_keeps_k4_drops_k3(spark, tmp_path):
+    # one K4 cohort clique (every edge in 2 triangles -> survives
+    # support >= 2) and one K3 clique (every edge in 1 -> dropped in
+    # round 1); trajectory must show exactly that, then stay fixed
+    base = datetime.datetime(2024, 4, 1, 6, 0, 0)
+    rows, eid = [], 0
+    for users, typ in [((1, 2, 3, 4), "a"), ((5, 6, 7), "b")]:
+        for u in users:
+            for j in range(3):  # >= 3 events to enter the cohort
+                rows.append(
+                    (eid, base + datetime.timedelta(minutes=eid), u, typ, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    from engine.tableo import _KT_CHECK_MULT
+
+    k4_edges = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    ck = sum(u * _KT_CHECK_MULT + v for u, v in k4_edges)
+    traj = QUERIES["graph_ktruss_peel"](spark, sf).collect()
+    assert [
+        (r["round"], r["n_edges_before"], r["n_edges_after"], r["checksum_after"])
+        for r in traj
+    ] == [(1, 9, 6, ck), (2, 6, 6, ck), (3, 6, 6, ck)]
+
+
+def test_ktruss_empty_after_peel_reports_zero_checksum(spark, tmp_path):
+    # a lone K3: all edges die in round 1, later rounds run on empty
+    base = datetime.datetime(2024, 4, 2, 6, 0, 0)
+    rows = [
+        (i * 3 + j, base + datetime.timedelta(minutes=i * 3 + j), u, "a", 1.0, "{}")
+        for i, u in enumerate((1, 2, 3))
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    traj = QUERIES["graph_ktruss_peel"](spark, sf).collect()
+    assert [
+        (r["round"], r["n_edges_before"], r["n_edges_after"], r["checksum_after"])
+        for r in traj
+    ] == [(1, 3, 0, 0), (2, 0, 0, 0), (3, 0, 0, 0)]
