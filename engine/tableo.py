@@ -670,3 +670,167 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# XML source roundtrip (completes the source matrix: csv/json/orc/text/xml)
+# --------------------------------------------------------------------------
+
+_XML_SQL = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("scan_xml_roundtrip", sql=_XML_SQL)
+def scan_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source/sink roundtrip (Spark 4's built-in `xml` format —
+    spark-xml graduated into core): write a deterministic orders slice
+    as row-tagged XML, re-read with an EXPLICIT schema (inference would
+    be a second full pass at 100 TB), aggregate — oracled against the
+    SOURCE table, so the whole serialize→parse path is value-checked.
+    Completes the source matrix next to csv / json-lines / orc / text /
+    binary / parquet roundtrips.
+
+    Money is converted to exact integer CENTS before serialization —
+    longs round-trip through XML text exactly, sidestepping
+    double-formatting differences entirely. Per-file parallelism holds
+    on both sides (one XML doc per partition file, row-tag splitting
+    inside)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from engine.session import scratch_dir
+
+    out = scratch_dir("xml_roundtrip")
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            dround(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "order").schema(schema).load(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped applyInPandas (two-table reconciliation in one Python pass)
+# --------------------------------------------------------------------------
+
+_CG_BUCKETS = 64
+
+_CG_SQL = f"""
+    WITH o AS (
+      SELECT o_orderkey % {_CG_BUCKETS} AS bucket, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    l AS (
+      SELECT l_orderkey % {_CG_BUCKETS} AS bucket, l_orderkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT b.bucket,
+           COALESCE(os.n, 0) AS n_orders,
+           COALESCE(ls.n, 0) AS n_lineitems,
+           COALESCE(m.n, 0) AS n_matched_keys,
+           COALESCE(os.s, 0) - COALESCE(ls.s, 0) AS diff_cents
+    FROM (SELECT UNNEST(generate_series(0, {_CG_BUCKETS - 1})) AS bucket) b
+    LEFT JOIN (SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+               FROM o GROUP BY 1) os ON os.bucket = b.bucket
+    LEFT JOIN (SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+               FROM l GROUP BY 1) ls ON ls.bucket = b.bucket
+    LEFT JOIN (SELECT o.bucket, COUNT(DISTINCT o.o_orderkey) AS n
+               FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+               GROUP BY 1) m ON m.bucket = b.bucket
+    ORDER BY b.bucket
+"""
+
+
+def _cg_reconcile(odf, ldf):  # noqa: ANN001 - pandas cogroup signature
+    import pandas as pd
+
+    bucket = int(
+        odf["bucket"].iloc[0] if len(odf) else ldf["bucket"].iloc[0]
+    )
+    ocents = (odf["o_totalprice"] * 100).round().astype("int64")
+    lcents = (ldf["l_extendedprice"] * 100).round().astype("int64")
+    matched = odf["o_orderkey"][odf["o_orderkey"].isin(ldf["l_orderkey"])]
+    return pd.DataFrame(
+        [
+            {
+                "bucket": bucket,
+                "n_orders": len(odf),
+                "n_lineitems": len(ldf),
+                "n_matched_keys": int(matched.nunique()),
+                "diff_cents": int(ocents.sum()) - int(lcents.sum()),
+            }
+        ]
+    )
+
+
+@register("udf_cogroup_pandas", sql=_CG_SQL)
+def udf_cogroup_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped `applyInPandas` — the two-table Python escape hatch
+    (`groupBy.cogroup(groupBy).applyInPandas`): BOTH relations shuffle
+    on the same key and arrive as a PAIR of Arrow-backed pandas frames
+    per group, the shape for cross-table reconciliation / as-of merge
+    logic that genuinely needs imperative code. Here each of
+    {_CG_BUCKETS} orderkey buckets reconciles orders against lineitem:
+    row counts, matched keys, and the exact-cents revenue difference.
+
+    This is a DECLARED Python-boundary key (like the udf_pandas_*
+    family): one FlatMapCoGroupsInPandas, Arrow batch transfer both
+    directions, integer-exact arithmetic inside pandas (int64 cents,
+    never float sums). The oracle reproduces the reconciliation
+    relationally. Bucketing to {_CG_BUCKETS} keeps groups coarse —
+    per-ORDER groups would pay per-group Python overhead ~N times."""
+    o = T(spark, sf, "orders").select(
+        (F.col("o_orderkey") % _CG_BUCKETS).alias("bucket"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    li = T(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % _CG_BUCKETS).alias("bucket"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    return (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            _cg_reconcile,
+            "bucket long, n_orders long, n_lineitems long,"
+            " n_matched_keys long, diff_cents long",
+        )
+        .orderBy("bucket")
+    )

@@ -172,6 +172,8 @@ _TABLEO_KEYS = (
     "scan_expectations_report",
     "agg_spearman_rank",
     "graph_ktruss_peel",
+    "scan_xml_roundtrip",
+    "udf_cogroup_pandas",
 )
 
 
@@ -295,3 +297,66 @@ def test_ktruss_empty_after_peel_reports_zero_checksum(spark, tmp_path):
         (r["round"], r["n_edges_before"], r["n_edges_after"], r["checksum_after"])
         for r in traj
     ] == [(1, 3, 0, 0), (2, 0, 0, 0), (3, 0, 0, 0)]
+
+
+# -- scan_xml_roundtrip ------------------------------------------------------
+
+
+def test_xml_roundtrip_exact_cents(spark, tmp_path):
+    ts = datetime.datetime
+    odf = spark.createDataFrame(
+        [
+            (0, 10, "O", 1.01, ts(1998, 1, 1)),   # key % 5 == 0: in slice
+            (5, 10, "O", 2.02, ts(1998, 1, 2)),   # in slice
+            (7, 10, "F", 999.99, ts(1998, 1, 3)),  # NOT in slice
+            (10, 10, "F", 3.33, ts(1998, 1, 4)),  # in slice
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    sf = _write(spark, tmp_path, "orders", odf)
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["sum_cents"])
+        for r in QUERIES["scan_xml_roundtrip"](spark, sf).collect()
+    }
+    assert got == {"O": (2, 101 + 202), "F": (1, 333)}
+
+
+# -- udf_cogroup_pandas ------------------------------------------------------
+
+
+def test_cogroup_reconciles_planted_buckets(spark, tmp_path):
+    from engine.tableo import _CG_BUCKETS
+
+    orders = [
+        (0, 10.00),            # bucket 0, two matching lineitems
+        (_CG_BUCKETS, 5.00),   # bucket 0 again, no lineitems
+        (1, 7.50),             # bucket 1, one lineitem
+    ]
+    lines = [
+        (0, 1, 4.00),
+        (0, 2, 5.00),
+        (1, 1, 7.50),
+    ]
+    odf = spark.createDataFrame(
+        [(k, 1, "O", p, datetime.datetime(1998, 1, 1)) for k, p in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    sf = _write(spark, tmp_path, "orders", odf)
+    _write(spark, tmp_path, "lineitem", ldf)
+    got = {
+        r["bucket"]: (
+            r["n_orders"], r["n_lineitems"], r["n_matched_keys"], r["diff_cents"]
+        )
+        for r in QUERIES["udf_cogroup_pandas"](spark, sf).collect()
+    }
+    # bucket 0: orders 10.00 + 5.00, lines 4.00 + 5.00, 1 of 2 keys matched
+    assert got[0] == (2, 2, 1, 1500 - 900)
+    # bucket 1: exact reconciliation
+    assert got[1] == (1, 1, 1, 0)
+    # every other bucket is orders-absent AND lineitem-absent: not emitted
+    assert set(got) == {0, 1}
