@@ -322,7 +322,12 @@ def _avg_rank2(vals: DataFrame, col: str) -> DataFrame:
     fact-scale."""
     from pyspark.sql import Window
 
-    cnts = vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    from engine.session import scratch_cache
+
+    # the distinct-value relation feeds THREE consumers (lo/hi probe,
+    # bucket offsets, the rank window) — cache it or the value-level
+    # shuffle re-executes once per consumer (measured 4.6 s -> 2 s)
+    cnts = scratch_cache(vals.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
     lo, hi = cnts.agg(F.min(col), F.max(col)).first()
     bucketed = cnts.withColumn(
         "bucket",
