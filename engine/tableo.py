@@ -839,3 +839,187 @@ def udf_cogroup_pandas(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Native session_window operator (the built-in gap-sessionizer)
+# --------------------------------------------------------------------------
+
+_SW_GAP_MIN = 30
+_SW_USER_MOD = 7
+
+_SW_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    f AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL {_SW_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WHERE user_id % {_SW_USER_MOD} = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL {_SW_GAP_MIN} MINUTE AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, sess_start
+"""
+
+
+@register("win_session_window_native", sql=_SW_SQL)
+def win_session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """The NATIVE `session_window` operator (Spark's built-in
+    dynamic-gap sessionizer, usable identically in batch and Structured
+    Streaming) — the API twin of the hand-rolled islands sessionization
+    in `win_sessionize_gap` (analytics.py): same {_SW_GAP_MIN}-minute
+    gap, and the oracle IS the islands formulation, so this key proves
+    the built-in operator's merge semantics equal the relational
+    definition — including the boundary rule PINNED BY PLANTED TEST:
+    an event at EXACTLY prev_ts + gap still MERGES (sessions join when
+    next_start <= prev_end), so the islands break is strictly
+    ts − prev_ts > gap.
+
+    One shuffle on user_id; the session merge runs inside Spark's
+    UpdatingSessionsIterator without a second exchange. The user slice
+    (user_id % {_SW_USER_MOD} == 0) bounds output; sessionization is
+    per-user independent, so pre-filtering is semantically lossless.
+    Money rides exact integer cents."""
+    ev = load_events(spark, sf).filter(F.col("user_id") % _SW_USER_MOD == 0)
+    sw = F.session_window("ts", f"{_SW_GAP_MIN} minutes")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            dround(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Polymorphic UDTF over a TABLE argument (per-key ordered iteration)
+# --------------------------------------------------------------------------
+
+_ST_USER_MOD = 11
+
+_ST_SQL = f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    f AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WHERE user_id % {_ST_USER_MOD} = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM f
+    ),
+    runs AS (
+      SELECT user_id, run, ANY_VALUE(event_type) AS et, COUNT(*) AS len
+      FROM r GROUP BY user_id, run
+    ),
+    best AS (
+      SELECT user_id, len, et FROM (
+        SELECT user_id, len, et,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, run) AS rn
+        FROM runs) WHERE rn = 1
+    )
+    SELECT n.user_id, n.n_events,
+           CAST(b.len AS BIGINT) AS max_streak,
+           b.et AS streak_type
+    FROM (SELECT user_id, COUNT(*) AS n_events FROM f GROUP BY user_id) n
+    JOIN best b ON b.user_id = n.user_id
+    ORDER BY n.user_id
+"""
+
+
+class _StreakUDTF:
+    """Per-user longest same-type event streak — state that genuinely
+    needs ORDERED single-pass iteration (the classic imperative escape
+    the polymorphic-UDTF API exists for). One instance per PARTITION BY
+    key; rows arrive in the declared ORDER BY."""
+
+    def __init__(self) -> None:
+        self.user = None
+        self.n = 0
+        self.prev = None
+        self.cur = 0
+        self.best = 0
+        self.best_type = None
+
+    def eval(self, row):  # noqa: ANN001 - framework signature
+        self.user = row["user_id"]
+        self.n += 1
+        if row["event_type"] == self.prev:
+            self.cur += 1
+        else:
+            self.prev = row["event_type"]
+            self.cur = 1
+        if self.cur > self.best:  # strict: FIRST streak reaching max wins
+            self.best = self.cur
+            self.best_type = self.prev
+
+    def terminate(self):
+        if self.user is not None:
+            yield (self.user, self.n, self.best, self.best_type)
+
+
+@register("udtf_table_arg", sql=_ST_SQL)
+def udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
+    """Polymorphic Python UDTF over a TABLE argument with PARTITION BY /
+    ORDER BY (the Spark 4 table-function API): each user's events
+    arrive time-ordered at a fresh UDTF instance, which runs the
+    imperative single-pass streak scan (longest run of same-type
+    events, first-reaching tie-break) that window SQL can only express
+    through the islands rewrite — which is exactly what the oracle
+    does, proving the two formulations equal.
+
+    DECLARED Python-boundary key (udtf_tokenize's contract): the rows
+    cross into Python once, partition-parallel, with state scoped to
+    one key — no cross-partition driver state. The user slice
+    (% {_ST_USER_MOD}) bounds output; per-user independence makes the
+    pre-filter lossless."""
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(
+        _StreakUDTF,
+        returnType="user_id long, n_events long, max_streak long,"
+        " streak_type string",
+    )
+    try:
+        spark.udtf.register("spark_graft_streak", fn)
+    except Exception:
+        pass
+    load_events(spark, sf).filter(
+        F.col("user_id") % _ST_USER_MOD == 0
+    ).select("user_id", "ts", "event_id", "event_type").createOrReplaceTempView(
+        "_streak_in"
+    )
+    return spark.sql(
+        "SELECT * FROM spark_graft_streak("
+        "TABLE(_streak_in) PARTITION BY user_id ORDER BY (ts, event_id)"
+        ") ORDER BY user_id"
+    )

@@ -29,8 +29,9 @@ from engine.registry import all_queries
 
 from .conftest import SF_SMOKE
 
-#: keys whose API contract IS row-at-a-time Python (SURVEY §2 Table B)
-ROW_PYTHON_OK = {"udf_python_scalar", "udtf_tokenize"}
+#: keys whose API contract IS row-at-a-time Python (SURVEY §2 Table B,
+#: plus the Table O polymorphic table-argument UDTF)
+ROW_PYTHON_OK = {"udf_python_scalar", "udtf_tokenize", "udtf_table_arg"}
 
 _plans: dict[str, str] = {}
 

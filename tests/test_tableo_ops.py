@@ -174,6 +174,8 @@ _TABLEO_KEYS = (
     "graph_ktruss_peel",
     "scan_xml_roundtrip",
     "udf_cogroup_pandas",
+    "win_session_window_native",
+    "udtf_table_arg",
 )
 
 
@@ -360,3 +362,61 @@ def test_cogroup_reconciles_planted_buckets(spark, tmp_path):
     assert got[1] == (1, 1, 1, 0)
     # every other bucket is orders-absent AND lineitem-absent: not emitted
     assert set(got) == {0, 1}
+
+
+# -- win_session_window_native -----------------------------------------------
+
+
+def test_session_window_native_gap_boundary_semantics(spark, tmp_path):
+    # user 0 (% 7 == 0): events at minutes 0, 10, 45, 75, 106.
+    # 10 -> 45 is a 35-min gap (> 30): break. 45 -> 75 is EXACTLY the
+    # 30-min gap: Spark MERGES on the boundary (next_start <= prev_end
+    # joins sessions) — the rule this test pins. 75 -> 106 is 31 min:
+    # break.
+    base = datetime.datetime(2024, 6, 1, 0, 0, 0)
+    mk = lambda m: base + datetime.timedelta(minutes=m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (i, mk(m), 0, "click", 1.0, "{}")
+            for i, m in enumerate([0, 10, 45, 75, 106])
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    rows = QUERIES["win_session_window_native"](spark, sf).collect()
+    got = [(r["sess_start"], r["sess_end"], r["n_events"]) for r in rows]
+    assert got == [
+        (mk(0), mk(10 + 30), 2),
+        (mk(45), mk(75 + 30), 2),
+        (mk(106), mk(106 + 30), 1),
+    ]
+
+
+# -- udtf_table_arg ----------------------------------------------------------
+
+
+def _events_of(spark, tmp_path, types):
+    base = datetime.datetime(2024, 7, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(minutes=i), 0, t, 1.0, "{}")
+            for i, t in enumerate(types)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    return _write(spark, tmp_path, "events", df)
+
+
+def test_udtf_streak_finds_longest_run(spark, tmp_path):
+    sf = _events_of(spark, tmp_path, ["a", "a", "b", "b", "b", "a"])
+    rows = QUERIES["udtf_table_arg"](spark, sf).collect()
+    assert [(r["user_id"], r["n_events"], r["max_streak"], r["streak_type"])
+            for r in rows] == [(0, 6, 3, "b")]
+
+
+def test_udtf_streak_tie_breaks_to_first(spark, tmp_path):
+    sf = _events_of(spark, tmp_path, ["a", "a", "b", "b"])
+    rows = QUERIES["udtf_table_arg"](spark, sf).collect()
+    assert [(r["max_streak"], r["streak_type"]) for r in rows] == [(2, "a")]
