@@ -612,12 +612,69 @@ def sim_cosine_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
 
 
-@register("sim_cosine_topk_lsh")  # rows-only: LSH is probabilistic
+def _lsh_cand_path(sf_tag: str) -> str:
+    """Per-scale-factor LSH candidate-pair materialization (the
+    so_kmeans_ml / IVF assignments contract: the ml library's seeded
+    bucketing stays library-internal, the candidate SET it produced is
+    pinned to parquet, and every downstream number is value-checked
+    from that artifact). The oracle contract runs at sf0.01, so the
+    oracle SQL pins that tag; the Spark query must run before the
+    oracle in the same filesystem (it writes the parquet the oracle
+    reads)."""
+    from engine.session import scratch_dir
+
+    return scratch_dir("lsh_topk") + f"/cand_{sf_tag}"
+
+
+#: left-fold dot product so both engines sum in identical order (the
+#: same fragment the PQ key uses — _PQ_DOT below; duplicated here
+#: because this SQL is built at module top before that section loads)
+_LSH_DOT = (
+    "list_reduce(list_transform(generate_series(1, {d}), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+_TOPK_LSH_SQL = f"""
+    WITH cand AS (
+      SELECT query_id, neighbor_id FROM read_parquet('{{cand}}/*.parquet')
+    ),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(
+               {_LSH_DOT.format(d=64, a="e", b="e")})) AS en
+      FROM base
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND({_LSH_DOT.format(d=64, a="q.en", b="n.en")} * 1e6) / 1e6
+               AS cos
+      FROM cand c
+      JOIN nrm q ON q.vec_id = c.query_id
+      JOIN nrm n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+@register("sim_cosine_topk_lsh", sql=_TOPK_LSH_SQL.format(cand=_lsh_cand_path("sf0_01")))
 def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-5 via BucketedRandomProjectionLSH (euclidean on
     L2-normalized vectors ≈ cosine): the 100-TB path — candidates come
     from matching hash buckets only. Recall vs the exact variant is
-    property-tested (≥ 0.8, SURVEY.md §5.2)."""
+    property-tested (≥ 0.8, SURVEY.md §5.2).
+
+    FULL value oracle since r7 (was the last rows-only analytics key):
+    the seeded ml bucketing stays library-internal, but the candidate
+    PAIR SET it produces is materialized to parquet and the top-5 is
+    recomputed from RAW embeddings with the exact key's integer-
+    quantized cosine — the oracle reads the same candidate artifact and
+    must reproduce every (query, neighbor, cos, rank) row bit-for-bit
+    (the so_kmeans_ml materialized-assignments contract)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -638,14 +695,43 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
         2.0,
         distCol="d",
     )
-    pairs = cand.select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        # on unit vectors: cos = 1 - d²/2
-        dround(1 - F.col("d") * F.col("d") / 2, 6).alias("cos"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    pairs = (
+        cand.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    pairs.write.mode("overwrite").parquet(_lsh_cand_path(tag))
+    pinned = spark.read.parquet(_lsh_cand_path(tag))
+    nrm = emb.select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(transform(e, y -> y * y), 0D, (a, v) -> a + v))"),
+    ).select("vec_id", F.expr("transform(e, x -> x / nrm)").alias("en"))
+    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("en").alias("qe"))
+    cn = nrm.select(F.col("vec_id").alias("neighbor_id"), F.col("en").alias("ce"))
+    scored = (
+        pinned.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "round(aggregate(zip_with(qe, ce, (p, q) -> p * q), 0D,"
+                " (a, v) -> a + v) * 1e6) / 1e6"
+            ).alias("cos"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )
 
 
 #: the IVF probe, relationally: rank cells per query by rounded
