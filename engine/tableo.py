@@ -1023,3 +1023,219 @@ def udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
         "TABLE(_streak_in) PARTITION BY user_id ORDER BY (ts, event_id)"
         ") ORDER BY user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust slope (hash-paired, exact quantized medians)
+# --------------------------------------------------------------------------
+
+_TS_BUCKETS = 32
+
+_TS_SQL = """
+    WITH c AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+             ('0x' || substr(md5('ts:' || CAST(l_orderkey AS VARCHAR) || '-'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hk,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT x, y, (ROW_NUMBER() OVER (ORDER BY hk, l_orderkey, l_linenumber)
+                    - 1) // 2 AS pair,
+             ROW_NUMBER() OVER (ORDER BY hk, l_orderkey, l_linenumber) AS rn
+      FROM c
+    ),
+    pairs AS (
+      SELECT pair,
+             MAX(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+             MAX(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+             MAX(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+             MAX(CASE WHEN rn % 2 = 0 THEN y END) AS y2,
+             COUNT(*) AS n
+      FROM rk GROUP BY pair
+    ),
+    slopes AS (
+      SELECT pair, CAST(ROUND(CAST(y2 - y1 AS DOUBLE)
+                              / CAST(x2 - x1 AS DOUBLE) * 1e6) AS BIGINT)
+               AS sm
+      FROM pairs WHERE n = 2 AND x2 != x1
+    ),
+    med AS (
+      SELECT sm FROM (
+        SELECT sm, ROW_NUMBER() OVER (ORDER BY sm, pair) AS r,
+               COUNT(*) OVER () AS m
+        FROM slopes) WHERE r = (m + 1) // 2
+    ),
+    resid AS (
+      SELECT CAST(ROUND(y - (SELECT sm FROM med) / 1e6 * x) AS BIGINT) AS rc,
+             l_orderkey, l_linenumber
+      FROM c
+    ),
+    bmed AS (
+      SELECT rc FROM (
+        SELECT rc, ROW_NUMBER() OVER (ORDER BY rc, l_orderkey, l_linenumber)
+                 AS r,
+               COUNT(*) OVER () AS m
+        FROM resid) WHERE r = (m + 1) // 2
+    )
+    SELECT (SELECT COUNT(*) FROM slopes) AS n_pairs,
+           (SELECT sm FROM med) / 1e6 AS slope_cents_per_unit,
+           (SELECT rc FROM bmed) AS intercept_cents
+"""
+
+
+def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k: int):
+    """Exact k-th order statistic by (val_col, *tie_cols) via
+    DISTRIBUTED SELECTION: bucket counts locate the ONE value-range
+    bucket holding position k (driver-side over <= _TS_BUCKETS longs),
+    only that bucket sorts — the HDR-exact-twin recipe; the other
+    buckets never enter a window."""
+    from pyspark.sql import Window
+
+    lo, hi = df.agg(F.min(val_col), F.max(val_col)).first()
+    b = df.withColumn(
+        "_bk",
+        F.width_bucket(
+            F.col(val_col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1.0),
+            _TS_BUCKETS,
+        ),
+    )
+    counts = {
+        r["_bk"]: r["c"]
+        for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    acc = 0
+    for bk in sorted(counts):
+        if acc + counts[bk] >= k:
+            target, offset = bk, acc
+            break
+        acc += counts[bk]
+    w = Window.orderBy(val_col, *tie_cols)  # one bucket only: bounded
+    return (
+        b.filter(F.col("_bk") == target)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == k - offset)
+        .select(val_col)
+        .first()
+    )
+
+
+def _ranked(df: DataFrame, val_col: str, tie_cols: list, out: str) -> DataFrame:
+    """Global rank by (val_col, *tie_cols) via the width_bucket
+    offset-merge — the repo's standard no-single-reducer total order."""
+    from pyspark.sql import Window
+
+    lo, hi = df.agg(F.min(val_col), F.max(val_col)).first()
+    b = df.withColumn(
+        "_bk",
+        F.width_bucket(
+            F.col(val_col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1.0),
+            _TS_BUCKETS,
+        ),
+    )
+    counts = {
+        r["_bk"]: r["c"]
+        for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offs, acc = {}, 0
+    for k in sorted(counts):
+        offs[k] = acc
+        acc += counts[k]
+    omap = F.create_map(*[F.lit(v) for kv in offs.items() for v in kv])
+    w = Window.partitionBy("_bk").orderBy(val_col, *tie_cols)
+    return b.withColumn(out, F.row_number().over(w) + omap[F.col("_bk")]).drop(
+        "_bk"
+    )
+
+
+@register("agg_theil_sen_slope", sql=_TS_SQL)
+def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust regression (median-of-slopes) of price-cents on
+    quantity — the outlier-immune slope next to the OLS legs
+    (agg_regression, win_rolling_slope) and the MAD/trimmed robust
+    stats: up to 29% contamination cannot move it.
+
+    The full estimator is O(n²) pairs; the scalable classic pairs each
+    row with ONE partner — here the deterministic md5-order pairing
+    (rank in hash order, consecutive rows pair), so both engines build
+    the IDENTICAL pair set (under SPARK_GRAFT_FAST_HASH the pairing
+    differs — bench-only mode, the seeded-shuffle disclosure). Slopes
+    quantize to 1e-6 LONGS and the median is the exact lower median
+    selected by global rank; the intercept is the median residual at
+    that slope, micro-quantized the same way. All three total orders
+    (hash rank, slope median, residual median) ride the width_bucket
+    offset-merge — no single-reducer window anywhere at 100 TB."""
+    from engine.session import hash60
+
+    from engine.session import scratch_cache
+
+    # each _ranked pass probes min/max + bucket counts before its window
+    # — cache the slim base relations or lineitem rescans per probe
+    c = scratch_cache(
+        T(spark, sf, "lineitem").select(
+            dround(F.col("l_quantity"), 0).cast("long").alias("x"),
+            dround(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+            hash60(
+                F.concat(
+                    F.lit("ts:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ).alias("hk"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    rk = _ranked(c, "hk", ["l_orderkey", "l_linenumber"], "rn")
+    pairs = (
+        rk.select(
+            ((F.col("rn") - 1) - ((F.col("rn") - 1) % 2)).alias("pair2"),
+            "rn",
+            "x",
+            "y",
+        )
+        .groupBy("pair2")
+        .agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("y"))).alias("y1"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("y"))).alias("y2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("n") == 2) & (F.col("x2") != F.col("x1")))
+    )
+    slopes = pairs.select(
+        F.col("pair2").alias("pair"),
+        dround(
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("sm"),
+    )
+    slopes = scratch_cache(slopes)
+    m = slopes.count()
+    sm = _select_kth(slopes, "sm", ["pair"], (m + 1) // 2)["sm"]
+    resid = scratch_cache(
+        c.select(
+            dround(F.col("y") - F.lit(sm) / 1e6 * F.col("x"), 0)
+            .cast("long")
+            .alias("rc"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    n_rows = c.count()
+    b = _select_kth(resid, "rc", ["l_orderkey", "l_linenumber"], (n_rows + 1) // 2)
+    return spark.createDataFrame(
+        [(int(m), sm / 1e6, int(b["rc"]))],
+        "n_pairs long, slope_cents_per_unit double, intercept_cents long",
+    )

@@ -176,6 +176,7 @@ _TABLEO_KEYS = (
     "udf_cogroup_pandas",
     "win_session_window_native",
     "udtf_table_arg",
+    "agg_theil_sen_slope",
 )
 
 
@@ -420,3 +421,66 @@ def test_udtf_streak_tie_breaks_to_first(spark, tmp_path):
     sf = _events_of(spark, tmp_path, ["a", "a", "b", "b"])
     rows = QUERIES["udtf_table_arg"](spark, sf).collect()
     assert [(r["max_streak"], r["streak_type"]) for r in rows] == [(2, "a")]
+
+
+# -- agg_theil_sen_slope -----------------------------------------------------
+
+
+def test_theil_sen_matches_pure_python_replay(spark, tmp_path):
+    import hashlib
+
+    rows = [
+        # (orderkey, linenumber, quantity, price): linear y=300x + noise,
+        # plus one wild outlier the median must shrug off
+        (0, 1, 1.0, 3.10),
+        (1, 1, 2.0, 6.05),
+        (2, 1, 3.0, 8.95),
+        (3, 1, 4.0, 12.10),
+        (4, 1, 5.0, 15.20),
+        (5, 1, 6.0, 999.99),  # outlier
+        (6, 1, 7.0, 21.05),
+        (7, 1, 8.0, 23.90),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_extendedprice double",
+    )
+    sf = _write(spark, tmp_path, "lineitem", df)
+    got = QUERIES["agg_theil_sen_slope"](spark, sf).collect()[0]
+
+    def h(ok, ln):
+        return int(hashlib.md5(f"ts:{ok}-{ln}".encode()).hexdigest()[:15], 16)
+
+    recs = sorted(
+        [(h(ok, ln), ok, ln, round(q), round(p * 100)) for ok, ln, q, p in rows]
+    )
+    slopes = []
+    for i in range(0, len(recs) - 1, 2):
+        (_, _, _, x1, y1), (_, _, _, x2, y2) = recs[i], recs[i + 1]
+        if x2 != x1:
+            slopes.append(round((y2 - y1) / (x2 - x1) * 1e6))
+    slopes.sort()
+    sm = slopes[(len(slopes) + 1) // 2 - 1]
+    resid = sorted(
+        round(y - sm / 1e6 * x) for _, _, _, x, y in recs
+    )
+    b = resid[(len(resid) + 1) // 2 - 1]
+    assert got["n_pairs"] == len(slopes)
+    assert got["slope_cents_per_unit"] == sm / 1e6
+    assert got["intercept_cents"] == b
+
+
+def test_theil_sen_immune_to_outlier(spark, tmp_path):
+    # clean linear data y = 250x: slope must be EXACTLY 250 even with a
+    # massive outlier, because no pair mixing it can reach the median
+    rows = [(i, 1, float(i + 1), (i + 1) * 2.5) for i in range(20)]
+    rows.append((99, 1, 21.0, 1_000_000.0))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double,"
+        " l_extendedprice double",
+    )
+    sf = _write(spark, tmp_path, "lineitem", df)
+    got = QUERIES["agg_theil_sen_slope"](spark, sf).collect()[0]
+    assert got["slope_cents_per_unit"] == 250.0
