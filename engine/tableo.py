@@ -1239,3 +1239,210 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
         [(int(m), sm / 1e6, int(b["rc"]))],
         "n_pairs long, slope_cents_per_unit double, intercept_cents long",
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec sampling substrate)
+# --------------------------------------------------------------------------
+
+_RW_STEPS = 5
+_RW_START_MOD = 13
+
+
+def _rw_oracle_sql() -> str:
+    from engine.analytics import AFFINITY_EDGES_CTE
+
+    h = (
+        "('0x' || substr(md5('rw:' || CAST(w.walk_id AS VARCHAR) || ':' "
+        "|| '{step}' || ':' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    ctes = [
+        f"e AS ({EVENTS_US_SQL})",
+        AFFINITY_EDGES_CTE.strip().rstrip(),
+        """adj AS MATERIALIZED (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM (SELECT DISTINCT src, dst FROM edges)
+    )""",
+        f"""w0 AS MATERIALIZED (
+      SELECT DISTINCT src AS walk_id, src AS node, CAST(src AS BIGINT) AS ck
+      FROM adj WHERE src % {_RW_START_MOD} = 0
+    )""",
+    ]
+    for i in range(1, _RW_STEPS + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT w.walk_id, a.dst AS node, w.ck + {i + 1} * a.dst AS ck
+      FROM w{i - 1} w
+      JOIN adj a ON a.src = w.node
+       AND a.idx = {h.format(step=i)} % (SELECT deg FROM adj d
+                                         WHERE d.src = w.node AND d.idx = 0)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT walk_id, node AS final_node, CAST(ck AS BIGINT) AS path_checksum
+    FROM w{_RW_STEPS} ORDER BY walk_id"""
+    )
+
+
+@register("graph_random_walk_deterministic", sql=_rw_oracle_sql())
+def graph_random_walk_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic random walks over the affinity graph — the
+    DeepWalk/node2vec SAMPLING substrate a graph-embedding pipeline
+    runs at corpus scale, made reproducible by construction: at step s
+    the walk at node v hops to neighbor index
+    md5('rw:'‖walk‖':'‖s‖':'‖v) mod deg(v) in the (src, dst)-ordered
+    adjacency — no RNG state, any engine replays the identical walks
+    (under SPARK_GRAFT_FAST_HASH the walks differ — bench-only mode,
+    the seeded-shuffle disclosure). The ring multigraph has outdegree
+    ≥ 1 at every member, so {_RW_STEPS}-step walks never strand.
+
+    Per-walk output: final node + Σ (s+1)·node_s over the path — the
+    checksum pins EVERY hop, not just the endpoint. Plan shape: the
+    indexed adjacency builds once (per-src window, hash-partitioned);
+    each step is one broadcast join of the walk frontier (corpus/13
+    rows) against the node-keyed adjacency — frontier-sized traffic
+    per step, the classic BSP walk."""
+    from engine.analytics import materialize_affinity_edges
+    from engine.session import hash60, scratch_cache
+
+    edges = materialize_affinity_edges(spark, sf)
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("src").orderBy("dst")
+    adj = scratch_cache(
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(w_src) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+    )
+    deg = adj.filter(F.col("idx") == 0).select("src", "deg")
+    walks = (
+        adj.filter(F.col("src") % _RW_START_MOD == 0)
+        .select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("walk_id"),
+            F.col("src").alias("node"),
+            F.col("src").cast("long").alias("ck"),
+        )
+    )
+    for i in range(1, _RW_STEPS + 1):
+        hop = hash60(
+            F.concat(
+                F.lit("rw:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{i}:"),
+                F.col("node").cast("string"),
+            )
+        )
+        walks = (
+            walks.join(deg.withColumnRenamed("src", "node"), "node")
+            .withColumn("idx", hop % F.col("deg"))
+            .join(
+                adj.select(F.col("src").alias("node"), "idx", "dst"),
+                ["node", "idx"],
+            )
+            .select(
+                "walk_id",
+                F.col("dst").alias("node"),
+                (F.col("ck") + (i + 1) * F.col("dst")).alias("ck"),
+            )
+        )
+    return walks.select(
+        "walk_id",
+        F.col("node").alias("final_node"),
+        F.col("ck").cast("long").alias("path_checksum"),
+    ).orderBy("walk_id")
+
+
+# --------------------------------------------------------------------------
+# Allocation waterfall (capacity-constrained sequential fill per part)
+# --------------------------------------------------------------------------
+
+_AW_CAP_PER_SIZE = 40
+
+_AW_SQL = f"""
+    WITH d AS (
+      SELECT l.l_partkey, p.p_brand,
+             CAST(p.p_size * {_AW_CAP_PER_SIZE} AS BIGINT) AS cap,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+             SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber
+               ROWS UNBOUNDED PRECEDING) - CAST(ROUND(l.l_quantity) AS BIGINT)
+               AS cum_before
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    a AS (
+      SELECT p_brand, qty,
+             GREATEST(0, LEAST(qty, cap - cum_before)) AS alloc
+      FROM d
+    )
+    SELECT p_brand,
+           CAST(SUM(qty) AS BIGINT) AS demand_qty,
+           CAST(SUM(alloc) AS BIGINT) AS allocated_qty,
+           COUNT(*) FILTER (WHERE alloc < qty) AS n_short_lines
+    FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("win_allocation_waterfall", sql=_AW_SQL)
+def win_allocation_waterfall(spark: SparkSession, sf: str) -> DataFrame:
+    """Capacity-constrained sequential allocation (the inventory
+    waterfall): each part has capacity p_size·{_AW_CAP_PER_SIZE} units,
+    demand lines consume it in ship-date order, and a line receives
+    min(qty, remaining) — the classic ordered-allocation op (ad
+    budgets, stock, quota) that LOOKS iterative but is exactly one
+    running-sum window: alloc = clamp(cap − cumsum_before, 0, qty).
+
+    Per-brand rollup reports demand vs allocated and short lines. All
+    integer units; the window partitions by partkey (hash-parallel —
+    allocation state never crosses parts, so 100 TB scales by key);
+    the part capacity joins in brand+size only (slim columns)."""
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    p = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        "p_brand",
+        (F.col("p_size") * _AW_CAP_PER_SIZE).cast("long").alias("cap"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    d = (
+        li.join(p, "l_partkey")
+        .withColumn("cum_before", F.sum("qty").over(w) - F.col("qty"))
+        .withColumn(
+            "alloc",
+            F.greatest(
+                F.lit(0), F.least(F.col("qty"), F.col("cap") - F.col("cum_before"))
+            ),
+        )
+    )
+    return (
+        d.groupBy("p_brand")
+        .agg(
+            F.sum("qty").alias("demand_qty"),
+            F.sum("alloc").alias("allocated_qty"),
+            F.count(F.when(F.col("alloc") < F.col("qty"), 1)).alias(
+                "n_short_lines"
+            ),
+        )
+        .orderBy("p_brand")
+    )

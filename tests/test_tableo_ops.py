@@ -177,6 +177,8 @@ _TABLEO_KEYS = (
     "win_session_window_native",
     "udtf_table_arg",
     "agg_theil_sen_slope",
+    "graph_random_walk_deterministic",
+    "win_allocation_waterfall",
 )
 
 
@@ -484,3 +486,73 @@ def test_theil_sen_immune_to_outlier(spark, tmp_path):
     sf = _write(spark, tmp_path, "lineitem", df)
     got = QUERIES["agg_theil_sen_slope"](spark, sf).collect()[0]
     assert got["slope_cents_per_unit"] == 250.0
+
+
+# -- graph_random_walk_deterministic ------------------------------------------
+
+
+def test_random_walk_replays_by_hand(spark, tmp_path):
+    import hashlib
+
+    # one cohort ring {0 -> 13 -> 26 -> 0}: each node has exactly ONE
+    # out-neighbor, so the walk path is forced and fully checkable
+    base = datetime.datetime(2024, 8, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for pos, u in enumerate((0, 13, 26)):
+        for j in range(3):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=pos * 10 + j), u,
+                 "a", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    from engine.tableo import _RW_STEPS
+
+    ring = {0: 13, 13: 26, 26: 0}
+    got = {
+        r["walk_id"]: (r["final_node"], r["path_checksum"])
+        for r in QUERIES["graph_random_walk_deterministic"](spark, sf).collect()
+    }
+    for start in (0, 13, 26):  # all three are % 13 == 0
+        node, ck = start, start
+        for s in range(1, _RW_STEPS + 1):
+            node = ring[node]  # deg == 1: hash % 1 == 0 always
+            ck += (s + 1) * node
+        assert got[start] == (node, ck), start
+    assert set(got) == {0, 13, 26}
+
+
+# -- win_allocation_waterfall -------------------------------------------------
+
+
+def test_allocation_waterfall_clamps_in_ship_order(spark, tmp_path):
+    ts = datetime.datetime
+    # part 1: size 1 -> capacity 40; demand 25 + 25 + 10 in date order:
+    # alloc 25, 15, 0 -> 2 short lines. part 2: never exhausted.
+    part = spark.createDataFrame(
+        [(1, "Brand#A", 1), (2, "Brand#B", 5)],
+        "p_partkey long, p_brand string, p_size long",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, ts(1998, 1, 1), 100, 1, 25.0),
+            (1, ts(1998, 1, 2), 101, 1, 25.0),
+            (1, ts(1998, 1, 3), 102, 1, 10.0),
+            (2, ts(1998, 1, 1), 103, 1, 30.0),
+        ],
+        "l_partkey long, l_shipdate timestamp, l_orderkey long,"
+        " l_linenumber long, l_quantity double",
+    )
+    sf = _write(spark, tmp_path, "part", part)
+    _write(spark, tmp_path, "lineitem", li)
+    got = {
+        r["p_brand"]: (r["demand_qty"], r["allocated_qty"], r["n_short_lines"])
+        for r in QUERIES["win_allocation_waterfall"](spark, sf).collect()
+    }
+    assert got == {"Brand#A": (60, 40, 2), "Brand#B": (30, 30, 0)}
