@@ -42,6 +42,7 @@ _MODULES = (
     "engine.tablem",
     "engine.tablen",
     "engine.tableo",
+    "engine.tablep",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
@@ -172,6 +173,20 @@ _PRIORITY = (
     "pipeline_dataset_diff",
     "scan_manifest_vacuum_plan",
     "stream_rate_micro_batch",
+    # -- Table P (round-7 fifth wave): never-sampled; appended in
+    #    registration order behind Table M so the round-8 rotation
+    #    stays a pure promote-the-tail (N/O keys follow by module
+    #    registration order after this explicit list)
+    "feat_woe_iv",
+    "feat_onehot_vocab",
+    "text_collocation_pmi",
+    "ts_cusum_changepoint",
+    "ts_acf_multi_lag",
+    "agg_cohort_ltv",
+    "agg_ratio_delta_ci",
+    "graph_personalized_pagerank",
+    "join_bloom_prefilter_semi",
+    "sim_rrf_fusion",
 )
 
 def _ordered(d: dict) -> dict:
