@@ -264,3 +264,40 @@ def test_rrf_query_side_broadcast(spark):
     plan = _plan(spark, "sim_rrf_fusion")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# determinism audits (the Table I/J contract)
+# --------------------------------------------------------------------------
+
+_TABLEP_KEYS = (
+    "feat_woe_iv",
+    "feat_onehot_vocab",
+    "text_collocation_pmi",
+    "ts_cusum_changepoint",
+    "ts_acf_multi_lag",
+    "agg_cohort_ltv",
+    "agg_ratio_delta_ci",
+    "graph_personalized_pagerank",
+    "join_bloom_prefilter_semi",
+    "sim_rrf_fusion",
+)
+
+
+def test_tablep_double_run_identical(spark):
+    for key in _TABLEP_KEYS:
+        a = QUERIES[key](spark, SF_SMOKE).collect()
+        b = QUERIES[key](spark, SF_SMOKE).collect()
+        assert a == b, key
+
+
+def test_tablep_partition_count_invariant(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = {k: QUERIES[k](spark, SF_SMOKE).collect() for k in _TABLEP_KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k in _TABLEP_KEYS:
+            assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
