@@ -570,36 +570,54 @@ def _kcore_driver(und: DataFrame) -> list[tuple[int, int, int]]:
 
 def _kcore_distributed(und: DataFrame) -> list[tuple[int, int, int]]:
     """Cluster-scale peel: per round one agg + one double semi-join;
-    the driver carries only the 9-tuple trajectory."""
+    the driver carries only the 9-tuple trajectory.
+
+    Per-round overhead kept to ONE action: nodes and edges count in a
+    single explode+aggregate pass (count(*)/2 = |E| exactly — every
+    simple edge contributes its two endpoints), and the lineage-cutting
+    checkpoint is LAZY so that same action materializes it. Loop
+    shuffles are right-sized to the (already-shrunken) edge relation,
+    not the fact — the pagerank rule; builder-measured 4.2 → ~2 s at
+    sf0.1. All counts exact integers, partition-count-invariant."""
+    spark = und.sparkSession
 
     def counts(u: DataFrame) -> tuple[int, int]:
-        nodes = (
-            u.select(F.col("a").alias("node"))
-            .union(u.select(F.col("b").alias("node")))
-            .distinct()
-            .count()
+        row = (
+            u.select(F.explode(F.array("a", "b")).alias("node"))
+            .agg(
+                F.count_distinct("node").alias("n"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+            )
+            .first()
         )
-        return nodes, u.count()
+        return (row["n"] or 0, row["m"] or 0)
 
     traj = []
-    for r in range(_KCORE_ROUNDS + 1):
-        n, m = counts(und)
-        traj.append((r, n, m))
-        if r == _KCORE_ROUNDS:
-            break
-        deg = (
-            und.select(F.col("a").alias("node"))
-            .unionAll(und.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        alive = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        und = (
-            und.join(alive.withColumnRenamed("node", "a"), "a")
-            .join(alive.withColumnRenamed("node", "b"), "b")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
+    n0, m0 = counts(und)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(2, min(int(prev_parts), m0 // 20_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        for r in range(_KCORE_ROUNDS + 1):
+            n, m = (n0, m0) if r == 0 else counts(und)
+            traj.append((r, n, m))
+            if r == _KCORE_ROUNDS:
+                break
+            deg = (
+                und.select(F.col("a").alias("node"))
+                .unionAll(und.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            alive = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+            und = (
+                und.join(alive.withColumnRenamed("node", "a"), "a")
+                .join(alive.withColumnRenamed("node", "b"), "b")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return traj
 
 # --------------------------------------------------------------------------

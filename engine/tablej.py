@@ -528,19 +528,41 @@ def _bf_driver(spark: SparkSession, w: DataFrame) -> DataFrame:
 
 def _bf_distributed(w: DataFrame) -> DataFrame:
     """K relaxation rounds, each one join + one min aggregate — the
-    distributed Bellman-Ford shape (dist and edges hash on the node)."""
-    seeds = (
-        w.select(F.col("src").alias("v")).distinct().orderBy("v").limit(_BF_SEEDS)
-    )
-    dist = seeds.select("v", F.lit(0).cast("long").alias("dist"))
-    for _ in range(_BF_ROUNDS):
-        relaxed = dist.join(w, dist["v"] == w["src"]).select(
-            F.col("dst").alias("v"), (F.col("dist") + F.col("wt")).alias("dist")
+    distributed Bellman-Ford shape (dist and edges hash on the node).
+
+    Loop shuffles are right-sized to the graph (the pagerank /
+    connected-components rule): a 4-round recurrence over a frontier
+    orders of magnitude smaller than the fact pays pure scheduler
+    overhead on stock 32-way exchanges — builder-measured 4.4 s → 1.8 s
+    at sf0.1 from this alone. Results are exact integers, invariant to
+    the partition count (pinned by the partition-invariance tests)."""
+    spark = w.sparkSession
+    n_edges = w.count()  # scratch-cached by both callers: cheap
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(2, min(int(prev_parts), n_edges // 20_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        seeds = (
+            w.select(F.col("src").alias("v"))
+            .distinct()
+            .orderBy("v")
+            .limit(_BF_SEEDS)
         )
-        dist = dist.unionAll(relaxed).groupBy("v").agg(
-            F.min("dist").cast("long").alias("dist")
-        )
-    return dist.orderBy("v")
+        dist = seeds.select("v", F.lit(0).cast("long").alias("dist"))
+        for _ in range(_BF_ROUNDS):
+            relaxed = dist.join(w, dist["v"] == w["src"]).select(
+                F.col("dst").alias("v"),
+                (F.col("dist") + F.col("wt")).alias("dist"),
+            )
+            dist = dist.unionAll(relaxed).groupBy("v").agg(
+                F.min("dist").cast("long").alias("dist")
+            )
+        # materialize under the loop conf (checkpoint returns the
+        # materialized frame; the raw plan would otherwise execute
+        # after `finally` restores the stock partition count)
+        return dist.orderBy("v").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @register("graph_sssp_bellman_ford", sql=_bf_oracle_sql())
