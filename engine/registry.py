@@ -2,8 +2,10 @@
 
 Every query key from SURVEY.md §2 registers here via the ``@register``
 decorator; ``__spark_entry__.py`` re-exports ``all_queries()`` /
-``all_oracles()``. Keys registered without SQL get the driver's weaker
-rows-only check (non-SQL-expressible ops: LSH, k-means, true streaming).
+``all_oracles()``. Keys registered without SQL would get the driver's
+weaker rows-only check — since late round 7 there are NONE: every key
+(including the true-streaming watermark/timer keys, via artifact-pinned
+micro-batch-replay SQL) carries a full DuckDB value oracle.
 """
 
 from __future__ import annotations
