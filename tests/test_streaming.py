@@ -232,3 +232,82 @@ def test_rate_micro_batch_replays_exactly_n_checkpointed_batches(spark):
     assert sum(r["sum_value"] for r in out) == n * (n - 1) // 2
     # 2-second windows over batches 1 s apart: ceil(_RATE_BATCHES/2) rows
     assert len(out) == (_RATE_BATCHES + 1) // 2
+
+
+# --------------------------------------------------------------------------
+# Planted-fixture pins for the micro-batch watermark oracle semantics
+# (the r7-late discovery: Spark keeps TWO watermarks per batch — the
+# late-events filter lags eviction by one batch)
+# --------------------------------------------------------------------------
+
+_H_US = 3_600_000_000  # one hour in microseconds
+
+
+def _planted_events_sf(spark, tmp_path, rows) -> str:
+    """Write a minimal events table; rows = (event_id, ts_us, user_id)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["x"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf_dir = str(tmp_path / "sf_planted")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    return sf_dir
+
+
+def test_watermark_late_filter_lags_one_batch(spark, tmp_path):
+    """Batch 2's late-events filter must use batch 1's watermark (from
+    batch 0's max event time), NOT the updated eviction watermark: a
+    late row whose window is still open under the LAGGED watermark is
+    accepted (window count +1); one whose window closed under it is
+    dropped. Under the current-batch watermark BOTH would be dropped."""
+    base = 277_778 * _H_US  # hour-aligned epoch µs
+    # 40 hourly main events (ids avoid %20==0) → batch 0 = hours 0..19,
+    # batch 1 = hours 20..39; lagged filter wm for the late batch =
+    # (base + 19 h) ms − 10 min
+    main = [(i * 3 + 1, base + i * _H_US, 7) for i in range(40)]
+    late_kept = (20, base + 19 * _H_US + 1_800_000_000, 8)  # window [19h,20h)
+    late_dropped = (40, base + 60_000_000, 9)  # window [0h,1h) — long closed
+    sf = _planted_events_sf(spark, tmp_path, main + [late_kept, late_dropped])
+    out = {
+        (r["window_start_us"], r["cnt"])
+        for r in all_queries()["stream_watermark_late"](spark, sf).collect()
+    }
+    # window [19h,20h): main hour-19 event + the accepted late row
+    assert (base + 19 * _H_US, 2) in out
+    # window [0h,1h): the late row below the lagged watermark was dropped
+    assert (base, 1) in out
+    # nothing from the un-finalized tail (end > final eviction watermark)
+    fwm_us = (base + 39 * _H_US) - 600_000_000
+    assert all(ws + _H_US <= fwm_us for ws, _ in out)
+
+
+def test_session_timeout_timer_fires_only_below_final_watermark(spark, tmp_path):
+    """Event-time timers close an idle user's final session iff the
+    FINAL eviction watermark passed last_seen + gap: user 7 (idle since
+    hour 0) times out and emits; user 9 (active at stream end) keeps
+    its last session open — it must NOT appear in the sink."""
+    base = 2_000_000_000_000_000
+    u7 = [(1, base, 7), (21, base + 600_000_000, 7)]  # one session, n=2
+    u9 = [(i * 2 + 1, base + i * _H_US, 9) for i in range(1, 40)]  # 39 sessions
+    sf = _planted_events_sf(spark, tmp_path, u7 + u9)
+    rows = all_queries()["stream_stateful_session_timeout"](spark, sf).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 7: the timer emitted the only session (n=2)
+    assert len(by_user.get(7, [])) == 1
+    assert by_user[7][0]["n_events"] == 2
+    # user 9: 39 one-event sessions, all but the LAST emitted by the
+    # gap rule; the last stays open (watermark never passes last+gap)
+    assert len(by_user.get(9, [])) == 38
+    assert all(r["n_events"] == 1 for r in by_user[9])
