@@ -83,6 +83,25 @@ _PRIORITY = (
     "stream_static_join",
     "stream_foreachbatch_upsert",
     "stream_stateful_session_timeout",
+    # -- (b') changed/new in the round-7 THIRD session (late re-rotation,
+    #    the round-5 precedent: changed code certifies first, always):
+    #    the two forced-distributed graph keys whose loops now right-size
+    #    their shuffles, then the 10 brand-new Table P keys. The 12 keys
+    #    they displace (old positions 39-50) lead the 51+ tail for r8.
+    #    (The 3 streaming keys whose oracles were upgraded this session
+    #    already sit at positions 12/15/16.)
+    "graph_kcore_distributed",
+    "graph_sssp_distributed",
+    "feat_woe_iv",
+    "feat_onehot_vocab",
+    "text_collocation_pmi",
+    "ts_cusum_changepoint",
+    "ts_acf_multi_lag",
+    "agg_cohort_ltv",
+    "agg_ratio_delta_ci",
+    "graph_personalized_pagerank",
+    "join_bloom_prefilter_semi",
+    "sim_rrf_fusion",
     # -- (c) never-sampled tail, prior enumeration order
     "udf_map_in_arrow",
     "sim_cosine_topk_lsh",
@@ -110,6 +129,10 @@ _PRIORITY = (
     "ts_step_detection",
     "ts_anomaly_zscore",
     "ts_calendar_features",
+    # ---- window cutoff (50) ----
+    # every remaining never-sampled key, in order: the round-8
+    # window is positions 51+ verbatim (promote-the-tail); the first
+    # 12 are the keys the (b') re-rotation displaced from the window
     "ts_autocorr_lag1",
     "text_bigram_lm",
     "text_langid_confusion",
@@ -122,9 +145,6 @@ _PRIORITY = (
     "agg_mann_whitney_u",
     "agg_seasonality_strength",
     "agg_ks_statistic",
-    # ---- window cutoff (50) ----
-    # every remaining never-sampled key, in order: the round-8
-    # window is positions 51+ verbatim (promote-the-tail)
     "agg_benford_first_digit",
     "agg_psi_drift",
     "agg_chi_square_independence",
@@ -175,20 +195,6 @@ _PRIORITY = (
     "pipeline_dataset_diff",
     "scan_manifest_vacuum_plan",
     "stream_rate_micro_batch",
-    # -- Table P (round-7 fifth wave): never-sampled; appended in
-    #    registration order behind Table M so the round-8 rotation
-    #    stays a pure promote-the-tail (N/O keys follow by module
-    #    registration order after this explicit list)
-    "feat_woe_iv",
-    "feat_onehot_vocab",
-    "text_collocation_pmi",
-    "ts_cusum_changepoint",
-    "ts_acf_multi_lag",
-    "agg_cohort_ltv",
-    "agg_ratio_delta_ci",
-    "graph_personalized_pagerank",
-    "join_bloom_prefilter_semi",
-    "sim_rrf_fusion",
 )
 
 def _ordered(d: dict) -> dict:
