@@ -45,6 +45,7 @@ _MODULES = (
     "engine.tablen",
     "engine.tableo",
     "engine.tablep",
+    "engine.tableq",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
