@@ -150,3 +150,35 @@ def test_bpe_apply_hand_traced_merges(spark, tmp_path):
     # initial pairs per token 'a b a b': 'a b'×2, 'b a'×1 → merges
     # p1='a b'→'ab', p2='b a'→'ba'; "a b a b" → "ab ab" → "abab"
     assert out == {"abab": 10}
+
+
+# --------------------------------------------------------------------------
+# determinism audits (the Table I/J contract)
+# --------------------------------------------------------------------------
+
+_TABLEQ_KEYS = (
+    "graph_adamic_adar_link_prediction",
+    "scan_partition_evolution",
+    "sample_balanced_downsample",
+    "text_burrows_delta",
+    "text_bpe_apply",
+)
+
+
+def test_tableq_double_run_identical(spark):
+    for key in _TABLEQ_KEYS:
+        a = QUERIES[key](spark, SF_SMOKE).collect()
+        b = QUERIES[key](spark, SF_SMOKE).collect()
+        assert a == b, key
+
+
+def test_tableq_partition_count_invariant(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = {k: QUERIES[k](spark, SF_SMOKE).collect() for k in _TABLEQ_KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        for k in _TABLEQ_KEYS:
+            assert QUERIES[k](spark, SF_SMOKE).collect() == at8[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
