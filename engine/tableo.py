@@ -1085,12 +1085,17 @@ _TS_SQL = """
 """
 
 
-def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k: int):
+def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k_of_total):
     """Exact k-th order statistic by (val_col, *tie_cols) via
     DISTRIBUTED SELECTION: bucket counts locate the ONE value-range
     bucket holding position k (driver-side over <= _TS_BUCKETS longs),
     only that bucket sorts — the HDR-exact-twin recipe; the other
-    buckets never enter a window."""
+    buckets never enter a window.
+
+    ``k_of_total``: position as a function of the relation's row count
+    — the count falls out of the bucket histogram for free, so callers
+    don't pay a separate full-pass ``.count()`` action (r7 perf pass).
+    Returns ``(row, total)``."""
     from pyspark.sql import Window
 
     lo, hi = df.agg(F.min(val_col), F.max(val_col)).first()
@@ -1107,6 +1112,8 @@ def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k: int):
         r["_bk"]: r["c"]
         for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    total = sum(counts.values())
+    k = k_of_total(total)
     acc = 0
     for bk in sorted(counts):
         if acc + counts[bk] >= k:
@@ -1114,13 +1121,14 @@ def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k: int):
             break
         acc += counts[bk]
     w = Window.orderBy(val_col, *tie_cols)  # one bucket only: bounded
-    return (
+    row = (
         b.filter(F.col("_bk") == target)
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == k - offset)
         .select(val_col)
         .first()
     )
+    return row, total
 
 
 def _ranked(df: DataFrame, val_col: str, tie_cols: list, out: str) -> DataFrame:
@@ -1222,8 +1230,9 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sm"),
     )
     slopes = scratch_cache(slopes)
-    m = slopes.count()
-    sm = _select_kth(slopes, "sm", ["pair"], (m + 1) // 2)["sm"]
+    med = lambda t: (t + 1) // 2  # noqa: E731 — exact lower median
+    sm_row, m = _select_kth(slopes, "sm", ["pair"], med)
+    sm = sm_row["sm"]
     resid = scratch_cache(
         c.select(
             dround(F.col("y") - F.lit(sm) / 1e6 * F.col("x"), 0)
@@ -1233,8 +1242,7 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
         )
     )
-    n_rows = c.count()
-    b = _select_kth(resid, "rc", ["l_orderkey", "l_linenumber"], (n_rows + 1) // 2)
+    b, _ = _select_kth(resid, "rc", ["l_orderkey", "l_linenumber"], med)
     return spark.createDataFrame(
         [(int(m), sm / 1e6, int(b["rc"]))],
         "n_pairs long, slope_cents_per_unit double, intercept_cents long",
