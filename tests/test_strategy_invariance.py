@@ -32,6 +32,9 @@ _KEYS = (
     "scan_expectations_report",    # anti join + stack
     "win_session_window_native",   # native session merge
     "scan_delete_vectors_apply",   # broadcast DV sidecar join
+    "graph_adamic_adar_link_prediction",  # wedge self-join + anti join (Q)
+    "graph_personalized_pagerank",  # unrolled integer join+agg rounds (P)
+    "sim_rrf_fusion",              # dual-window rank fusion (P)
 )
 
 _FLAGS = {
