@@ -46,6 +46,7 @@ _MODULES = (
     "engine.tableo",
     "engine.tablep",
     "engine.tableq",
+    "engine.tabler",
 )
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
