@@ -531,3 +531,242 @@ def agg_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov (data-driven) attribution: removal effects on the journey chain
+# --------------------------------------------------------------------------
+
+_MA_M = 10**12  # mass micro-units
+_MA_K = 20  # absorption iterations (paths beyond K touches truncated)
+
+#: journey-transition CTEs shared by the oracle (expects `e` bound):
+#: per user, the touch prefix strictly before the first purchase row
+#: (by (ts, event_id) order) feeds START→…→CONV/NULL transitions;
+#: CONV/NULL self-loop so ONE update rule drives the whole chain.
+_MA_TRANS_CTE = """
+    rk AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS r
+      FROM e
+    ),
+    pf AS (
+      SELECT user_id, MIN(r) AS pr FROM rk
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT rk.user_id, rk.event_type AS ch, rk.r, pf.pr
+      FROM rk LEFT JOIN pf ON pf.user_id = rk.user_id
+      WHERE rk.event_type <> 'purchase'
+        AND (pf.pr IS NULL OR rk.r < pf.pr)
+    ),
+    seq AS (
+      SELECT user_id, ch, pr,
+             LAG(ch) OVER (PARTITION BY user_id ORDER BY r) AS prev,
+             LEAD(ch) OVER (PARTITION BY user_id ORDER BY r) AS nxt
+      FROM touches
+    ),
+    raw AS (
+      SELECT CASE WHEN prev IS NULL THEN 'START' ELSE prev END AS cur,
+             ch AS nxt
+      FROM seq WHERE prev IS NULL
+      UNION ALL
+      SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT ch, CASE WHEN pr IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+      FROM seq WHERE nxt IS NULL
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM pf WHERE user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+    ),
+    tr0 AS (SELECT cur, nxt, COUNT(*) AS n FROM raw GROUP BY cur, nxt),
+    tr AS (
+      SELECT * FROM tr0
+      UNION ALL SELECT 'CONV', 'CONV', 1
+      UNION ALL SELECT 'NULL', 'NULL', 1
+    )
+"""
+
+
+def _ma_chain_sql(tag: str, removed: str | None) -> str:
+    """K unrolled integer-mass steps over the (possibly channel-removed)
+    transition relation; returns CTE text ending in p_{tag}."""
+    if removed is None:
+        t = f"t_{tag} AS (SELECT cur, nxt, n FROM tr)"
+    else:
+        t = f"""t_{tag} AS (
+      SELECT cur, CASE WHEN nxt = '{removed}' THEN 'NULL' ELSE nxt END AS nxt,
+             SUM(n) AS n
+      FROM tr WHERE cur <> '{removed}' GROUP BY 1, 2
+    )"""
+    o = (
+        f"o_{tag} AS (SELECT cur, SUM(n) AS o FROM t_{tag} GROUP BY cur)"
+    )
+    steps = [
+        f"v_{tag}_0 AS (SELECT 'START' AS s, CAST({_MA_M} AS HUGEINT) AS m)"
+    ]
+    for k in range(1, _MA_K + 1):
+        steps.append(
+            f"""v_{tag}_{k} AS MATERIALIZED (
+      SELECT t.nxt AS s, SUM((v.m * t.n) // o.o) AS m
+      FROM v_{tag}_{k - 1} v
+      JOIN t_{tag} t ON t.cur = v.s
+      JOIN o_{tag} o ON o.cur = v.s
+      GROUP BY t.nxt
+    )"""
+        )
+    p = (
+        f"p_{tag} AS (SELECT COALESCE(MAX(m), 0) AS p FROM v_{tag}_{_MA_K}"
+        f" WHERE s = 'CONV')"
+    )
+    return ",\n    ".join([t, o] + steps + [p])
+
+
+def _ma_oracle_sql() -> str:
+    from engine.session import EVENTS_US_SQL
+
+    channels = ["click", "error", "signup", "view"]
+    chains = [_ma_chain_sql("base", None)] + [
+        _ma_chain_sql(c, c) for c in channels
+    ]
+    effects = " + ".join(
+        f"GREATEST(pb.p - (SELECT p FROM p_{c}), 0)" for c in channels
+    )
+    rows = "\n      UNION ALL ".join(
+        f"""SELECT '{c}' AS channel,
+             CAST(pb.p AS BIGINT) AS p_base_units,
+             CAST((SELECT p FROM p_{c}) AS BIGINT) AS p_removed_units,
+             CAST(GREATEST(pb.p - (SELECT p FROM p_{c}), 0) AS BIGINT)
+               AS effect_units,
+             ROUND(CAST(GREATEST(pb.p - (SELECT p FROM p_{c}), 0) AS DOUBLE)
+                   / CAST(NULLIF({effects}, 0) AS DOUBLE) * 1e6) / 1e6
+               AS share
+      FROM p_base pb"""
+        for c in channels
+    )
+    return f"""
+    WITH e AS ({EVENTS_US_SQL}),
+    {_MA_TRANS_CTE.strip()},
+    {",".join(chains)}
+    SELECT * FROM (
+      {rows}
+    ) ORDER BY channel
+"""
+
+
+@register("agg_markov_attribution", sql=_ma_oracle_sql())
+def agg_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov (data-driven) attribution — the removal-effect model that
+    completes the attribution trilogy (win_last_touch_attribution,
+    win_time_decay_attribution): build the first-order journey chain
+    START → touches → CONV/NULL from every user's pre-purchase touch
+    prefix, compute the START→CONV absorption probability, then re-run
+    the chain with each channel REMOVED (its inbound mass diverted to
+    NULL); a channel's credit share is its normalized conversion drop —
+    channels that merely appear in journeys earn nothing unless paths
+    STOP converting without them.
+
+    EXACT INTEGER absorption (the graph_personalized_pagerank
+    contract): 1e12 mass micro-units, per step v'(s') =
+    Σ_s (v(s)·c(s,s')) div o(s) with CONV/NULL self-looping so one
+    update rule drives the whole chain; {_MA_K} truncated steps
+    (journeys beyond {_MA_K} touches are dropped mass, disclosed), so
+    every probability is a deterministic integer in BOTH engines and
+    the oracle unrolls the five chains as MATERIALIZED CTEs. Plan:
+    ONE lead/lag window pass behind a user_id shuffle builds the
+    transition counts (bounded: (channels+3)² cells); the chains
+    themselves run on the DRIVER over that channel-sized matrix — the
+    k-means bounded-state rule, NOT a data-sized collect."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rk = ev.select("user_id", "event_type", F.row_number().over(w).alias("r"))
+    pf = (
+        rk.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("r").alias("pr"))
+    )
+    touches = (
+        rk.filter(F.col("event_type") != "purchase")
+        .join(pf, "user_id", "left")
+        .filter(F.col("pr").isNull() | (F.col("r") < F.col("pr")))
+        .select("user_id", F.col("event_type").alias("ch"), "r", "pr")
+    )
+    wt = Window.partitionBy("user_id").orderBy("r")
+    seq = touches.select(
+        "user_id",
+        "ch",
+        "pr",
+        F.lag("ch").over(wt).alias("prev"),
+        F.lead("ch").over(wt).alias("nxt"),
+    )
+    starts = seq.filter(F.col("prev").isNull()).select(
+        F.lit("START").alias("cur"), F.col("ch").alias("nxt")
+    )
+    mids = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("ch").alias("cur"), F.col("nxt")
+    )
+    ends = seq.filter(F.col("nxt").isNull()).select(
+        F.col("ch").alias("cur"),
+        F.when(F.col("pr").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("NULL"))
+        .alias("nxt"),
+    )
+    no_touch = pf.join(
+        touches.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit("START").alias("cur"), F.lit("CONV").alias("nxt"))
+    tr = (
+        starts.unionByName(mids)
+        .unionByName(ends)
+        .unionByName(no_touch)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    # bounded driver state: (channels+3)^2 transition cells
+    cells = [(r["cur"], r["nxt"], int(r["n"])) for r in tr.collect()]
+    cells += [("CONV", "CONV", 1), ("NULL", "NULL", 1)]
+
+    def absorb(cells_: list) -> int:
+        out: dict = {}
+        byc: dict = {}
+        for cur, nxt, n in cells_:
+            out[cur] = out.get(cur, 0) + n
+            byc.setdefault(cur, []).append((nxt, n))
+        v = {"START": _MA_M}
+        for _ in range(_MA_K):
+            nv: dict = {}
+            for s, m in v.items():
+                for nxt, n in byc.get(s, ()):
+                    nv[nxt] = nv.get(nxt, 0) + (m * n) // out[s]
+            v = nv
+        return v.get("CONV", 0)
+
+    def removed(ch: str) -> list:
+        agg: dict = {}
+        for cur, nxt, n in cells:
+            if cur == ch:
+                continue
+            key = (cur, "NULL" if nxt == ch else nxt)
+            agg[key] = agg.get(key, 0) + n
+        return [(c, x, n) for (c, x), n in agg.items()]
+
+    p_base = absorb(cells)
+    channels = ["click", "error", "signup", "view"]
+    per = {c: absorb(removed(c)) for c in channels}
+    effects = {c: max(p_base - per[c], 0) for c in channels}
+    tot = sum(effects.values())
+    rows = [
+        (
+            c,
+            p_base,
+            per[c],
+            effects[c],
+            round(1e6 * effects[c] / tot) / 1e6 if tot else None,
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_units long, p_removed_units long,"
+        " effect_units long, share double",
+    )

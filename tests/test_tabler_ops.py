@@ -159,6 +159,33 @@ def test_rfm_grid_every_score_forced(spark, tmp_path):
     }
 
 
+# -- agg_markov_attribution ----------------------------------------------------
+
+
+def test_markov_attribution_removal_effects(spark, tmp_path):
+    t0 = D(2024, 3, 1)
+    rows = [
+        # u1: click → purchase (converts through click)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        # u2: view → no purchase
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]
+    sf = _events(spark, tmp_path, rows)
+    got = {r["channel"]: r for r in QUERIES["agg_markov_attribution"](spark, sf).collect()}
+    M = 10**12
+    # base chain: START splits 1/2 to click (→CONV) and 1/2 to view (→NULL)
+    assert got["click"]["p_base_units"] == M // 2
+    # removing click diverts its mass to NULL → conversion collapses to 0
+    assert got["click"]["p_removed_units"] == 0
+    assert got["click"]["share"] == 1.0
+    # removing view changes nothing about conversion
+    assert got["view"]["p_removed_units"] == M // 2
+    assert got["view"]["effect_units"] == 0 and got["view"]["share"] == 0.0
+    # channels absent from the data carry zero effect
+    assert got["error"]["effect_units"] == 0
+
+
 # --------------------------------------------------------------------------
 # determinism audits (the Table I/J contract)
 # --------------------------------------------------------------------------
@@ -168,6 +195,7 @@ _TABLER_KEYS = (
     "join_fifo_lot_match",
     "win_time_decay_attribution",
     "agg_rfm_segmentation",
+    "agg_markov_attribution",
 )
 
 
