@@ -51,90 +51,86 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-7 ROTATION (r6 delivered 50/50 green —
-#: zero FAIL/ERR hedges needed; promote-the-tail per VERDICT r6 task 1):
-#: (a) positions 1-6 — keys whose code or oracle CHANGED this round
-#:     (so_kmeans_ml gained a full value oracle via materialized library
-#:     assignments; pipeline_curriculum_schedule was rebuilt on the
-#:     bucketed offset-merge; agg_ks_banded / agg_mwu_banded and the
-#:     pipeline_embed_* batched-inference pair are new):
-#:     changed code certifies first, always;
-#: (b) positions 7-12 — the 6 never-sampled true-streaming keys
-#:     (VERDICT r6 task 6: finish external certification of streaming;
-#:     3 SQL-oracled + the stateful-timeout rows-only key);
-#: (c) positions 13-50 — the never-sampled tail in prior enumeration
-#:     order, verbatim (udf_map_in_arrow .. agg_ks_statistic), which
-#:     includes the approximate-similarity block (LSH/kNN/recall-audit)
-#:     and the remaining watermark streaming keys at their r6 slots.
-#: Positions 51+ enumerate EVERY remaining never-sampled key explicitly
-#: so the round-8 rotation is again a pure promote-the-tail. Keys not
-#: listed are driver-green r1-r6 and keep registration order behind the
+#: the enumeration order. ROUND-8 ROTATION (r7 delivered 49 green + 1 ERR
+#: out of 50; 90 keys never sampled going in; VERDICT r7 tasks 1/3/5):
+#: (a) position 1 — pipeline_embed_batch, the single red r7 row, whose
+#:     output shape changed this round (FAIL-first rule);
+#: (b) positions 2-37 — the five r7 late waves, newest code first:
+#:     Table Q (5), Table R (5), Table M (8), Table N (5), Table O (13),
+#:     all never sampled;
+#: (c) positions 38-50 — the highest-impact never-sampled tail: the
+#:     remaining approximate-ANN legs (IVF / partitioned-probe; PQ rides
+#:     in Table M), the simhash/dedup block, the 4 Table G keys, and
+#:     graph_pagerank / graph_triangles / pipeline_e2e_pretrain.
+#: Positions 51+ enumerate the remaining 40 never-sampled keys verbatim
+#: so the round-9 rotation is again a pure promote-the-tail that
+#: finishes external certification of the whole registry. Keys not
+#: listed are driver-green r1-r7 and keep registration order behind the
 #: prefix (guarded by tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed/new this round
-    "so_kmeans_ml",
-    "pipeline_curriculum_schedule",
-    "agg_ks_banded",
-    "agg_mwu_banded",
+    # -- (a) the one red r7 row, code changed this round (FAIL-first rule):
+    #    emb now leaves the query comma-joined (scalar-column contract)
     "pipeline_embed_batch",
-    "pipeline_embed_incremental",
-    # -- (b) true-streaming certification (never sampled)
-    "stream_stateful_count",
-    "stream_stateful_tws",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_foreachbatch_upsert",
-    "stream_stateful_session_timeout",
-    # -- (b') changed/new in the round-7 THIRD session (late re-rotation,
-    #    the round-5 precedent: changed code certifies first, always):
-    #    the two forced-distributed graph keys whose loops now right-size
-    #    their shuffles, then the 10 brand-new Table P keys. The 12 keys
-    #    they displace (old positions 39-50) lead the 51+ tail for r8.
-    #    (The 3 streaming keys whose oracles were upgraded this session
-    #    already sit at positions 12/15/16.)
-    "graph_kcore_distributed",
-    "graph_sssp_distributed",
-    "feat_woe_iv",
-    "feat_onehot_vocab",
-    "text_collocation_pmi",
-    "ts_cusum_changepoint",
-    "ts_acf_multi_lag",
-    "agg_cohort_ltv",
-    "agg_ratio_delta_ci",
-    "graph_personalized_pagerank",
-    "join_bloom_prefilter_semi",
-    "sim_rrf_fusion",
-    # -- (c) never-sampled tail, prior enumeration order
-    "udf_map_in_arrow",
-    "sim_cosine_topk_lsh",
-    "stream_watermark_late",
-    "stream_dedup_watermark",
-    "graph_wcc_sizes",
-    "graph_bfs_reachability",
-    "merge_cdc_apply",
-    "pipeline_semdedup_keep_central",
-    "pipeline_incremental_dedup",
-    "sim_knn_graph",
-    "sink_sorted_clustered_write",
-    "pipeline_lsh_recall_audit",
-    "layout_zorder_cluster",
-    "join_spatial_grid_eps",
-    "pipeline_shard_plan",
-    "pipeline_threshold_sweep",
-    "pipeline_span_corruption",
-    "pipeline_temperature_sample",
-    "win_last_touch_attribution",
-    "win_retention_cohort",
-    "win_peak_concurrency",
-    "win_percent_change_wow",
-    "ts_time_to_convert",
-    "ts_step_detection",
-    "ts_anomaly_zscore",
-    "ts_calendar_features",
+    # -- (b) newest code first: Table Q (r7 6th wave), never sampled
+    "graph_adamic_adar_link_prediction",
+    "scan_partition_evolution",
+    "sample_balanced_downsample",
+    "text_burrows_delta",
+    "text_bpe_apply",
+    # -- Table R (r7 7th wave), never sampled
+    "agg_survival_km",
+    "join_fifo_lot_match",
+    "win_time_decay_attribution",
+    "agg_rfm_segmentation",
+    "agg_markov_attribution",
+    # -- Table M (r7 2nd wave), never sampled
+    "agg_hdr_histogram_quantiles",
+    "win_ewma_irregular",
+    "pipeline_seeded_shuffle",
+    "pipeline_dataset_diff",
+    "scan_manifest_vacuum_plan",
+    "stream_rate_micro_batch",
+    "sim_cosine_topk_pq",
+    "scan_delete_vectors_apply",
+    # -- Table N (r7 3rd wave), never sampled
+    "feat_standard_scale",
+    "feat_quantile_bin",
+    "feat_target_encode",
+    "feat_hashing_trick",
+    "join_fuzzy_blocked",
+    # -- Table O (r7 4th wave), never sampled
+    "scan_python_datasource",
+    "agg_incremental_rollup",
+    "scan_expectations_report",
+    "agg_spearman_rank",
+    "graph_ktruss_peel",
+    "sink_python_datasource",
+    "scan_xml_roundtrip",
+    "udf_cogroup_pandas",
+    "win_session_window_native",
+    "udtf_table_arg",
+    "agg_theil_sen_slope",
+    "graph_random_walk_deterministic",
+    "win_allocation_waterfall",
+    # -- (c) highest-impact never-sampled tail: the remaining approximate-
+    #    ANN legs (VERDICT r7 task 5), the simhash/dedup block, the four
+    #    Table G keys, and the two flagship graph keys
+    "sim_cosine_topk_ivf",
+    "sim_ann_partitioned_probe",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_substring_spans",
+    "dedup_lines_global",
+    "pipeline_keep_best_dedup",
+    "win_mad_outliers",
+    "pipeline_bpe_pair_counts",
+    "agg_entropy",
+    "graph_pagerank",
+    "graph_triangles",
+    "pipeline_e2e_pretrain",
     # ---- window cutoff (50) ----
-    # every remaining never-sampled key, in order: the round-8
-    # window is positions 51+ verbatim (promote-the-tail); the first
-    # 12 are the keys the (b') re-rotation displaced from the window
+    # every remaining never-sampled key (40), prior enumeration order:
+    # the round-9 window is positions 51+ verbatim (promote-the-tail)
     "ts_autocorr_lag1",
     "text_bigram_lm",
     "text_langid_confusion",
@@ -163,13 +159,6 @@ _PRIORITY = (
     "scan_binaryfile",
     "scan_text_lines",
     "scan_csv_gzip",
-    "dedup_simhash",
-    "pipeline_keep_best_dedup",
-    "sim_cosine_topk_ivf",
-    "dedup_clusters",
-    "sim_ann_partitioned_probe",
-    "dedup_substring_spans",
-    "dedup_lines_global",
     "scan_orc_roundtrip",
     "agg_hll_mergeable",
     "text_lm_score",
@@ -178,25 +167,11 @@ _PRIORITY = (
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "merge_upsert_scd2",
-    "graph_pagerank",
     "pipeline_quality_composite",
     "text_pii_mask",
     "pipeline_pack_sequences",
-    "pipeline_e2e_pretrain",
     "pipeline_dataset_card",
-    "graph_triangles",
     "pipeline_chunk_overlap",
-    "win_mad_outliers",
-    "pipeline_bpe_pair_counts",
-    "agg_entropy",
-    # -- Table M (new in the round-7 second wave): never-sampled; the
-    #    round-8 rotation promotes new-code keys to the window head
-    "agg_hdr_histogram_quantiles",
-    "win_ewma_irregular",
-    "pipeline_seeded_shuffle",
-    "pipeline_dataset_diff",
-    "scan_manifest_vacuum_plan",
-    "stream_rate_micro_batch",
 )
 
 def _ordered(d: dict) -> dict:

@@ -91,7 +91,8 @@ def _encode_map_in_pandas(df: DataFrame) -> DataFrame:
 
 
 _EMBED_BATCH_SQL = f"""
-    SELECT doc_id, emb, CAST(LIST_SUM(emb) AS BIGINT) AS emb_sum
+    SELECT doc_id, ARRAY_TO_STRING(emb, ',') AS emb,
+           CAST(LIST_SUM(emb) AS BIGINT) AS emb_sum
     FROM (SELECT doc_id, {_EMB_LIST_SQL} AS emb FROM documents)
 """
 
@@ -106,10 +107,17 @@ def pipeline_embed_batch(spark: SparkSession, sf: str) -> DataFrame:
     quality monitor tracks). The stub model is deterministic md5, so
     the oracle rebuilds every vector component bit-for-bit — the
     strongest possible check of the plumbing (a dropped row, a
-    reordered batch, a mis-mapped column all change the hash). Scale:
-    one narrow projection into Python, no shuffle at all; encoding
-    parallelism is exactly the scan parallelism."""
-    return _encode_map_in_pandas(T(spark, sf, "documents"))
+    reordered batch, a mis-mapped column all change the hash). The
+    vector leaves the query as a comma-joined string: result columns
+    must be scalar-typed (see engine.canon.joined — the driver's
+    pandas canonicalizer cannot sort list columns; r7's one ERR).
+    Scale: one narrow projection into Python, no shuffle at all;
+    encoding parallelism is exactly the scan parallelism."""
+    from engine.canon import joined
+
+    return _encode_map_in_pandas(T(spark, sf, "documents")).select(
+        "doc_id", joined(F.col("emb")).alias("emb"), "emb_sum"
+    )
 
 
 _EMBED_INCR_SQL = f"""

@@ -71,9 +71,36 @@ def canon_pdf(pdf: pd.DataFrame):
     return cols, rows
 
 
+def _assert_scalar_columns(pdf: pd.DataFrame, key: str, side: str) -> None:
+    """Reject list/ndarray/dict-typed result columns.
+
+    The driver's canonicalizer pandas-sorts the result
+    (``sort_values`` → ``Categorical`` → ``factorize``), which raises
+    ``TypeError: unhashable type`` on any list-typed column — the oracle
+    never runs and the key lands as ERR (round 7: ``pipeline_embed_batch``).
+    This mirror's own repr-sort handles lists fine, so the contract must
+    be enforced explicitly: flatten arrays before returning
+    (``engine.canon.joined`` / ``ARRAY_TO_STRING``) or explode them.
+    """
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype == object:
+            for v in s:
+                if isinstance(v, (list, tuple, np.ndarray, dict, set)):
+                    raise AssertionError(
+                        f"{key}: {side} column {col!r} holds "
+                        f"{type(v).__name__}-typed cells — the driver's "
+                        "pandas sort_values canonicalizer cannot hash "
+                        "them (r7 pipeline_embed_batch ERR). Flatten with "
+                        "engine.canon.joined / ARRAY_TO_STRING or explode."
+                    )
+
+
 def compare(spark_df, duck_con, sql, key=""):
     spdf = spark_df.toPandas()
     dpdf = duck_con.execute(sql).df()
+    _assert_scalar_columns(spdf, key, "spark")
+    _assert_scalar_columns(dpdf, key, "oracle")
 
     assert sorted(spdf.columns) == sorted(dpdf.columns), (
         f"{key}: column mismatch spark={sorted(spdf.columns)} "

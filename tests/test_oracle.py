@@ -48,6 +48,18 @@ def test_oracle_output_types_pandas_safe(key, duck):
         f"{key}: HUGEINT output column(s) {bad} — add CAST(... AS BIGINT) "
         f"in the oracle SQL (DuckDB SUM(BIGINT)/LIST_SUM type as HUGEINT)"
     )
+    # r7 failure class: list/struct/map output columns crash the driver's
+    # pandas sort_values canonicalizer (unhashable) before the oracle even
+    # runs — pipeline_embed_batch's ERR. Scalar columns only.
+    nested = [
+        (c, t)
+        for c, t, *_ in desc
+        if any(tok in t.upper() for tok in ("[]", "STRUCT", "MAP("))
+    ]
+    assert not nested, (
+        f"{key}: nested output column(s) {nested} — flatten with "
+        f"ARRAY_TO_STRING / engine.canon.joined or explode before returning"
+    )
 
 
 def test_dround_matches_duckdb_round_on_random_doubles(spark, duck):

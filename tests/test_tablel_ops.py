@@ -57,7 +57,9 @@ def test_embed_batch_matches_spec_and_covers_corpus(spark, tmp_path):
     assert len(got) > _CLIENT_BATCH
     for i in (0, 64, 149):  # batch-boundary rows included
         want = _ref_embed(f"document body {i}")
-        assert list(got[i]["emb"]) == want
+        # emb leaves the query comma-joined (scalar-column contract;
+        # the driver's canonicalizer cannot sort list columns)
+        assert got[i]["emb"] == ",".join(str(c) for c in want)
         assert got[i]["emb_sum"] == sum(want)
     # module stub agrees with the local spec
     assert _stub_encode("document body 0") == _ref_embed("document body 0")
