@@ -1169,7 +1169,7 @@ def _pagerank_oracle_sql() -> str:
     )
 
 
-@register("graph_pagerank", sql=_pagerank_oracle_sql())
+@register("graph_pagerank", sql=_pagerank_oracle_sql)
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Damped PageRank (d=0.85, 10 iterations) over a user-affinity
     graph derived from events: within each (event_type, day) cohort,
@@ -2316,7 +2316,10 @@ def _malformed_csv_path_sf001() -> str:
     return scratch_dir("csv_malformed") + f"/{tag}"
 
 
-_CSV_MALFORMED_SQL = f"""
+def _csv_malformed_sql() -> str:
+    # lazy: the path embeds the orders-table fingerprint, which must be
+    # resolved when the driver runs, not at module import (ADVICE r7)
+    return f"""
     WITH raw AS (
       SELECT * FROM read_csv('{_malformed_csv_path_sf001()}/part-000.csv',
                              header = false, all_varchar = true,
@@ -2333,7 +2336,7 @@ _CSV_MALFORMED_SQL = f"""
 """
 
 
-@register("scan_csv_malformed", sql=_CSV_MALFORMED_SQL)
+@register("scan_csv_malformed", sql=_csv_malformed_sql)
 def scan_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
     """Malformed-input robustness — the ingestion property that decides
     whether one bad row kills a 100 TB load: PERMISSIVE mode parses what

@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+#: oracle SQL per key — either the string itself or a ZERO-ARG callable
+#: returning it. Callables resolve at all_oracles() CALL time, not at
+#: decoration (import) time: oracle builders that embed artifact paths
+#: fingerprinted on the source tables (streaming replay slices, the
+#: pagerank ranks9 cache, ...) must see the fingerprint of the data as
+#: it is when the driver runs, or a testdata regeneration inside a
+#: long-lived process serves a stale path (ADVICE r7).
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 #: modules that register queries (imported lazily so a bug in one module
 #: doesn't take down the whole contract surface while developing).
@@ -181,7 +188,9 @@ def _ordered(d: dict) -> dict:
 _loaded = False
 
 
-def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, sql: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
@@ -220,4 +229,4 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return _ordered(ORACLES)
+    return _ordered({k: (v() if callable(v) else v) for k, v in ORACLES.items()})

@@ -781,7 +781,7 @@ def _ivf_oracle_sql() -> str:
     )
 
 
-@register("sim_cosine_topk_ivf", sql=_ivf_oracle_sql())
+@register("sim_cosine_topk_ivf", sql=_ivf_oracle_sql)
 def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus with the k-means
     centroids (engine.kmeans), then search only the nprobe=3 cells
@@ -1245,7 +1245,7 @@ def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("sim_ann_partitioned_probe", sql=_ivf_oracle_sql())
+@register("sim_ann_partitioned_probe", sql=_ivf_oracle_sql)
 def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
     """The IVF index made PHYSICAL: the corpus is materialized to
     parquet PARTITIONED BY coarse cell (one directory per k-means cell),
@@ -1634,7 +1634,7 @@ def _semdedup_oracle_sql() -> str:
 """
 
 
-@register("pipeline_semdedup_keep_central", sql=_semdedup_oracle_sql())
+@register("pipeline_semdedup_keep_central", sql=_semdedup_oracle_sql)
 def pipeline_semdedup_keep_central(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup's resolution step: within each embedding cluster (the
     shared k-means cells), keep the single most CENTRAL document — the

@@ -333,7 +333,7 @@ def _wm_late_oracle_sql() -> str:
 """
 
 
-@register("stream_watermark_late", sql=_wm_late_oracle_sql())
+@register("stream_watermark_late", sql=_wm_late_oracle_sql)
 def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
     """True streaming run: 10-minute watermark, 1-hour tumbling counts,
     APPEND mode (only watermark-finalized windows emit). The replay
@@ -751,7 +751,7 @@ def _session_timeout_oracle_sql() -> str:
 """
 
 
-@register("stream_stateful_session_timeout", sql=_session_timeout_oracle_sql())
+@register("stream_stateful_session_timeout", sql=_session_timeout_oracle_sql)
 def stream_stateful_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization as a CUSTOM stateful operator with EVENT-TIME
     TIMEOUT — the state-lifecycle quadrant the other stream_* keys don't

@@ -346,7 +346,7 @@ def _bfs_oracle_sql() -> str:
     )
 
 
-@register("graph_bfs_reachability", sql=_bfs_oracle_sql())
+@register("graph_bfs_reachability", sql=_bfs_oracle_sql)
 def graph_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded-hop BFS (3 hops) from the 5 smallest node ids over the
     shared user-affinity multigraph (engine.analytics.affinity_edges —
@@ -549,7 +549,7 @@ def _binfile_oracle_sql() -> str:
 """
 
 
-@register("scan_binaryfile", sql=_binfile_oracle_sql())
+@register("scan_binaryfile", sql=_binfile_oracle_sql)
 def scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     """`binaryFile` source — the ingestion front door for multimodal
     corpora (images/audio land as opaque files; engine.multimodal takes
@@ -596,7 +596,7 @@ def _degree_dist_sql() -> str:
     )
 
 
-@register("graph_degree_distribution", sql=_degree_dist_sql())
+@register("graph_degree_distribution", sql=_degree_dist_sql)
 def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Out-degree histogram of the shared affinity multigraph — the
     first thing a graph pipeline inspects (skew here predicts every
@@ -794,7 +794,7 @@ def _textlines_oracle_sql() -> str:
 """
 
 
-@register("scan_text_lines", sql=_textlines_oracle_sql())
+@register("scan_text_lines", sql=_textlines_oracle_sql)
 def scan_text_lines(spark: SparkSession, sf: str) -> DataFrame:
     """Line-oriented text source (`spark.read.text`) — the rawest
     ingestion format a crawl pipeline starts from (one record per
@@ -1392,7 +1392,7 @@ def _jaccard_link_sql() -> str:
     )
 
 
-@register("graph_jaccard_link_prediction", sql=_jaccard_link_sql())
+@register("graph_jaccard_link_prediction", sql=_jaccard_link_sql)
 def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Link prediction on the shared affinity graph: for non-adjacent
     user pairs with ≥1 common neighbor, score neighbor-set Jaccard
@@ -1858,7 +1858,7 @@ def _wcc_sizes_sql() -> str:
     )
 
 
-@register("graph_wcc_sizes", sql=_wcc_sizes_sql())
+@register("graph_wcc_sizes", sql=_wcc_sizes_sql)
 def graph_wcc_sizes(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly-connected-component size histogram of the affinity graph
     — the connectivity profile (one giant component? fragmented?) that
@@ -2209,7 +2209,7 @@ def _incremental_dedup_sql() -> str:
 """
 
 
-@register("pipeline_incremental_dedup", sql=_incremental_dedup_sql())
+@register("pipeline_incremental_dedup", sql=_incremental_dedup_sql)
 def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental ingestion dedup — the shape a DAILY pipeline runs:
     yesterday's normalized content hashes are PERSISTED state (here the
@@ -2423,7 +2423,7 @@ def _assortativity_sql() -> str:
     )
 
 
-@register("graph_assortativity", sql=_assortativity_sql())
+@register("graph_assortativity", sql=_assortativity_sql)
 def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     """Degree assortativity of the affinity graph — do hubs link to
     hubs (r > 0, social-network-like) or to leaves (r < 0,
@@ -2639,7 +2639,7 @@ def _langid_confusion_sql() -> str:
 """
 
 
-@register("text_langid_confusion", sql=_langid_confusion_sql())
+@register("text_langid_confusion", sql=_langid_confusion_sql)
 def text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Confusion matrix of the heuristic language-ID against the gold
     lang labels — the evaluation every classifier-in-the-pipeline needs
@@ -2773,7 +2773,7 @@ def _sorted_write_oracle_sql() -> str:
 """
 
 
-@register("sink_sorted_clustered_write", sql=_sorted_write_oracle_sql())
+@register("sink_sorted_clustered_write", sql=_sorted_write_oracle_sql)
 def sink_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
     """Range-clustered sorted write — and a check that the LAYOUT
     ITSELF landed: lineitem is written repartitionByRange +
@@ -3406,7 +3406,7 @@ def _reciprocity_sql() -> str:
     )
 
 
-@register("graph_reciprocity", sql=_reciprocity_sql())
+@register("graph_reciprocity", sql=_reciprocity_sql)
 def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
     """Directed reciprocity of the affinity graph — the fraction of
     edges whose reverse edge also exists (mutual-follow rate): near 1

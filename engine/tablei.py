@@ -479,7 +479,7 @@ def _kcore_oracle_sql() -> str:
     return "".join(parts)
 
 
-@register("graph_kcore_peel", sql=_kcore_oracle_sql())
+@register("graph_kcore_peel", sql=_kcore_oracle_sql)
 def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-round k-core peeling (k=3, 8 rounds) over the shared
     affinity graph, reporting the per-round (nodes, edges) trajectory —
@@ -521,7 +521,7 @@ def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("round")
 
 
-@register("graph_kcore_distributed", sql=_kcore_oracle_sql())
+@register("graph_kcore_distributed", sql=_kcore_oracle_sql)
 def graph_kcore_distributed(spark: SparkSession, sf: str) -> DataFrame:
     """graph_kcore_peel with the DISTRIBUTED peel FORCED — the 100 TB
     code path (per round: one degree aggregation over the two endpoint
@@ -578,7 +578,14 @@ def _kcore_distributed(und: DataFrame) -> list[tuple[int, int, int]]:
     checkpoint is LAZY so that same action materializes it. Loop
     shuffles are right-sized to the (already-shrunken) edge relation,
     not the fact — the pagerank rule; builder-measured 4.2 → ~2 s at
-    sf0.1. All counts exact integers, partition-count-invariant."""
+    sf0.1. All counts exact integers, partition-count-invariant.
+
+    NOTE the right-sizing mutates spark.sql.shuffle.partitions for the
+    loop (finally-restored): the DataFrame API has no per-exchange
+    parallelism knob short of extra repartition shuffles. Safe because
+    the driver contract runs queries sequentially on the session (see
+    the matching note on tablej._bf_distributed); a concurrent builder
+    would use spark.newSession() for isolation."""
     spark = und.sparkSession
 
     def counts(u: DataFrame) -> tuple[int, int]:
@@ -987,7 +994,7 @@ def _mmr_oracle_sql() -> str:
     return "".join(parts)
 
 
-@register("sim_mmr_rerank", sql=_mmr_oracle_sql())
+@register("sim_mmr_rerank", sql=_mmr_oracle_sql)
 def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-marginal-relevance rerank: take each query's top-8 exact
     cosine candidates, then greedily pick 4 balancing relevance against
@@ -1328,7 +1335,7 @@ def _simhash_radius_sql() -> str:
     """
 
 
-@register("sim_simhash_radius", sql=_simhash_radius_sql())
+@register("sim_simhash_radius", sql=_simhash_radius_sql)
 def sim_simhash_radius(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming-radius search over the portable 60-bit SimHash corpus:
     for each query document (doc_id < 5), every other document whose
@@ -1415,7 +1422,7 @@ def _clustering_coeff_sql() -> str:
     )
 
 
-@register("graph_clustering_coefficient", sql=_clustering_coeff_sql())
+@register("graph_clustering_coefficient", sql=_clustering_coeff_sql)
 def graph_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node local clustering coefficient over the shared affinity
     graph: closed wedges at u / (deg·(deg−1)/2) — the community-
@@ -1648,7 +1655,7 @@ def _bootstrap_sql() -> str:
     """
 
 
-@register("agg_bootstrap_mean_ci", sql=_bootstrap_sql())
+@register("agg_bootstrap_mean_ci", sql=_bootstrap_sql)
 def agg_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Poisson bootstrap (B=16 replicates) standard error + 95% CI for
     the per-returnflag mean extended price — THE distributed bootstrap:
@@ -1932,7 +1939,7 @@ def _manifest_oracle_sql() -> str:
 """
 
 
-@register("scan_manifest_snapshot", sql=_manifest_oracle_sql())
+@register("scan_manifest_snapshot", sql=_manifest_oracle_sql)
 def scan_manifest_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot scan over a transaction-log table (the Delta/Iceberg
     mechanic, engine-neutral): replay the JSON-lines commit log — the
@@ -2014,7 +2021,7 @@ def _time_travel_oracle_sql() -> str:
 """
 
 
-@register("scan_manifest_time_travel", sql=_time_travel_oracle_sql())
+@register("scan_manifest_time_travel", sql=_time_travel_oracle_sql)
 def scan_manifest_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Time-travel read of the transaction-log table AS OF version 1:
     identical replay to scan_manifest_snapshot but the log is truncated

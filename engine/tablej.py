@@ -419,7 +419,7 @@ def _lp_labels(spark: SparkSession, und: DataFrame) -> DataFrame:
     return _lp_labels_distributed(und)
 
 
-@register("graph_label_propagation", sql=_lp_oracle_sql())
+@register("graph_label_propagation", sql=_lp_oracle_sql)
 def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     """Community detection by label propagation — 3 SYNCHRONOUS rounds
     over the undirected view of the shared affinity graph, each node
@@ -449,7 +449,7 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     return _lp_distributed(und)
 
 
-@register("graph_lp_distributed", sql=_lp_oracle_sql())
+@register("graph_lp_distributed", sql=_lp_oracle_sql)
 def graph_lp_distributed(spark: SparkSession, sf: str) -> DataFrame:
     """graph_label_propagation with the DISTRIBUTED path FORCED — no
     counted-size fallback. This is the exact code that runs at 100 TB
@@ -535,7 +535,16 @@ def _bf_distributed(w: DataFrame) -> DataFrame:
     orders of magnitude smaller than the fact pays pure scheduler
     overhead on stock 32-way exchanges — builder-measured 4.4 s → 1.8 s
     at sf0.1 from this alone. Results are exact integers, invariant to
-    the partition count (pinned by the partition-invariance tests)."""
+    the partition count (pinned by the partition-invariance tests).
+
+    NOTE the loop right-sizes via session conf (set/finally-restore of
+    spark.sql.shuffle.partitions): exchange parallelism cannot be set
+    per-exchange from the DataFrame API without inserting extra
+    repartition shuffles. This assumes NO concurrent query builds on
+    the same SparkSession mid-loop — true under the driver contract
+    (queries run sequentially; registry.drain_scratch_caches marks the
+    boundary). A multi-tenant session would instead isolate via a
+    dedicated session (spark.newSession()) per loop."""
     spark = w.sparkSession
     n_edges = w.count()  # scratch-cached by both callers: cheap
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -565,7 +574,7 @@ def _bf_distributed(w: DataFrame) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-@register("graph_sssp_bellman_ford", sql=_bf_oracle_sql())
+@register("graph_sssp_bellman_ford", sql=_bf_oracle_sql)
 def graph_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted single-source(-set) shortest distances, bounded to 4
     relaxation rounds — distributed Bellman-Ford from the 3 smallest
@@ -591,7 +600,7 @@ def graph_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     return _bf_distributed(w)
 
 
-@register("graph_sssp_distributed", sql=_bf_oracle_sql())
+@register("graph_sssp_distributed", sql=_bf_oracle_sql)
 def graph_sssp_distributed(spark: SparkSession, sf: str) -> DataFrame:
     """graph_sssp_bellman_ford with the DISTRIBUTED relaxation FORCED —
     the 100 TB code path (per round: one equi-join of the frontier
@@ -825,7 +834,7 @@ def _modularity_oracle_sql() -> str:
     )
 
 
-@register("graph_modularity_lp", sql=_modularity_oracle_sql())
+@register("graph_modularity_lp", sql=_modularity_oracle_sql)
 def graph_modularity_lp(spark: SparkSession, sf: str) -> DataFrame:
     """Modularity Q of the label-propagation partition — the standard
     "was this clustering any good" score: Q = Σ_c (m_c/m − (d_c/2m)²)
@@ -1116,7 +1125,7 @@ def _cascade_oracle_sql() -> str:
 """
 
 
-@register("pipeline_dedup_cascade_report", sql=_cascade_oracle_sql())
+@register("pipeline_dedup_cascade_report", sql=_cascade_oracle_sql)
 def pipeline_dedup_cascade_report(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup funnel, as a report: stage 1 removes exact duplicates
     (keep the smallest doc_id per md5(text) group), stage 2 removes

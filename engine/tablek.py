@@ -82,7 +82,7 @@ def _hits_oracle_sql() -> str:
     )
 
 
-@register("graph_hits_topk", sql=_hits_oracle_sql())
+@register("graph_hits_topk", sql=_hits_oracle_sql)
 def graph_hits_topk(spark: SparkSession, sf: str) -> DataFrame:
     """HITS hubs-and-authorities over the shared affinity multigraph
     collapsed to weighted edges: two full unnormalized iterations

@@ -592,7 +592,7 @@ def _vacuum_oracle_sql() -> str:
 """
 
 
-@register("scan_manifest_vacuum_plan", sql=_vacuum_oracle_sql())
+@register("scan_manifest_vacuum_plan", sql=_vacuum_oracle_sql)
 def scan_manifest_vacuum_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Vacuum plan for the transaction-log table (the fixture of
     scan_manifest_snapshot, tablei.py:1840): files whose LATEST log
@@ -711,7 +711,7 @@ def _dv_oracle_sql() -> str:
 """
 
 
-@register("scan_delete_vectors_apply", sql=_dv_oracle_sql())
+@register("scan_delete_vectors_apply", sql=_dv_oracle_sql)
 def scan_delete_vectors_apply(spark: SparkSession, sf: str) -> DataFrame:
     """Merge-on-read scan applying POSITIONAL DELETE VECTORS (the
     Iceberg v2 / Delta deletion-vector mechanic): rows are deleted by

@@ -467,7 +467,7 @@ def _ktruss_oracle_sql() -> str:
     )
 
 
-@register("graph_ktruss_peel", sql=_ktruss_oracle_sql())
+@register("graph_ktruss_peel", sql=_ktruss_oracle_sql)
 def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-round k-truss peeling (k={_KT_K}, {_KT_ROUNDS} rounds) over
     the cohort CLIQUE graph (graph_triangles' edge set): each round
@@ -787,8 +787,13 @@ def _cg_reconcile(odf, ldf):  # noqa: ANN001 - pandas cogroup signature
     bucket = int(
         odf["bucket"].iloc[0] if len(odf) else ldf["bucket"].iloc[0]
     )
-    ocents = (odf["o_totalprice"] * 100).round().astype("int64")
-    lcents = (ldf["l_extendedprice"] * 100).round().astype("int64")
+    import numpy as np
+
+    # HALF-AWAY cents (DuckDB ROUND / dround contract) — pandas
+    # .round() is numpy half-to-even; safe on 2-decimal TPC-H money
+    # only by accident, and a 3-decimal source would diverge on .5 ties
+    ocents = np.floor(odf["o_totalprice"] * 100 + 0.5).astype("int64")
+    lcents = np.floor(ldf["l_extendedprice"] * 100 + 0.5).astype("int64")
     matched = odf["o_orderkey"][odf["o_orderkey"].isin(ldf["l_orderkey"])]
     return pd.DataFrame(
         [
@@ -1297,7 +1302,7 @@ def _rw_oracle_sql() -> str:
     )
 
 
-@register("graph_random_walk_deterministic", sql=_rw_oracle_sql())
+@register("graph_random_walk_deterministic", sql=_rw_oracle_sql)
 def graph_random_walk_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic random walks over the affinity graph — the
     DeepWalk/node2vec SAMPLING substrate a graph-embedding pipeline

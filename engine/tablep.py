@@ -653,7 +653,7 @@ def _ppr_oracle_sql() -> str:
 """
 
 
-@register("graph_personalized_pagerank", sql=_ppr_oracle_sql())
+@register("graph_personalized_pagerank", sql=_ppr_oracle_sql)
 def graph_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Personalized PageRank from a seed set (user_id % {_PPR_SEED_MOD}
     = 0) over the shared affinity graph — {_PPR_ROUNDS} damped rounds

@@ -67,7 +67,7 @@ def _aa_oracle_sql() -> str:
 """
 
 
-@register("graph_adamic_adar_link_prediction", sql=_aa_oracle_sql())
+@register("graph_adamic_adar_link_prediction", sql=_aa_oracle_sql)
 def graph_adamic_adar_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Adamic–Adar link prediction over the shared affinity graph: for
     every NON-edge pair with common neighbors, score

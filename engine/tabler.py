@@ -655,7 +655,7 @@ def _ma_oracle_sql() -> str:
 """
 
 
-@register("agg_markov_attribution", sql=_ma_oracle_sql())
+@register("agg_markov_attribution", sql=_ma_oracle_sql)
 def agg_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Markov (data-driven) attribution — the removal-effect model that
     completes the attribution trilogy (win_last_touch_attribution,
@@ -755,13 +755,25 @@ def agg_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
     per = {c: absorb(removed(c)) for c in channels}
     effects = {c: max(p_base - per[c], 0) for c in channels}
     tot = sum(effects.values())
+
+    def share_q(e: int) -> float:
+        # mirror the oracle bit-for-bit: same double op order
+        # (e/tot)*1e6, then HALF-AWAY rounding (DuckDB ROUND) — Python
+        # round() is half-to-even and an exact .5 tie is reachable
+        # (integer-ratio micro-units, e.g. effect=1, total=80000 → 12.5)
+        import math
+
+        x = e / tot * 1e6
+        f = math.floor(x)
+        return (f + (1 if x - f >= 0.5 else 0)) / 1e6
+
     rows = [
         (
             c,
             p_base,
             per[c],
             effects[c],
-            round(1e6 * effects[c] / tot) / 1e6 if tot else None,
+            share_q(effects[c]) if tot else None,
         )
         for c in sorted(channels)
     ]

@@ -311,3 +311,70 @@ def test_session_timeout_timer_fires_only_below_final_watermark(spark, tmp_path)
     # gap rule; the last stays open (watermark never passes last+gap)
     assert len(by_user.get(9, [])) == 38
     assert all(r["n_events"] == 1 for r in by_user[9])
+
+
+def test_dedup_watermark_drops_planted_duplicates(spark, tmp_path):
+    """The registered key's passthrough oracle is value-equal only
+    because the sf fixture has unique event_ids and in-order arrival —
+    this planted fixture pins the dedup semantics themselves (a broken
+    dropDuplicatesWithinWatermark that passed everything through would
+    fail HERE): in-batch duplicates drop, a cross-batch duplicate
+    within the state horizon drops, a duplicate below the (one-batch-
+    lagged) late watermark drops, and a re-arrival AFTER state eviction
+    re-emits (bounded state, not a global distinct)."""
+    import os
+
+    import pandas as pd
+
+    from engine.streaming import _read_stream, _run_to_memory
+
+    _M_US = 60_000_000
+    base = 277_778 * _H_US  # hour-aligned epoch µs
+    cols = ["event_id", "ts_us", "user_id", "event_type", "value"]
+    # one slice file per micro-batch (files_per_trigger=1 below)
+    batches = [
+        # batch 0: ids 1,2,4,7 emit; the second id=1 is an in-batch dup.
+        # Watermark from b0's data = 60min − 10min = 50min (takes effect
+        # one batch later — the pinned one-batch lag).
+        [
+            (1, base + 0 * _M_US),
+            (2, base + 1 * _M_US),
+            (1, base + 2 * _M_US),
+            (4, base + 58 * _M_US),
+            (7, base + 60 * _M_US),
+        ],
+        # batch 1 (operates under b0's 50min watermark):
+        #  id=4 @59min — passes the late filter, state alive → DROPPED
+        #  id=8 @61min — new → emitted
+        # end of b1: ids 1,2 (expiry 10/11min < 50min) evicted
+        [
+            (4, base + 59 * _M_US),
+            (8, base + 61 * _M_US),
+        ],
+        # batch 2:
+        #  id=1 @55min — above the watermark, state evicted → RE-EMITTED
+        #  id=2 @20min — below the lagged watermark → late-DROPPED
+        #  id=9 @62min — new → emitted
+        [
+            (1, base + 55 * _M_US),
+            (2, base + 20 * _M_US),
+            (9, base + 62 * _M_US),
+        ],
+    ]
+    path = str(tmp_path / "dedup_replay")
+    os.makedirs(path)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(eid, ts, 7, "x", 1.0) for eid, ts in rows], columns=cols
+        ).astype({"event_id": "int64", "ts_us": "int64", "user_id": "int64"})
+        fp = os.path.join(path, f"slice_{i:03d}.parquet")
+        pdf.to_parquet(fp, index=False)
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+    s = _read_stream(spark, path, files_per_trigger=1).withWatermark(
+        "ts", "10 minutes"
+    )
+    out = _run_to_memory(
+        s.dropDuplicatesWithinWatermark(["event_id"]), "append"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 1, 2, 4, 7, 8, 9], got
