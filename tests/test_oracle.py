@@ -84,3 +84,15 @@ def test_dround_matches_duckdb_round_on_random_doubles(spark, duck):
     want = dict(duck.execute("SELECT i, ROUND(v, 2) FROM _rvals").fetchall())
     bad = [(i, got[i], want[i]) for i in got if got[i] != want[i]]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_priority_rotation_names_are_registered_and_unique():
+    """A typo'd key in the _PRIORITY rotation doesn't error — _ordered
+    silently skips unknown names, shrinking the driver's 50-key window
+    and silently demoting whatever should have filled the slot. Pin the
+    invariant here so every rotation is checked by CI."""
+    from engine.registry import _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate key in _PRIORITY"
+    unknown = [k for k in _PRIORITY if k not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
