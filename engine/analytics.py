@@ -2307,9 +2307,12 @@ def _malformed_csv_dir(spark: SparkSession, sf: str) -> str:
 
 
 def _malformed_csv_path_sf001() -> str:
-    """Import-time oracle path for the driver's correctness scale
-    (sf0.01) — same static-path contract as so_cluster_stats: the Spark
-    query writes the fixture before the oracle reads it."""
+    """Oracle path for the driver's correctness scale (sf0.01),
+    fingerprinted on the orders table — resolved LAZILY at
+    all_oracles() call time (via the _csv_malformed_sql builder), NOT
+    at module import: an import-time string would go stale if testdata
+    regenerates inside a long-lived process (the r7 ADVICE class). The
+    Spark query writes the fixture before the oracle reads it."""
     from engine.session import data_fingerprint, scratch_dir
 
     tag = "sf0_01_" + data_fingerprint("/root/testdata/sf0.01", "orders")

@@ -27,6 +27,23 @@ def dround(col: Column | str, scale: int = 0) -> Column:
     return F.round(col * p, 0) / p
 
 
+def round_half_away(x):
+    """DuckDB ROUND (std::round: half away from zero) for PYTHON-side
+    values — the driver-side mirror of the dround contract for the few
+    keys that finish their arithmetic off-cluster (channel-sized Markov
+    chains, pandas cogroup cents). Exact fractional-part comparison, no
+    ``floor(x + 0.5)``: the +0.5 addition rounds up for doubles within
+    one ulp below a .5 boundary where std::round does not. ``x -
+    floor(x)`` is exact for finite doubles (Sterbenz), so the comparison
+    is the true tie test. Accepts scalars and numpy/pandas arrays;
+    returns float64 (cast at the call site)."""
+    import numpy as np
+
+    ax = np.abs(x)
+    f = np.floor(ax)
+    return np.copysign(np.where(ax - f >= 0.5, f + 1.0, f), x)
+
+
 def joined(arr: Column, sep: str = ",") -> Column:
     """Array → delimiter-joined string (elements cast to string first).
 

@@ -69,7 +69,7 @@ _MODULES = (
 #:     remaining approximate-ANN legs (IVF / partitioned-probe; PQ rides
 #:     in Table M), the simhash/dedup block, the 4 Table G keys, and
 #:     graph_pagerank / graph_triangles / pipeline_e2e_pretrain.
-#: Positions 51+ enumerate the remaining 40 never-sampled keys verbatim
+#: Positions 51+ enumerate the remaining 41 never-sampled keys verbatim
 #: so the round-9 rotation is again a pure promote-the-tail that
 #: finishes external certification of the whole registry. Keys not
 #: listed are driver-green r1-r7 and keep registration order behind the
@@ -136,7 +136,7 @@ _PRIORITY = (
     "graph_triangles",
     "pipeline_e2e_pretrain",
     # ---- window cutoff (50) ----
-    # every remaining never-sampled key (40), prior enumeration order:
+    # every remaining never-sampled key (41), prior enumeration order:
     # the round-9 window is positions 51+ verbatim (promote-the-tail)
     "ts_autocorr_lag1",
     "text_bigram_lm",

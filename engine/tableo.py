@@ -787,13 +787,13 @@ def _cg_reconcile(odf, ldf):  # noqa: ANN001 - pandas cogroup signature
     bucket = int(
         odf["bucket"].iloc[0] if len(odf) else ldf["bucket"].iloc[0]
     )
-    import numpy as np
+    from engine.canon import round_half_away
 
     # HALF-AWAY cents (DuckDB ROUND / dround contract) — pandas
     # .round() is numpy half-to-even; safe on 2-decimal TPC-H money
     # only by accident, and a 3-decimal source would diverge on .5 ties
-    ocents = np.floor(odf["o_totalprice"] * 100 + 0.5).astype("int64")
-    lcents = np.floor(ldf["l_extendedprice"] * 100 + 0.5).astype("int64")
+    ocents = round_half_away(odf["o_totalprice"] * 100).astype("int64")
+    lcents = round_half_away(ldf["l_extendedprice"] * 100).astype("int64")
     matched = odf["o_orderkey"][odf["o_orderkey"].isin(ldf["l_orderkey"])]
     return pd.DataFrame(
         [

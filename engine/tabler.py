@@ -761,11 +761,9 @@ def agg_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
         # (e/tot)*1e6, then HALF-AWAY rounding (DuckDB ROUND) — Python
         # round() is half-to-even and an exact .5 tie is reachable
         # (integer-ratio micro-units, e.g. effect=1, total=80000 → 12.5)
-        import math
+        from engine.canon import round_half_away
 
-        x = e / tot * 1e6
-        f = math.floor(x)
-        return (f + (1 if x - f >= 0.5 else 0)) / 1e6
+        return float(round_half_away(e / tot * 1e6)) / 1e6
 
     rows = [
         (
