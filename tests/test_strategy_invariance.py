@@ -35,6 +35,9 @@ _KEYS = (
     "graph_adamic_adar_link_prediction",  # wedge self-join + anti join (Q)
     "graph_personalized_pagerank",  # unrolled integer join+agg rounds (P)
     "sim_rrf_fusion",              # dual-window rank fusion (P)
+    "agg_survival_km",             # bounded-relation windows + driver count (R)
+    "join_fifo_lot_match",         # cumulative-interval overlap join (R)
+    "agg_rfm_segmentation",        # three offset-merge rank builds (R)
 )
 
 _FLAGS = {
