@@ -96,3 +96,30 @@ def test_priority_rotation_names_are_registered_and_unique():
     assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate key in _PRIORITY"
     unknown = [k for k in _PRIORITY if k not in QUERIES]
     assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+
+
+def test_round_half_away_matches_duckdb_round(duck):
+    """Cross-engine pin for the PYTHON-side ROUND mirror (the dround
+    test's sibling): engine.canon.round_half_away must equal DuckDB
+    ROUND on random doubles plus adversarial cases — exact .5 ties
+    (where Python round() half-evens away), 1-ulp-below-tie values
+    (where floor(x+0.5) rounds up but std::round does not), and
+    negatives (half AWAY from zero, not half up)."""
+    import random
+
+    import numpy as np
+
+    from engine.canon import round_half_away
+
+    rng = random.Random(11)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(20000)]
+    vals += [float(k) + 0.5 for k in range(-50, 50)]          # exact ties
+    vals += [np.nextafter(float(k) + 0.5, k) for k in range(0, 50)]
+    vals += [np.nextafter(float(-k) - 0.5, -k) for k in range(0, 50)]
+    got = [float(round_half_away(v)) for v in vals]
+    duck.execute("CREATE OR REPLACE TEMP TABLE _hvals(i BIGINT, v DOUBLE)")
+    duck.executemany("INSERT INTO _hvals VALUES (?, ?)", list(enumerate(vals)))
+    want = [r[0] for r in duck.execute(
+        "SELECT ROUND(v) FROM _hvals ORDER BY i").fetchall()]
+    bad = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
