@@ -36,12 +36,22 @@ def round_half_away(x):
     one ulp below a .5 boundary where std::round does not. ``x -
     floor(x)`` is exact for finite doubles (Sterbenz), so the comparison
     is the true tie test. Accepts scalars and numpy/pandas arrays;
-    returns float64 (cast at the call site)."""
+    returns float64 (cast at the call site). A pandas Series comes back
+    as a Series with ITS ORIGINAL INDEX (np.where would drop it, and an
+    alignment-dependent caller would silently misalign — ADVICE r8)."""
     import numpy as np
 
     ax = np.abs(x)
     f = np.floor(ax)
-    return np.copysign(np.where(ax - f >= 0.5, f + 1.0, f), x)
+    out = np.copysign(np.where(ax - f >= 0.5, f + 1.0, f), x)
+    try:
+        import pandas as pd
+
+        if isinstance(x, pd.Series):
+            return pd.Series(out, index=x.index, name=x.name)
+    except ImportError:  # pragma: no cover
+        pass
+    return out
 
 
 def joined(arr: Column, sep: str = ",") -> Column:

@@ -58,86 +58,28 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-8 ROTATION (r7 delivered 49 green + 1 ERR
-#: out of 50; 90 keys never sampled going in; VERDICT r7 tasks 1/3/5):
-#: (a) position 1 — pipeline_embed_batch, the single red r7 row, whose
-#:     output shape changed this round (FAIL-first rule);
-#: (b) positions 2-37 — the five r7 late waves, newest code first:
-#:     Table Q (5), Table R (5), Table M (8), Table N (5), Table O (13),
-#:     all never sampled;
-#: (c) positions 38-50 — the highest-impact never-sampled tail: the
-#:     remaining approximate-ANN legs (IVF / partitioned-probe; PQ rides
-#:     in Table M), the simhash/dedup block, the 4 Table G keys, and
-#:     graph_pagerank / graph_triangles / pipeline_e2e_pretrain.
-#: Positions 51+ enumerate the remaining 41 never-sampled keys verbatim
-#: so the round-9 rotation is again a pure promote-the-tail that
-#: finishes external certification of the whole registry. Keys not
-#: listed are driver-green r1-r7 and keep registration order behind the
-#: prefix (guarded by tests/test_oracle.py every pytest run).
+#: the enumeration order. ROUND-9 ROTATION (r8 delivered 50/50 green;
+#: cross-round coverage 330/371 with 41 keys never sampled; VERDICT r8
+#: tasks 1/2 — finish external certification):
+#: (a) positions 1-41 — the 41 never-sampled keys, promoted verbatim from
+#:     r8's positions 51+ (promote-the-tail): the 25-key stats/text/graph
+#:     tail, the 4 codec-path scan keys + agg_hll_mergeable, text_lm_score,
+#:     the 4 remaining TPC-H ports (q8/q13/q15/q17), merge_upsert_scd2,
+#:     and the 5 pipeline/quality keys. First-ever driver rows for all 41
+#:     closes the registry at 371/371 externally certified.
+#: (b) positions 42-50 — highest-risk RE-certifications (VERDICT r8 task
+#:     2): the three stateful streaming keys (heaviest harness, most
+#:     environment-sensitive), the two heaviest plans (PQ ANN, k-truss),
+#:     pipeline_embed_batch (the r8 fix — prove it stays green),
+#:     agg_groupby_q1 (the flagship), and two builder's-choice re-certs:
+#:     dedup_near_minhash (heaviest LSH dedup plan, last sampled r5-era)
+#:     and stream_session (watermark streaming, replay-slice oracle).
+#: Positions 51+ list r8's window keys (all green r8) so enumeration
+#: stays deterministic; keys not listed are driver-green r1-r7 and keep
+#: registration order behind the prefix (guarded by tests/test_oracle.py
+#: every pytest run).
 _PRIORITY = (
-    # -- (a) the one red r7 row, code changed this round (FAIL-first rule):
-    #    emb now leaves the query comma-joined (scalar-column contract)
-    "pipeline_embed_batch",
-    # -- (b) newest code first: Table Q (r7 6th wave), never sampled
-    "graph_adamic_adar_link_prediction",
-    "scan_partition_evolution",
-    "sample_balanced_downsample",
-    "text_burrows_delta",
-    "text_bpe_apply",
-    # -- Table R (r7 7th wave), never sampled
-    "agg_survival_km",
-    "join_fifo_lot_match",
-    "win_time_decay_attribution",
-    "agg_rfm_segmentation",
-    "agg_markov_attribution",
-    # -- Table M (r7 2nd wave), never sampled
-    "agg_hdr_histogram_quantiles",
-    "win_ewma_irregular",
-    "pipeline_seeded_shuffle",
-    "pipeline_dataset_diff",
-    "scan_manifest_vacuum_plan",
-    "stream_rate_micro_batch",
-    "sim_cosine_topk_pq",
-    "scan_delete_vectors_apply",
-    # -- Table N (r7 3rd wave), never sampled
-    "feat_standard_scale",
-    "feat_quantile_bin",
-    "feat_target_encode",
-    "feat_hashing_trick",
-    "join_fuzzy_blocked",
-    # -- Table O (r7 4th wave), never sampled
-    "scan_python_datasource",
-    "agg_incremental_rollup",
-    "scan_expectations_report",
-    "agg_spearman_rank",
-    "graph_ktruss_peel",
-    "sink_python_datasource",
-    "scan_xml_roundtrip",
-    "udf_cogroup_pandas",
-    "win_session_window_native",
-    "udtf_table_arg",
-    "agg_theil_sen_slope",
-    "graph_random_walk_deterministic",
-    "win_allocation_waterfall",
-    # -- (c) highest-impact never-sampled tail: the remaining approximate-
-    #    ANN legs (VERDICT r7 task 5), the simhash/dedup block, the four
-    #    Table G keys, and the two flagship graph keys
-    "sim_cosine_topk_ivf",
-    "sim_ann_partitioned_probe",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_substring_spans",
-    "dedup_lines_global",
-    "pipeline_keep_best_dedup",
-    "win_mad_outliers",
-    "pipeline_bpe_pair_counts",
-    "agg_entropy",
-    "graph_pagerank",
-    "graph_triangles",
-    "pipeline_e2e_pretrain",
-    # ---- window cutoff (50) ----
-    # every remaining never-sampled key (41), prior enumeration order:
-    # the round-9 window is positions 51+ verbatim (promote-the-tail)
+    # -- (a) the 41 never-sampled keys (r8 positions 51+, verbatim order)
     "ts_autocorr_lag1",
     "text_bigram_lm",
     "text_langid_confusion",
@@ -179,10 +121,79 @@ _PRIORITY = (
     "pipeline_pack_sequences",
     "pipeline_dataset_card",
     "pipeline_chunk_overlap",
+    # -- (b) positions 42-50: highest-risk re-certifications
+    "stream_stateful_count",
+    "stream_stateful_tws",
+    "stream_stateful_session_timeout",
+    "sim_cosine_topk_pq",
+    "graph_ktruss_peel",
+    "pipeline_embed_batch",
+    "agg_groupby_q1",
+    "dedup_near_minhash",
+    "stream_session",
+    # ---- window cutoff (50) ----
+    # r8's window keys (all green r8), prior order, minus those promoted
+    # into (b) above:
+    "graph_adamic_adar_link_prediction",
+    "scan_partition_evolution",
+    "sample_balanced_downsample",
+    "text_burrows_delta",
+    "text_bpe_apply",
+    "agg_survival_km",
+    "join_fifo_lot_match",
+    "win_time_decay_attribution",
+    "agg_rfm_segmentation",
+    "agg_markov_attribution",
+    "agg_hdr_histogram_quantiles",
+    "win_ewma_irregular",
+    "pipeline_seeded_shuffle",
+    "pipeline_dataset_diff",
+    "scan_manifest_vacuum_plan",
+    "stream_rate_micro_batch",
+    "scan_delete_vectors_apply",
+    "feat_standard_scale",
+    "feat_quantile_bin",
+    "feat_target_encode",
+    "feat_hashing_trick",
+    "join_fuzzy_blocked",
+    "scan_python_datasource",
+    "agg_incremental_rollup",
+    "scan_expectations_report",
+    "agg_spearman_rank",
+    "sink_python_datasource",
+    "scan_xml_roundtrip",
+    "udf_cogroup_pandas",
+    "win_session_window_native",
+    "udtf_table_arg",
+    "agg_theil_sen_slope",
+    "graph_random_walk_deterministic",
+    "win_allocation_waterfall",
+    "sim_cosine_topk_ivf",
+    "sim_ann_partitioned_probe",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_substring_spans",
+    "dedup_lines_global",
+    "pipeline_keep_best_dedup",
+    "win_mad_outliers",
+    "pipeline_bpe_pair_counts",
+    "agg_entropy",
+    "graph_pagerank",
+    "graph_triangles",
+    "pipeline_e2e_pretrain",
 )
 
 def _ordered(d: dict) -> dict:
-    head = {k: d[k] for k in _PRIORITY if k in d}
+    # Hard-fail on a _PRIORITY name absent from the dict (ADVICE r8):
+    # a rename that skips CI, or a partial module-import failure, would
+    # otherwise silently shrink the driver's 50-key window prefix.
+    missing = [k for k in _PRIORITY if k not in d]
+    if missing:
+        raise KeyError(
+            f"_PRIORITY names missing from registry ({len(missing)}): "
+            f"{missing[:10]}"
+        )
+    head = {k: d[k] for k in _PRIORITY}
     return head | {k: v for k, v in d.items() if k not in head}
 
 _loaded = False
@@ -228,5 +239,9 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
+    # Callable builders re-execute on every call BY DESIGN (freshness:
+    # fingerprinted artifact paths must track the data as it is when the
+    # driver runs). ADVICE r8 reviewed this; memoize keyed on the
+    # resolved fingerprint only if call frequency ever grows.
     _load()
     return _ordered({k: (v() if callable(v) else v) for k, v in ORACLES.items()})

@@ -269,3 +269,13 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     except OSError:
         stats = []
     return hashlib.sha1(repr(stats).encode()).hexdigest()[:10]
+
+
+def oracle_sf() -> str:
+    """The scale-factor directory the DuckDB oracle contract runs at.
+
+    The driver's correctness sweep is fixed at sf0.01; the builder-side
+    3-SF sims override via SPARK_GRAFT_ORACLE_SF (same variable
+    tests/conftest.py reads) so artifact-pinned oracle builders resolve
+    the SAME fixture the Spark side plants, at any sim SF."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")

@@ -540,7 +540,9 @@ def _binfiles_fixture(sf: str) -> str:
 
 
 def _binfile_oracle_sql() -> str:
-    path = _binfiles_fixture("/root/testdata/sf0.01")
+    from engine.session import oracle_sf
+
+    path = _binfiles_fixture(oracle_sf())
     return f"""
     SELECT parse_filename(filename) AS fname,
            CAST(size AS BIGINT) AS n_bytes,
@@ -564,7 +566,14 @@ def scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     hex audit column is test-scale only — production keeps the bytes
     binary end-to-end."""
     path = _binfiles_fixture(sf)
-    df = spark.read.format("binaryFile").load(path + "/*.bin")
+    # pathGlobFilter, not a literal "/*.bin" glob in the path: the glob
+    # form makes the source probe the literal path first and log a
+    # caught FileNotFoundException at ERROR level on every build.
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
     return (
         df.select(
             F.element_at(F.split("path", "/"), -1).alias("fname"),
@@ -786,7 +795,9 @@ def _textlines_fixture(sf: str) -> str:
 
 
 def _textlines_oracle_sql() -> str:
-    path = _textlines_fixture("/root/testdata/sf0.01")
+    from engine.session import oracle_sf
+
+    path = _textlines_fixture(oracle_sf())
     return f"""
     WITH raw AS (SELECT decode(content) AS s FROM read_blob('{path}')),
     l AS (SELECT UNNEST(STRING_SPLIT(s, chr(10))) AS line FROM raw)

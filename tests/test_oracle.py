@@ -51,10 +51,12 @@ def test_oracle_output_types_pandas_safe(key, duck):
     # r7 failure class: list/struct/map output columns crash the driver's
     # pandas sort_values canonicalizer (unhashable) before the oracle even
     # runs — pipeline_embed_batch's ERR. Scalar columns only.
+    # Match a bare "[" so fixed-size arrays ("BIGINT[8]") are rejected
+    # too, not just "[]" (ADVICE r8).
     nested = [
         (c, t)
         for c, t, *_ in desc
-        if any(tok in t.upper() for tok in ("[]", "STRUCT", "MAP("))
+        if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
     ]
     assert not nested, (
         f"{key}: nested output column(s) {nested} — flatten with "
