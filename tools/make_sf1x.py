@@ -1,0 +1,86 @@
+"""Synthesize a 10x blow-up of the event/document/embedding tables.
+
+The sf1-readiness protocol (SCALE.md): testdata tops out at sf0.1, so
+the decade-further scaling evidence comes from a SYNTHETIC 10x replica
+of the three non-TPC-H tables, written to .scratch/sf1x/. Replication
+is cardinality-growing, not density-growing: replica i shifts every id
+column by i * (max_id + 1), so there are 10x users / documents /
+vectors with the SAME per-key event density, per-doc length, and value
+distributions — the "more traffic, same behavior" axis a production
+pipeline scales along. Timestamps are left unchanged (event RATE grows
+10x over the same horizon). TPC-H tables are byte-copied so every
+loader finds its full schema; keys that read only those tables are NOT
+valid subjects at sf1x (their input did not scale).
+
+Deterministic end-to-end: no RNG, same bytes on every run.
+
+Usage: python tools/make_sf1x.py [--src /root/testdata/sf0.1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALED = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPIED = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+
+def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
+    t = pq.read_table(f"{src}/{table}.parquet")
+    # strip pandas metadata: the replicas are a new physical table
+    t = t.replace_schema_metadata(None)
+    offsets = {
+        c: pc.max(t[c]).as_py() + 1 for c in id_cols
+    }
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(t)
+            continue
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name in offsets:
+                col = pc.add(col, pa.scalar(i * offsets[name], type=col.type))
+            cols[name] = col
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from engine.session import scratch_dir
+
+    out = pathlib.Path(scratch_dir("sf1x"))
+    for table, id_cols in SCALED.items():
+        dst = out / f"{table}.parquet"
+        t = blow_up(args.src, table, id_cols, args.factor)
+        pq.write_table(t, dst, compression="snappy")
+        print(f"{table}: {t.num_rows} rows -> {dst}")
+    for table in COPIED:
+        shutil.copyfile(f"{args.src}/{table}.parquet", out / f"{table}.parquet")
+    print(f"done: {out}")
+
+
+if __name__ == "__main__":
+    main()
