@@ -1479,19 +1479,34 @@ def dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
 # k-NN graph construction (Table H)
 # --------------------------------------------------------------------------
 
+#: max vectors a k-NN-graph candidate block may hold before it splits on
+#: a secondary key (vec_id mod split-factor). Candidate work per cell is
+#: O(size²); splitting caps it at O(size · target) — the "split hot
+#: cells" scale path the sf1x blow-up measured (SCALE.md r9). At the
+#: oracle contract SFs every cell is under target, the split factor is
+#: 1 everywhere, and the pair set (hence the result) is unchanged.
+_KNN_CELL_TARGET = 512
+
 _KNN_GRAPH_SQL = f"""
     WITH asg AS (
       SELECT vec_id, cluster
       FROM read_parquet('{_kmeans_assign_path_sf001()}/*.parquet')
     ),
+    cs AS (
+      SELECT cluster, GREATEST(1, CEIL(COUNT(*) / {_KNN_CELL_TARGET}.0))::BIGINT AS s
+      FROM asg GROUP BY cluster
+    ),
     e AS (
-      SELECT e.vec_id, a.cluster AS cell, e.embedding::DOUBLE[] AS v
+      SELECT e.vec_id, a.cluster AS cell, e.embedding::DOUBLE[] AS v,
+             e.vec_id % cs.s AS sub
       FROM embeddings e JOIN asg a USING (vec_id)
+      JOIN cs ON cs.cluster = a.cluster
     ),
     scored AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
              ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) * 1e6) / 1e6 AS cos
-      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      FROM e a JOIN e b ON a.cell = b.cell AND a.sub = b.sub
+       AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id, cos, rnk FROM (
       SELECT vec_id, neighbor_id, cos,
@@ -1514,21 +1529,40 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     engine.kmeans.materialize_assignments — cell count grows ~√N with
     the corpus, bounding per-row candidates at ~N/k).
 
-    Scale shape: one equi-self-join on cell id (hash join, skew bounded
-    by the largest cell — at 100 TB, cap cell size by splitting hot
-    cells on a secondary hash), norms precomputed per row before the
-    join, per-vector top-3 via rank-over-window (WindowGroupLimit
-    pushes the limit into the sort). Within-cell-only neighbors are the
-    declared approximation; the oracle reads the same materialized
-    assignment so both engines see identical cells (Spark runs first —
-    the so_cluster_stats contract). Singleton cells contribute no rows
-    on either engine."""
+    Scale shape: one equi-self-join on cell id (hash join), norms
+    precomputed per row before the join, per-vector top-3 via
+    rank-over-window (WindowGroupLimit pushes the limit into the sort).
+    Cells larger than _KNN_CELL_TARGET split on a secondary key
+    (vec_id mod split-factor), capping per-cell candidate work at
+    O(size·target) instead of O(size²) — measured at the r9 sf1x 10×
+    blow-up (SCALE.md): with K=10 fixed by the k-means port, 20k
+    vectors made cells ~2k wide and the unsplit join did 100× the pair
+    work (21× wall); the split restores near-linear growth. At the
+    oracle contract SFs every split factor is 1 and the pair set is
+    unchanged. Within-cell(-and-sub) neighbors are the declared
+    approximation; the oracle reads the same materialized assignment
+    and mirrors the same split rule so both engines see identical
+    candidate blocks (Spark runs first — the so_cluster_stats
+    contract). Singleton cells contribute no rows on either engine."""
     from engine.kmeans import materialize_assignments
     from engine.session import parallelize_scan, scan_units
 
     asg_path = materialize_assignments(spark, sf)
     asg = spark.read.parquet(asg_path).select(
         "vec_id", F.col("cluster").alias("cell")
+    )
+    # split factor per cell (bounded: K=10 rows to the driver). Cells
+    # larger than _KNN_CELL_TARGET split on vec_id % s — candidate work
+    # per cell drops from O(size²) to O(size · target). s == 1 for every
+    # cell at the oracle contract SFs, where the pair set is unchanged.
+    import math
+
+    splits = {
+        r["cell"]: max(1, math.ceil(r["cnt"] / _KNN_CELL_TARGET))
+        for r in asg.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    split_map = F.create_map(
+        *[F.lit(x) for c_s in sorted(splits.items()) for x in c_s]
     )
     emb = (
         parallelize_scan(
@@ -1573,15 +1607,21 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     # count is the replication-vs-parallelism knob.
     a2 = a.withColumn(
         "salt", F.pmod(F.col("vec_id"), F.lit(_KNN_SALTS)).cast("int")
+    ).withColumn(
+        "sub", F.pmod(F.col("vec_id"), F.element_at(split_map, F.col("ca")))
     )
     b2 = b.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_KNN_SALTS - 1)))
+    ).withColumn(
+        "sub",
+        F.pmod(F.col("neighbor_id"), F.element_at(split_map, F.col("cb"))),
     )
     scored = (
         a2.join(
             b2,
             (F.col("ca") == F.col("cb"))
             & (a2["salt"] == b2["salt"])
+            & (a2["sub"] == b2["sub"])
             & (F.col("vec_id") != F.col("neighbor_id")),
         )
         .select("vec_id", "neighbor_id", cos.alias("cos"))

@@ -41,6 +41,33 @@ COPIED = (
 )
 
 
+def _roll_vectors(col: pa.ChunkedArray, shift: int) -> pa.Array:
+    """Rotate every embedding's components by ``shift`` positions.
+
+    Exact duplicates are adversarial for the similarity keys (10
+    identical copies of a vector all collide into the same LSH/IVF
+    bucket, inflating candidate sets quadratically), and these
+    embeddings are measured-isotropic (BASELINE.md OPQ finding:
+    |corr|≈0.03 between dimensions, variances uniform), so a component
+    rotation preserves the distribution exactly while making every
+    replica a distinct vector. Deterministic: replica i rolls by i."""
+    import numpy as np
+
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    d = len(flat) // n
+    rolled = np.roll(flat.reshape(n, d), shift, axis=1).ravel()
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(rolled, type=arr.type.value_type), d
+    ).cast(arr.type) if pa.types.is_fixed_size_list(arr.type) else (
+        pa.ListArray.from_arrays(
+            pa.array(range(0, (n + 1) * d, d), type=pa.int32()),
+            pa.array(rolled, type=arr.type.value_type),
+        )
+    )
+
+
 def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
     t = pq.read_table(f"{src}/{table}.parquet")
     # strip pandas metadata: the replicas are a new physical table
@@ -58,6 +85,8 @@ def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
             col = t[name]
             if name in offsets:
                 col = pc.add(col, pa.scalar(i * offsets[name], type=col.type))
+            elif table == "embeddings" and name == "embedding":
+                col = _roll_vectors(col, i % 64)
             cols[name] = col
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
