@@ -1032,3 +1032,75 @@ def test_banded_rank_stats_bucket_partitioned_windows(spark):
         p = _plan(spark, key)
         assert "hashpartitioning(bucket" in p, (key, p)
         assert "windowspecdefinition(bucket" in p, (key, p)
+
+
+def test_knn_graph_hot_cell_split(spark, monkeypatch):
+    """Pin the r9 hot-cell split (similarity.py): cells larger than
+    _KNN_CELL_TARGET split on vec_id % ceil(size/target), bounding the
+    within-cell self-join at O(size·target). Two directions: (a) with
+    the default target no SF_SMOKE cell splits, so the key must equal a
+    brute-force within-cell top-3 computed here (the oracle can't catch
+    a rule both engines implement identically wrong); (b) with a tiny
+    target the split must ENGAGE, and every emitted neighbor must share
+    the sub-cell as well as the cell."""
+    import math
+    from collections import Counter
+
+    import engine.similarity as S
+    from engine.kmeans import materialize_assignments
+
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(
+            materialize_assignments(spark, SF_SMOKE)
+        ).collect()
+    }
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    sizes = Counter(asg.values())
+
+    def brute(split):
+        import itertools
+
+        out = {}
+        for v, cell in asg.items():
+            s = max(1, math.ceil(sizes[cell] / split))
+            cands = [
+                u
+                for u, c in asg.items()
+                if c == cell and u != v and u % s == v % s
+            ]
+            scored = []
+            for u in cands:
+                dot = sum(a * b for a, b in zip(emb[v], emb[u]))
+                na = math.sqrt(sum(a * a for a in emb[v]))
+                nb = math.sqrt(sum(b * b for b in emb[u]))
+                scored.append((round(dot / (na * nb) * 1e6) / 1e6, u))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for rnk, (cos, u) in enumerate(scored[:3], 1):
+                out[(v, u)] = (rnk, cos)
+        return out
+
+    # (a) default target: no split at SF_SMOKE; exact equality
+    assert max(sizes.values()) < S._KNN_CELL_TARGET
+    got = {
+        (r["vec_id"], r["neighbor_id"]): (r["rnk"], r["cos"])
+        for r in QUERIES["sim_knn_graph"](spark, SF_SMOKE).collect()
+    }
+    assert got == brute(S._KNN_CELL_TARGET)
+
+    # (b) tiny target: the split must engage and confine neighbors
+    monkeypatch.setattr(S, "_KNN_CELL_TARGET", 8)
+    split = {c: max(1, math.ceil(n / 8)) for c, n in sizes.items()}
+    assert max(split.values()) > 1
+    rows = QUERIES["sim_knn_graph"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        ca, cb = asg[r["vec_id"]], asg[r["neighbor_id"]]
+        assert ca == cb
+        assert r["vec_id"] % split[ca] == r["neighbor_id"] % split[ca]
+    assert {
+        (r["vec_id"], r["neighbor_id"]): (r["rnk"], r["cos"]) for r in rows
+    } == brute(8)
