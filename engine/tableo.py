@@ -1459,3 +1459,203 @@ def win_allocation_waterfall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Banded cohort graph (round 9): the scale-safe twin of the clique keys
+# --------------------------------------------------------------------------
+
+#: fan-out cap of the banded cohort graph: each cohort member connects to
+#: its next _BAND neighbors in (first_ts, user_id) order, so per-cohort
+#: edges are <= _BAND * n instead of the clique's n*(n-1)/2. The r9 sf1x
+#: blow-up (SCALE.md) measured the clique construction densifying 105.8x
+#: for 10x users/day; this construction grows linearly by design.
+_BAND = 8
+
+
+def _banded_cohort_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected (u < v) edge set of the BANDED cohort graph.
+
+    Same cohorts as graph_triangles / graph_ktruss_peel (>= 3 events per
+    (event_type, day)), but edges connect only members within _BAND
+    positions in the cohort's deterministic (first_ts, user_id) order —
+    the capped construction the clique keys' SCALE.md entry prescribes
+    for 100 TB. The band join is an EXPLODE + EQUI-join on (cohort,
+    position): the a-side fans out its _BAND target positions, so the
+    plan never materializes the quadratic cohort self-join that a range
+    predicate on a plain cohort join would (join first, filter later).
+    Max degree is 2*_BAND, which bounds every downstream triangle/wedge
+    enumeration per vertex by a constant."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf, "events")
+    cohort = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("day"), "user_id", "ts"
+        )
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"), F.min("ts").alias("first_ts"))
+        .filter(F.col("n_ev") >= 3)
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("first_ts", "user_id")
+    pos = cohort.select(
+        "event_type", "day", "user_id", F.row_number().over(w).alias("pos")
+    )
+    a = (
+        pos.select("event_type", "day", F.col("user_id").alias("ua"), "pos")
+        .withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(_BAND))))
+        .select("event_type", "day", "ua", (F.col("pos") + F.col("d")).alias("pos_b"))
+    )
+    b = pos.select(
+        "event_type", "day", F.col("user_id").alias("ub"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, ["event_type", "day", "pos_b"])
+        .select(
+            F.least("ua", "ub").alias("u"), F.greatest("ua", "ub").alias("v")
+        )
+        .distinct()
+    )
+
+
+_BANDED_E0_CTE = f"""
+    cohort AS MATERIALIZED (
+      SELECT event_type, date_trunc('day', ts) AS day, user_id,
+             MIN(ts) AS first_ts
+      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+    ),
+    bpos AS MATERIALIZED (
+      SELECT event_type, day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY first_ts, user_id) AS pos
+      FROM cohort
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.user_id, b.user_id) AS u,
+                      GREATEST(a.user_id, b.user_id) AS v
+      FROM bpos a JOIN bpos b
+        ON a.event_type = b.event_type AND a.day = b.day
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + {_BAND}
+    )"""
+
+_TRIANGLES_BANDED_SQL = (
+    "WITH "
+    + _BANDED_E0_CTE
+    + """,
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
+    GROUP BY user_id
+"""
+)
+
+
+@register("graph_triangles_banded", sql=_TRIANGLES_BANDED_SQL)
+def graph_triangles_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user triangle participation over the BANDED cohort graph —
+    the scale-safe twin of graph_triangles (the r7 banded-twin pattern:
+    agg_ks_banded / agg_mwu_banded). The r9 10x blow-up measured the
+    clique construction at 105.8x edges for 10x users (27x wall for the
+    triangle count, 57.8x for the k-truss peel); the banded graph's
+    edges grow LINEARLY and its max degree is 2*_BAND, so the textbook
+    three-way edge self-join is already arboricity-bounded per vertex —
+    no compact-forward orientation needed. Triangles here are cohort-
+    local cliques among temporally adjacent members, the structure a
+    community-detection pass actually wants at 100 TB."""
+    e = _banded_cohort_edges(spark, sf)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("user_id")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _ktruss_banded_oracle_sql() -> str:
+    ctes = ["\n" + _BANDED_E0_CTE]
+    for i in range(_KT_ROUNDS):
+        ctes.append(
+            f"""
+    tri{i} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.v
+      JOIN e{i} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup{i} AS MATERIALIZED (
+      SELECT u, v, COUNT(*) AS sup FROM (
+        SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT b AS u, c AS v FROM tri{i}
+        UNION ALL SELECT a AS u, c AS v FROM tri{i}) _t
+      GROUP BY 1, 2
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.sup >= {_KT_K - 2}
+    )"""
+        )
+    rounds = "\n      UNION ALL ".join(
+        f"""SELECT {i + 1} AS round,
+             (SELECT COUNT(*) FROM e{i}) AS n_edges_before,
+             (SELECT COUNT(*) FROM e{i + 1}) AS n_edges_after,
+             (SELECT COALESCE(CAST(SUM(u * {_KT_CHECK_MULT} + v) AS BIGINT), 0)
+              FROM e{i + 1}) AS checksum_after"""
+        for i in range(_KT_ROUNDS)
+    )
+    return (
+        "WITH " + ",".join(ctes) + "\n    " + rounds + "\n    ORDER BY round"
+    )
+
+
+@register("graph_ktruss_banded", sql=_ktruss_banded_oracle_sql)
+def graph_ktruss_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """k-truss peel (same k={_KT_K}, {_KT_ROUNDS} rounds, same trajectory
+    output as graph_ktruss_peel) over the BANDED cohort graph — the
+    construction-capped twin the r9 sf1x measurement prescribed: the
+    clique input grows quadratically in cohort size (105.8x edges at the
+    10x blow-up), the banded input linearly, so the identical peel loop
+    keeps its per-round join+agg cost proportional to the data. Peel
+    mechanics match graph_ktruss_peel line for line (triangle
+    enumeration on the ordered edge set, partial-aggregable support
+    count, left-semi survivor filter, eager localCheckpoint per round);
+    only the edge construction differs."""
+    edges = _banded_cohort_edges(spark, sf).localCheckpoint(eager=True)
+    traj = []
+    for rnd in range(1, _KT_ROUNDS + 1):
+        n_before = edges.count()
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= _KT_K - 2)
+            .select("u", "v")
+        )
+        edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(
+            eager=True
+        )
+        after = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("u") * _KT_CHECK_MULT + F.col("v")), F.lit(0)
+            ).alias("ck"),
+        ).first()
+        traj.append((rnd, n_before, after["n"], after["ck"]))
+    return spark.createDataFrame(
+        traj,
+        "round int, n_edges_before long, n_edges_after long, checksum_after long",
+    ).orderBy("round")

@@ -179,6 +179,8 @@ _TABLEO_KEYS = (
     "agg_theil_sen_slope",
     "graph_random_walk_deterministic",
     "win_allocation_waterfall",
+    "graph_triangles_banded",
+    "graph_ktruss_banded",
 )
 
 
@@ -556,3 +558,108 @@ def test_allocation_waterfall_clamps_in_ship_order(spark, tmp_path):
         for r in QUERIES["win_allocation_waterfall"](spark, sf).collect()
     }
     assert got == {"Brand#A": (60, 40, 2), "Brand#B": (30, 30, 0)}
+
+
+# -- banded cohort graph (r9) -------------------------------------------------
+
+def _banded_fixture(spark, tmp_path, n_users=12):
+    """One cohort of n_users with distinct, increasing first_ts (user u's
+    events start at minute 10*u), so cohort position == user order and
+    the expected banded edge set is exactly {(u, v): 1 <= v - u <= 8}."""
+    base = datetime.datetime(2024, 5, 1, 6, 0, 0)
+    rows, eid = [], 0
+    for u in range(1, n_users + 1):
+        for j in range(3):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(minutes=10 * u + j),
+                    u,
+                    "a",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    return _write(spark, tmp_path, "events", df)
+
+
+def test_banded_edges_are_exactly_the_band(spark, tmp_path):
+    from engine.tableo import _BAND, _banded_cohort_edges
+
+    sf = _banded_fixture(spark, tmp_path)
+    got = {(r["u"], r["v"]) for r in _banded_cohort_edges(spark, sf).collect()}
+    want = {
+        (u, v)
+        for u in range(1, 13)
+        for v in range(1, 13)
+        if 1 <= v - u <= _BAND
+    }
+    assert got == want
+    # per-node degree bound inside one cohort: <= 2 * _BAND
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in got:
+        deg[u] += 1
+        deg[v] += 1
+    assert max(deg.values()) <= 2 * _BAND
+
+
+def test_banded_triangles_match_bruteforce(spark, tmp_path):
+    from engine.tableo import _BAND
+
+    sf = _banded_fixture(spark, tmp_path)
+    edges = {
+        (u, v)
+        for u in range(1, 13)
+        for v in range(1, 13)
+        if 1 <= v - u <= _BAND
+    }
+    import itertools
+
+    want = {}
+    for a, b, c in itertools.combinations(range(1, 13), 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    got = {
+        r["user_id"]: r["n_triangles"]
+        for r in QUERIES["graph_triangles_banded"](spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_ktruss_banded_equals_clique_peel_on_small_cohorts(spark, tmp_path):
+    """Cohorts smaller than the band ARE cliques, so the banded peel
+    must reproduce the clique peel's planted trajectory: the K4 cohort
+    survives (each edge in 2 triangles), the K3 dies in round 1."""
+    base = datetime.datetime(2024, 4, 1, 6, 0, 0)
+    rows, eid = [], 0
+    for users, typ in [((1, 2, 3, 4), "a"), ((5, 6, 7), "b")]:
+        for u in users:
+            for j in range(3):
+                rows.append(
+                    (eid, base + datetime.timedelta(minutes=eid), u, typ, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write(spark, tmp_path, "events", df)
+    from engine.tableo import _KT_CHECK_MULT
+
+    k4_edges = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    ck = sum(u * _KT_CHECK_MULT + v for u, v in k4_edges)
+    traj = QUERIES["graph_ktruss_banded"](spark, sf).collect()
+    assert [
+        (r["round"], r["n_edges_before"], r["n_edges_after"], r["checksum_after"])
+        for r in traj
+    ] == [(1, 9, 6, ck), (2, 6, 6, ck), (3, 6, 6, ck)]
