@@ -71,9 +71,12 @@ _MODULES = (
 #:     2): the three stateful streaming keys (heaviest harness, most
 #:     environment-sensitive), the two heaviest plans (PQ ANN, k-truss),
 #:     pipeline_embed_batch (the r8 fix — prove it stays green),
-#:     agg_groupby_q1 (the flagship), and two builder's-choice re-certs:
-#:     dedup_near_minhash (heaviest LSH dedup plan, last sampled r5-era)
-#:     and stream_session (watermark streaming, replay-slice oracle).
+#:     agg_groupby_q1 (the flagship), and — changed-code-first rule, the
+#:     r5/r7/r8 precedent — the two BRAND-NEW Table S keys
+#:     (graph_triangles_banded / graph_ktruss_banded, the banded cohort
+#:     twins added late in r9): new code certifies first, and with them
+#:     in the window a fully-green r9 closes certification of the ENTIRE
+#:     373-key registry with zero never-sampled keys remaining.
 #: Positions 51+ list r8's window keys (all green r8) so enumeration
 #: stays deterministic; keys not listed are driver-green r1-r7 and keep
 #: registration order behind the prefix (guarded by tests/test_oracle.py
@@ -129,8 +132,8 @@ _PRIORITY = (
     "graph_ktruss_peel",
     "pipeline_embed_batch",
     "agg_groupby_q1",
-    "dedup_near_minhash",
-    "stream_session",
+    "graph_triangles_banded",
+    "graph_ktruss_banded",
     # ---- window cutoff (50) ----
     # r8's window keys (all green r8), prior order, minus those promoted
     # into (b) above:
