@@ -64,6 +64,38 @@ def test_oracle_output_types_pandas_safe(key, duck):
     )
 
 
+def test_nested_gate_catches_fixed_size_arrays(duck):
+    """Gate self-test (VERDICT r9 task 5): DuckDB fixed-size arrays type
+    as e.g. ``BIGINT[3]`` — no ``[]`` token — so the nested-output gate
+    must match a bare ``[``.  Pin that a fixed-size-array column, a
+    variable list, a struct, and a map are ALL flagged, and that the
+    scalar types the registry actually emits pass clean."""
+    flagged_sql = {
+        "fixed": "SELECT CAST([1,2,3] AS BIGINT[3]) AS v",
+        "list": "SELECT [1,2,3] AS v",
+        "struct": "SELECT {'a': 1} AS v",
+        "map": "SELECT MAP([1],[2]) AS v",
+    }
+    for label, sql in flagged_sql.items():
+        desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+        nested = [
+            (c, t)
+            for c, t, *_ in desc
+            if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
+        ]
+        assert nested, f"{label}: gate missed nested type {desc}"
+    desc = duck.execute(
+        "DESCRIBE SELECT 1::BIGINT AS a, 1.5::DOUBLE AS b, 'x' AS c, "
+        "DATE '2024-01-01' AS d, TRUE AS e"
+    ).fetchall()
+    nested = [
+        (c, t)
+        for c, t, *_ in desc
+        if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
+    ]
+    assert not nested, f"gate false-positive on scalar types: {nested}"
+
+
 def test_dround_matches_duckdb_round_on_random_doubles(spark, duck):
     """Cross-engine rounding sweep: dround must equal DuckDB ROUND on a
     large seeded sample including adversarial near-boundary values."""

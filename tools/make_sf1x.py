@@ -56,7 +56,23 @@ def _roll_vectors(col: pa.ChunkedArray, shift: int) -> pa.Array:
     arr = col.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
-    d = len(flat) // n
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        lens = pc.list_value_length(arr)
+        lo, hi = pc.min(lens).as_py(), pc.max(lens).as_py()
+        if lo != hi:
+            raise ValueError(
+                f"ragged embedding column (len {lo}..{hi}); rolling a flat "
+                "buffer would scramble vectors across rows"
+            )
+        d = lo
+    assert len(flat) == n * d
+    if shift % d == 0 and shift != 0:
+        raise ValueError(
+            f"roll shift {shift} is a multiple of dim {d}: replica would be "
+            "an exact duplicate (use --factor <= dim)"
+        )
     rolled = np.roll(flat.reshape(n, d), shift, axis=1).ravel()
     return pa.FixedSizeListArray.from_arrays(
         pa.array(rolled, type=arr.type.value_type), d
@@ -86,7 +102,9 @@ def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
             if name in offsets:
                 col = pc.add(col, pa.scalar(i * offsets[name], type=col.type))
             elif table == "embeddings" and name == "embedding":
-                col = _roll_vectors(col, i % 64)
+                # pass i raw: _roll_vectors raises if i wraps to an exact
+                # duplicate (i % dim == 0), i.e. factor must be <= dim
+                col = _roll_vectors(col, i)
             cols[name] = col
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)

@@ -9,7 +9,7 @@ compare as the pytest pre-flight (tests/oracle_utils.compare).
 Usage:
     python tools/sim_driver.py            # window sim: first 50 keys
     python tools/sim_driver.py --n 41     # first 41 keys
-    python tools/sim_driver.py --all      # full registry (371 keys)
+    python tools/sim_driver.py --all      # full registry (every key)
     SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 python tools/sim_driver.py
 
 Exit code 0 only if every sampled key passes.
