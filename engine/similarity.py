@@ -846,6 +846,30 @@ def _ivf_oracle_sql() -> str:
     )
 
 
+def _ivf_probe(spark: SparkSession, q: DataFrame, means: list) -> DataFrame:
+    """nprobe=3 nearest cells per query against the materialized k-means
+    centroid list (shared by sim_cosine_topk_ivf and the IVF+PQ
+    composite). Query set is driver-sized by contract (5 rows)."""
+    import math
+
+    def top_cells(qrow):
+        def dist(c):
+            # half-away-from-zero on the scaled double — the EXACT
+            # arithmetic of the oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6
+            # (python round() is banker's/decimal-correct and can differ
+            # near a .5e-6 boundary, flipping which cells are probed)
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c)))
+            return math.floor(d * 1e6 + 0.5) / 1e6
+
+        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
+
+    qrows = q.collect()  # 5 rows — the query set is driver-sized by definition
+    return spark.createDataFrame(
+        [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
+        "query_id long, cell int",
+    )
+
+
 @register("sim_cosine_topk_ivf", sql=_ivf_oracle_sql)
 def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus with the k-means
@@ -862,8 +886,6 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     can't flip on accumulation-order FP noise."""
     from engine.kmeans import materialize_assignments, materialize_means
 
-    import math
-
     emb = T(spark, sf, "embeddings")
     asg_path = materialize_assignments(spark, sf)
     _means_pq, means = materialize_means(spark, sf)
@@ -876,24 +898,7 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
-    # nprobe nearest cells per query, computed against the centroid list
-
-    def top_cells(qrow):
-        def dist(c):
-            # half-away-from-zero on the scaled double — the EXACT
-            # arithmetic of the oracle's ROUND(LIST_DISTANCE(...)*1e6)/1e6
-            # (python round() is banker's/decimal-correct and can differ
-            # near a .5e-6 boundary, flipping which cells are probed)
-            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c)))
-            return math.floor(d * 1e6 + 0.5) / 1e6
-
-        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
-
-    qrows = q.collect()  # 5 rows — the query set is driver-sized by definition
-    probe = spark.createDataFrame(
-        [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
-        "query_id long, cell int",
-    )
+    probe = _ivf_probe(spark, q, means)
     scored = (
         q.join(F.broadcast(probe), "query_id")
         .join(corpus, "cell")
@@ -2042,38 +2047,22 @@ _PQ_SQL = f"""
 """
 
 
-@register("sim_cosine_topk_pq", sql=_PQ_SQL)
-def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (ADC) — the codebook-compression leg of the ANN method matrix next
-    to brute force / LSH / IVF / SRP: vectors L2-normalize, split into
-    S={_PQ_S} subspaces of d={_PQ_D} dims, and each subvector is coded
-    as its nearest of K={_PQ_K} per-subspace centroids; a query then
-    scores a DATABASE VECTOR by summing query-to-centroid dots — at
-    100 TB the corpus stores S bytes per vector instead of 4·D, and
-    scoring reads a precomputed S×K lookup table, never the vectors.
+def _pq_encode(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ front half (sim_cosine_topk_pq + the IVF+PQ composite):
+    L2-normalize, build the deterministic hash-bottom-K codebook, and
+    encode every corpus vector. Returns (norm, corpus_sub, enc) where
+    enc = (vec_id, s, cid, csub).
 
-    Determinism/oracle contract: the codebook is the deterministic
-    hash-bottom-{_PQ_K} sample of the corpus (one-step init; Lloyd
-    refinement was measured NOT to lift recall on these isotropic
-    embeddings, so the shipped contract stays sample-init — clustered
-    production data would k-means-refine via the so_kmeans seeded
-    contract), assignment argmins compare micro-unit-QUANTIZED
-    distances with centroid-id tie-breaks, and ADC accumulates EXACT
-    LONG micro-units so partial-aggregation order cannot move a hash.
-    recall@{_PQ_TOPK} is self-auditing: every PQ hit carries in_exact
-    vs the exact cosine top-{_PQ_TOPK} computed alongside.
-
-    Plan shape: codebook (K rows) and query subvectors broadcast; the
-    encode pass is one broadcast join + per-(vector, subspace) argmin
-    window; nothing all-pairs (the corpus never joins itself)."""
-    emb = T(spark, sf, "embeddings")
+    The heavy higher-order expressions are built as SINGLE SQL strings:
+    the equivalent nested F.transform/F.aggregate lambdas cost ~3 s of
+    py4j round-trips just CONSTRUCTING the plan (measured), before any
+    row is touched. Encode avoids the K-way row expansion: the
+    per-subspace codebook rides as ONE broadcast array column, all K
+    distances evaluate inside a single projection, and the argmin is an
+    array_sort on (quantized d2, cid) structs — no shuffle, no argmin
+    window."""
     from engine.session import hash60
 
-    # the heavy higher-order expressions are built as SINGLE SQL
-    # strings: the equivalent nested F.transform/F.aggregate lambdas
-    # cost ~3 s of py4j round-trips just CONSTRUCTING the plan
-    # (measured), before any row is touched
     norm = (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn(
@@ -2101,10 +2090,6 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     corpus_sub = norm.select("vec_id", subs.alias("x")).select(
         "vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("vsub")
     )
-    # encode WITHOUT the K-way row expansion: the per-subspace codebook
-    # rides as ONE broadcast array column, all K distances evaluate
-    # inside a single projection, and the argmin is an array_sort on
-    # (quantized d2, cid) structs — no shuffle, no argmin window
     cent_arr = cent_sub.groupBy("s").agg(
         F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
     )
@@ -2121,6 +2106,36 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.csub").alias("csub")
         )
     )
+    return norm, corpus_sub, enc
+
+
+@register("sim_cosine_topk_pq", sql=_PQ_SQL)
+def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the codebook-compression leg of the ANN method matrix next
+    to brute force / LSH / IVF / SRP: vectors L2-normalize, split into
+    S={_PQ_S} subspaces of d={_PQ_D} dims, and each subvector is coded
+    as its nearest of K={_PQ_K} per-subspace centroids; a query then
+    scores a DATABASE VECTOR by summing query-to-centroid dots — at
+    100 TB the corpus stores S bytes per vector instead of 4·D, and
+    scoring reads a precomputed S×K lookup table, never the vectors.
+
+    Determinism/oracle contract: the codebook is the deterministic
+    hash-bottom-{_PQ_K} sample of the corpus (one-step init; Lloyd
+    refinement was measured NOT to lift recall on these isotropic
+    embeddings, so the shipped contract stays sample-init — clustered
+    production data would k-means-refine via the so_kmeans seeded
+    contract), assignment argmins compare micro-unit-QUANTIZED
+    distances with centroid-id tie-breaks, and ADC accumulates EXACT
+    LONG micro-units so partial-aggregation order cannot move a hash.
+    recall@{_PQ_TOPK} is self-auditing: every PQ hit carries in_exact
+    vs the exact cosine top-{_PQ_TOPK} computed alongside.
+
+    Plan shape: codebook (K rows) and query subvectors broadcast; the
+    encode pass is one broadcast join + per-(vector, subspace) argmin
+    window; nothing all-pairs (the corpus never joins itself)."""
+    emb = T(spark, sf, "embeddings")
+    norm, corpus_sub, enc = _pq_encode(emb)
     q_sub = corpus_sub.filter(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), "s", F.col("vsub").alias("qsub")
     )
@@ -2139,12 +2154,19 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     pq_top = adc.withColumn("rnk", F.row_number().over(w_pq)).filter(
         F.col("rnk") <= _PQ_TOPK
     )
+    return _pq_audit_join(pq_top, _pq_exact_top(norm))
+
+
+def _pq_exact_top(norm: DataFrame) -> DataFrame:
+    """Exact cosine top-K over the FULL corpus for the self-audit leg
+    shared by sim_cosine_topk_pq and the IVF+PQ composite: returns
+    (query_id, ex_neighbor)."""
     qn = norm.filter(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
     )
     cn = norm.select(F.col("vec_id").alias("neighbor_id"), F.col("en").alias("ce"))
     w_ex = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    exact_top = (
+    return (
         F.broadcast(qn)
         .join(cn, F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -2159,6 +2181,11 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", F.col("neighbor_id").alias("ex_neighbor"))
     )
+
+
+def _pq_audit_join(pq_top: DataFrame, exact_top: DataFrame) -> DataFrame:
+    """Left-join the PQ/ADC top-K against the exact top-K so every hit
+    carries an in_exact recall flag."""
     return (
         pq_top.join(
             exact_top,
@@ -2175,3 +2202,204 @@ def sim_cosine_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+#: the production composite: IVF coarse probe (nprobe=3 of the k-means
+#: cells) prunes the corpus, then PQ/ADC scores ONLY the probed cells.
+#: Same CTEs as _PQ_SQL for the codebook/encode, same probe CTEs as
+#: _TOPK_IVF_SQL for the cell ranking; {{means}}/{{assign}} are the
+#: sf0.01-pinned k-means artifacts (the so_kmeans_ml contract).
+_IVF_PQ_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(
+               {_PQ_DOT.format(d=64, a="e", b="e")})) AS en
+      FROM base
+    ),
+    cb AS (
+      SELECT vec_id, en, rn - 1 AS cid FROM (
+        SELECT vec_id, en, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rn
+        FROM nrm) WHERE rn <= {_PQ_K}
+    ),
+    sub AS (SELECT UNNEST(generate_series(0, {_PQ_S - 1})) AS s),
+    cent_sub AS (
+      SELECT cid, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS csub
+      FROM cb, sub
+    ),
+    corpus_sub AS (
+      SELECT vec_id, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS vsub
+      FROM nrm, sub
+    ),
+    enc AS (
+      SELECT vec_id, s, cid, csub FROM (
+        SELECT c.vec_id, c.s, k.cid, k.csub,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+                 CAST(ROUND({_PQ_D2.format(d=_PQ_D, a="c.vsub", b="k.csub")}
+                       * 1e6) AS BIGINT), k.cid) AS rn
+        FROM corpus_sub c JOIN cent_sub k ON k.s = c.s)
+      WHERE rn = 1
+    ),
+    m AS (SELECT cluster, mean FROM read_parquet('{{means}}/*.parquet')),
+    qraw AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             FROM embeddings WHERE vec_id < {_PQ_TOPK}),
+    cellrank AS (
+      SELECT query_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(LIST_DISTANCE(qe, mean) * 1e6) / 1e6,
+                        cluster) AS crnk
+      FROM qraw CROSS JOIN m
+    ),
+    probe AS (SELECT query_id, cluster FROM cellrank WHERE crnk <= 3),
+    asg AS (SELECT vec_id, cluster FROM read_parquet('{{assign}}/*.parquet')),
+    q_sub AS (
+      SELECT vec_id AS query_id, s, vsub AS qsub
+      FROM corpus_sub WHERE vec_id < {_PQ_TOPK}
+    ),
+    adc AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             SUM(CAST(ROUND({_PQ_DOT.format(d=_PQ_D, a="q.qsub", b="e.csub")}
+                   * 1e6) AS BIGINT)) / 1e6 AS adc
+      FROM enc e
+      JOIN asg a ON a.vec_id = e.vec_id
+      JOIN probe p ON p.cluster = a.cluster
+      JOIN q_sub q ON q.s = e.s AND q.query_id = p.query_id
+      WHERE e.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    pq_top AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rnk
+      FROM adc
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND({_PQ_DOT.format(d=64, a="q.en", b="c.en")} * 1e6) / 1e6
+                   DESC, c.vec_id) AS rnk
+        FROM (SELECT * FROM nrm WHERE vec_id < {_PQ_TOPK}) q
+        JOIN nrm c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {_PQ_TOPK}
+    )
+    SELECT p.query_id, p.neighbor_id, p.rnk, p.adc,
+           (et.neighbor_id IS NOT NULL) AS in_exact
+    FROM pq_top p LEFT JOIN exact_top et
+      ON et.query_id = p.query_id AND et.neighbor_id = p.neighbor_id
+    WHERE p.rnk <= {_PQ_TOPK}
+    ORDER BY p.query_id, p.rnk
+"""
+
+
+def _ivf_pq_oracle_sql() -> str:
+    from engine.kmeans import _assign_path, _means_path
+
+    return _IVF_PQ_SQL.format(
+        means=_means_path("sf0_01"), assign=_assign_path("sf0_01")
+    )
+
+
+_PQ_CODES_MATERIALIZED: set[tuple[str, str, str]] = set()
+
+
+def _pq_codes_path(sf_tag: str) -> str:
+    from engine.session import scratch_dir
+
+    return scratch_dir("pq_codes") + f"/enc_{sf_tag}"
+
+
+def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
+    """One-time PQ indexing pass (the production economics: encode
+    once, query many): write (vec_id, s, cid, csub) codes PARTITIONED
+    BY CELL and return the path. The cell-partitioned layout is the
+    100 TB contract — a probed query reads nprobe/K of the code files
+    and never an unprobed cell's bytes (dynamic partition pruning from
+    the broadcast probe join). Deterministic given the data (hash-
+    bottom codebook, quantized argmins), so the oracle recomputes the
+    identical relation from scratch in SQL rather than reading this
+    artifact."""
+    import os
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = _pq_codes_path(tag)
+    key = ("pq_codes", sf, data_fingerprint(sf, "embeddings"))
+    if key in _PQ_CODES_MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
+        return path
+    from engine.kmeans import materialize_assignments
+
+    emb = T(spark, sf, "embeddings")
+    assigned = spark.read.parquet(materialize_assignments(spark, sf)).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    _norm, _corpus_sub, enc = _pq_encode(emb)
+    enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    _PQ_CODES_MATERIALIZED.add(key)
+    return path
+
+
+@register("sim_cosine_topk_ivf_pq", sql=_ivf_pq_oracle_sql)
+def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """The production ANN composite (VERDICT r9 task 3): IVF coarse
+    probe + PQ/ADC within the probed cells only. sim_cosine_topk_pq is
+    the compression demo and scans the WHOLE corpus's codes (measured
+    linear-in-corpus, SCALE.md r9); sim_cosine_topk_ivf prunes cells
+    but reads raw vectors. At 100 TB a real system composes them —
+    8-byte codes per vector, cell-partitioned layout, a query touches
+    nprobe/K of the codes and never a raw vector — which is exactly
+    this plan: the enc relation joins the cell assignment, the
+    broadcast probe relation keeps only the nprobe=3 winning cells per
+    query, and ADC scores the survivors with the shared exact-integer
+    micro-unit arithmetic.
+
+    Contracts reused verbatim: the k-means cell artifacts + micro-
+    rounded probe ranking (sim_cosine_topk_ivf, engine/kmeans.py), the
+    deterministic hash-bottom-{_PQ_K} codebook + LONG-quantized ADC
+    (sim_cosine_topk_pq), and the in_exact self-audit vs the full-
+    corpus exact top-{_PQ_TOPK} (recall is measured against the TRUE
+    answer, not the probed subset, so cell-miss loss shows up in the
+    audit column exactly like PQ quantization loss does). The codes are
+    a one-time MATERIALIZED index partitioned by cell
+    (materialize_pq_codes — the so_kmeans artifact contract): the query
+    path reads codes, never raw vectors, and the broadcast probe join
+    dynamic-partition-prunes the unprobed cells' files. Residual
+    (per-cell) codebooks are the documented next refinement on
+    clustered production data; on these measured-isotropic embeddings
+    a global codebook quantizes identically."""
+    from engine.kmeans import materialize_means
+
+    emb = T(spark, sf, "embeddings")
+    _means_pq, means = materialize_means(spark, sf)
+    q = emb.filter(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    probe = _ivf_probe(spark, q, means)
+    codes = spark.read.parquet(materialize_pq_codes(spark, sf))
+    norm, corpus_sub, _enc = _pq_encode(emb)
+    q_sub = corpus_sub.filter(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("vsub").alias("qsub")
+    )
+    term_int = F.expr(
+        "cast(round(aggregate(zip_with(qsub, csub, (p, q) -> p * q), 0D,"
+        " (a, v) -> a + v) * 1e6) as bigint)"
+    )
+    adc = (
+        codes.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(q_sub), ["query_id", "s"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), term_int.alias("t"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("t") / 1e6).alias("adc"))
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    pq_top = adc.withColumn("rnk", F.row_number().over(w_pq)).filter(
+        F.col("rnk") <= _PQ_TOPK
+    )
+    return _pq_audit_join(pq_top, _pq_exact_top(norm))

@@ -186,6 +186,64 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert _recall(approx, exact) >= 0.6
 
 
+def test_ivf_pq_composite_structure_probe_confinement_and_dpp(spark):
+    """The r10 production composite (IVF coarse probe + PQ/ADC within
+    probed cells, engine/similarity.py): (a) PQ's structural gates —
+    exactly TOPK ranked neighbors per query, never self, ADC
+    descending; (b) every returned neighbor's cell must be one of the
+    query's nprobe=3 probed cells, recomputed here from the
+    materialized assignment + centroids with the key's own micro-unit
+    rounding; (c) the recall self-audit beats chance; (d) the codes
+    scan is dynamic-partition-pruned by the broadcast probe join (the
+    cell-partitioned layout is the 100 TB point of the key)."""
+    import math
+
+    from engine.kmeans import materialize_assignments, materialize_means
+    from engine.similarity import _PQ_TOPK
+
+    df = QUERIES["sim_cosine_topk_ivf_pq"](spark, SF_SMOKE)
+    rows = df.collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    assert sorted(byq) == list(range(_PQ_TOPK))
+    for q, rs in byq.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, _PQ_TOPK + 1))
+        assert all(r["neighbor_id"] != q for r in rs)
+        adcs = [r["adc"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert adcs == sorted(adcs, reverse=True)
+
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(
+            materialize_assignments(spark, SF_SMOKE)
+        ).collect()
+    }
+    _path, means = materialize_means(spark, SF_SMOKE)
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet").collect()
+    }
+
+    def probed(qid):
+        def dist(c):
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(emb[qid], c)))
+            return math.floor(d * 1e6 + 0.5) / 1e6
+
+        return set(sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3])
+
+    for r in rows:
+        assert asg[r["neighbor_id"]] in probed(r["query_id"]), r
+
+    n = len(emb)
+    recall = sum(r["in_exact"] for r in rows) / len(rows)
+    chance = _PQ_TOPK / (n - 1)
+    assert recall >= max(0.15, 10 * chance), (recall, chance)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "codes scan lost DPP"
+
+
 def test_pq_topk_structure_and_self_audit(spark):
     """PQ/ADC on isotropic random embeddings is the hard case (no
     cluster structure to exploit — measured recall ~0.36 at K=64, and
