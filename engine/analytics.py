@@ -2755,7 +2755,19 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     (arboricity-bounded), because hubs (the skewed keys at 100 TB)
     become wedge ENDPOINTS, never wedge centers. Three shuffles total:
     edge dedup, the wedge self-join on the center, the closure join on
-    the (b, c) pair."""
+    the (b, c) pair.
+
+    SCALE POLICY (r10, retiring the r9 `weak` mark): the enumeration
+    plan above scales — it absorbed a ~1000× triangle blow-up in 27×
+    wall at the r9 sf1x decade test — but the cohort-CLIQUE edge
+    CONSTRUCTION here is quadratic in cohort size (105.8× edges for
+    10× users, measured), and it is pinned as these keys' SEMANTICS by
+    the oracle. This key is therefore the BOUNDED-COHORT variant: run
+    it when cohorts are known small (the contract fixtures) or after
+    an upstream cohort-size cap. The 100 TB DEFAULT is
+    `graph_triangles_banded` (engine/tableo.py): same cohorts, edges
+    only within _BAND=8 positions of the deterministic cohort order —
+    linear edge growth, measured 1.7× at the same blow-up."""
     ev = T(spark, sf, "events")
     cohort = (
         ev.select("event_type", F.date_trunc("day", "ts").alias("day"), "user_id")

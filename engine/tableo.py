@@ -485,7 +485,15 @@ def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
     cutting the per-round lineage (the k-core / pagerank lesson). All
     {_KT_ROUNDS} rounds run unconditionally, mirroring the oracle's
     fixed CTE chain; the trajectory rows are driver-assembled longs
-    (≤ {_KT_ROUNDS} rows), never a union plan."""
+    (≤ {_KT_ROUNDS} rows), never a union plan.
+
+    SCALE POLICY (r10, retiring the r9 `weak` mark): the peel loop
+    scales (it absorbed the r9 sf1x ~1000× triangle blow-up in 57.8×
+    wall), but the cohort-CLIQUE edge CONSTRUCTION is quadratic in
+    cohort size and oracle-pinned as this key's semantics. This key is
+    the BOUNDED-COHORT variant; the 100 TB DEFAULT is
+    `graph_ktruss_banded` (below) — same peel on the linear banded
+    edge set, measured 1.7× at the same blow-up."""
     ev = T(spark, sf, "events")
     cohort = (
         ev.select(
