@@ -58,31 +58,84 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-9 ROTATION (r8 delivered 50/50 green;
-#: cross-round coverage 330/371 with 41 keys never sampled; VERDICT r8
-#: tasks 1/2 — finish external certification):
-#: (a) positions 1-41 — the 41 never-sampled keys, promoted verbatim from
-#:     r8's positions 51+ (promote-the-tail): the 25-key stats/text/graph
-#:     tail, the 4 codec-path scan keys + agg_hll_mergeable, text_lm_score,
-#:     the 4 remaining TPC-H ports (q8/q13/q15/q17), merge_upsert_scd2,
-#:     and the 5 pipeline/quality keys. First-ever driver rows for all 41
-#:     closes the registry at 371/371 externally certified.
-#: (b) positions 42-50 — highest-risk RE-certifications (VERDICT r8 task
-#:     2): the three stateful streaming keys (heaviest harness, most
-#:     environment-sensitive), the two heaviest plans (PQ ANN, k-truss),
-#:     pipeline_embed_batch (the r8 fix — prove it stays green),
-#:     agg_groupby_q1 (the flagship), and — changed-code-first rule, the
-#:     r5/r7/r8 precedent — the two BRAND-NEW Table S keys
-#:     (graph_triangles_banded / graph_ktruss_banded, the banded cohort
-#:     twins added late in r9): new code certifies first, and with them
-#:     in the window a fully-green r9 closes certification of the ENTIRE
-#:     373-key registry with zero never-sampled keys remaining.
-#: Positions 51+ list r8's window keys (all green r8) so enumeration
-#: stays deterministic; keys not listed are driver-green r1-r7 and keep
-#: registration order behind the prefix (guarded by tests/test_oracle.py
-#: every pytest run).
+#: the enumeration order. ROUND-10 ROTATION (r9 delivered 50/50 green and
+#: closed external certification: all 373 keys sampled, every latest word
+#: green — so r10 is the first STALENESS-FIRST window, VERDICT r9 task 1):
+#: (a) positions 1-4 — changed-code-first (the r5/r7/r8/r9 precedent):
+#:     sim_cosine_topk_ivf_pq (BRAND-NEW Table T composite),
+#:     sim_cosine_topk_lsh (r10 adaptive-width/multi-probe/split rewrite),
+#:     sim_cosine_topk_pq + sim_cosine_topk_ivf (shared-helper refactor
+#:     donors — prove the extraction changed nothing under the driver).
+#: (b) positions 5-46 — the 42 keys whose last external green is OLDEST
+#:     (driver-sampled only in r1, eight rounds and several shared-infra
+#:     changes ago: the relational core joins/windows/aggs/sets/sorts,
+#:     filter/project, scan_json_lines/scan_project, topk_global).
+#: (c) positions 47-50 — the four r2-stale keys riding the most
+#:     environment-sensitive shared paths: tu_grouped_typed (pandas_udf),
+#:     udaf_pandas_grouped + udf_arrow_scalar (Arrow batch transfer),
+#:     wiki_rank_reduce (the text-port aggregate core).
+#: A fully-green r10 drops the window's median last-green age from ~8
+#: rounds to current. FAIL-first stays the standing rule if any row
+#: comes back red. Positions 51+ keep the prior priority order (minus
+#: keys promoted above) so enumeration stays deterministic; keys not
+#: listed keep registration order behind the prefix (guarded by
+#: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) the 41 never-sampled keys (r8 positions 51+, verbatim order)
+    # -- (a) changed-code-first
+    "sim_cosine_topk_ivf_pq",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_pq",
+    "sim_cosine_topk_ivf",
+    # -- (b) the 42 r1-stale keys (alphabetical)
+    "agg_cube",
+    "agg_distinct",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_median_mode",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "filter_in_like_null",
+    "filter_simple",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full",
+    "join_inner_equi",
+    "join_left",
+    "join_range_interval",
+    "join_right",
+    "join_salted_skew",
+    "join_semi",
+    "join_star_5way",
+    "join_theta_range",
+    "project_arith",
+    "project_conditional",
+    "scan_json_lines",
+    "scan_project",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi_nulls",
+    "topk_global",
+    "win_first_last",
+    "win_lead_lag",
+    "win_ntile_pctrank",
+    "win_range_frame",
+    "win_rank_dense_rownum",
+    "win_running_sum",
+    "win_topk_per_group",
+    # -- (c) r2-stale high-risk shared paths
+    "tu_grouped_typed",
+    "udaf_pandas_grouped",
+    "udf_arrow_scalar",
+    "wiki_rank_reduce",
+    # ---- window cutoff (50) ----
+    # prior priority order (r9 window + earlier), minus promotions:
     "ts_autocorr_lag1",
     "text_bigram_lm",
     "text_langid_confusion",
@@ -124,19 +177,14 @@ _PRIORITY = (
     "pipeline_pack_sequences",
     "pipeline_dataset_card",
     "pipeline_chunk_overlap",
-    # -- (b) positions 42-50: highest-risk re-certifications
     "stream_stateful_count",
     "stream_stateful_tws",
     "stream_stateful_session_timeout",
-    "sim_cosine_topk_pq",
     "graph_ktruss_peel",
     "pipeline_embed_batch",
     "agg_groupby_q1",
     "graph_triangles_banded",
     "graph_ktruss_banded",
-    # ---- window cutoff (50) ----
-    # r8's window keys (all green r8), prior order, minus those promoted
-    # into (b) above:
     "graph_adamic_adar_link_prediction",
     "scan_partition_evolution",
     "sample_balanced_downsample",
@@ -171,7 +219,6 @@ _PRIORITY = (
     "agg_theil_sen_slope",
     "graph_random_walk_deterministic",
     "win_allocation_waterfall",
-    "sim_cosine_topk_ivf",
     "sim_ann_partitioned_probe",
     "dedup_simhash",
     "dedup_clusters",
