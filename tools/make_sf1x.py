@@ -14,7 +14,16 @@ valid subjects at sf1x (their input did not scale).
 
 Deterministic end-to-end: no RNG, same bytes on every run.
 
-Usage: python tools/make_sf1x.py [--src /root/testdata/sf0.1] [--factor 10]
+``--family orders`` (r10) writes the OTHER axis to .scratch/sf1xo/:
+10x customer/orders/lineitem with FK-consistent shifts (o_custkey
+moves by the CUSTOMER pk offset, l_orderkey by the ORDERS pk offset,
+so every replica's joins resolve exactly like the original's), while
+part/supplier stay copied — replicas order from the same catalog,
+the realistic "more transactions, same products" densification.
+events/documents/embeddings are byte-copied there.
+
+Usage: python tools/make_sf1x.py [--src /root/testdata/sf0.1]
+                                 [--factor 10] [--family default|orders]
 """
 
 from __future__ import annotations
@@ -84,13 +93,18 @@ def _roll_vectors(col: pa.ChunkedArray, shift: int) -> pa.Array:
     )
 
 
-def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
+def blow_up(
+    src: str,
+    table: str,
+    id_cols: list[str],
+    factor: int,
+    offsets: dict[str, int] | None = None,
+) -> pa.Table:
     t = pq.read_table(f"{src}/{table}.parquet")
     # strip pandas metadata: the replicas are a new physical table
     t = t.replace_schema_metadata(None)
-    offsets = {
-        c: pc.max(t[c]).as_py() + 1 for c in id_cols
-    }
+    if offsets is None:
+        offsets = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
     parts = []
     for i in range(factor):
         if i == 0:
@@ -110,13 +124,45 @@ def blow_up(src: str, table: str, id_cols: list[str], factor: int) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--family", choices=("default", "orders"), default="default")
     args = ap.parse_args()
 
     from engine.session import scratch_dir
+
+    if args.family == "orders":
+        out = pathlib.Path(scratch_dir("sf1xo"))
+        # FK-consistent shared offsets: every FK moves by its referenced
+        # table's PK offset so replica joins resolve like the original's
+        maxc = pc.max(pq.read_table(f"{args.src}/customer.parquet")["c_custkey"]).as_py() + 1
+        maxo = pc.max(pq.read_table(f"{args.src}/orders.parquet")["o_orderkey"]).as_py() + 1
+        plans = {
+            "customer": {"c_custkey": maxc},
+            "orders": {"o_orderkey": maxo, "o_custkey": maxc},
+            # l_partkey / l_suppkey stay unshifted: replicas order from
+            # the SAME catalog (the densification axis for part/supplier)
+            "lineitem": {"l_orderkey": maxo},
+        }
+        for table, offs in plans.items():
+            t = blow_up(args.src, table, list(offs), args.factor, offsets=offs)
+            pq.write_table(t, out / f"{table}.parquet", compression="snappy")
+            print(f"{table}: {t.num_rows} rows -> {out}")
+        for table in ALL_TABLES:
+            if table not in plans:
+                shutil.copyfile(
+                    f"{args.src}/{table}.parquet", out / f"{table}.parquet"
+                )
+        print(f"done: {out}")
+        return
 
     out = pathlib.Path(scratch_dir("sf1x"))
     for table, id_cols in SCALED.items():
