@@ -61,19 +61,22 @@ _MODULES = (
 #: the enumeration order. ROUND-10 ROTATION (r9 delivered 50/50 green and
 #: closed external certification: all 373 keys sampled, every latest word
 #: green — so r10 is the first STALENESS-FIRST window, VERDICT r9 task 1):
-#: (a) positions 1-4 — changed-code-first (the r5/r7/r8/r9 precedent):
+#: (a) positions 1-5 — changed-code-first (the r5/r7/r8/r9 precedent):
+#:     stream_dedup_cascade (BRAND-NEW streaming twin of the dedup
+#:     cascade — foreachBatch + versioned state stores, swapped in late
+#:     exactly like the r9 Table S twins; wiki_rank_reduce moved to the
+#:     tail to keep the window at 50),
 #:     sim_cosine_topk_ivf_pq (BRAND-NEW Table T composite),
 #:     sim_cosine_topk_lsh (r10 adaptive-width/multi-probe/split rewrite),
 #:     sim_cosine_topk_pq + sim_cosine_topk_ivf (shared-helper refactor
 #:     donors — prove the extraction changed nothing under the driver).
-#: (b) positions 5-46 — the 42 keys whose last external green is OLDEST
+#: (b) positions 6-47 — the 42 keys whose last external green is OLDEST
 #:     (driver-sampled only in r1, eight rounds and several shared-infra
 #:     changes ago: the relational core joins/windows/aggs/sets/sorts,
 #:     filter/project, scan_json_lines/scan_project, topk_global).
-#: (c) positions 47-50 — the four r2-stale keys riding the most
+#: (c) positions 48-50 — the three r2-stale keys riding the most
 #:     environment-sensitive shared paths: tu_grouped_typed (pandas_udf),
-#:     udaf_pandas_grouped + udf_arrow_scalar (Arrow batch transfer),
-#:     wiki_rank_reduce (the text-port aggregate core).
+#:     udaf_pandas_grouped + udf_arrow_scalar (Arrow batch transfer).
 #: A fully-green r10 drops the window's median last-green age from ~8
 #: rounds to current. FAIL-first stays the standing rule if any row
 #: comes back red. Positions 51+ keep the prior priority order (minus
@@ -82,6 +85,7 @@ _MODULES = (
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
     # -- (a) changed-code-first
+    "stream_dedup_cascade",
     "sim_cosine_topk_ivf_pq",
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_pq",
@@ -133,8 +137,8 @@ _PRIORITY = (
     "tu_grouped_typed",
     "udaf_pandas_grouped",
     "udf_arrow_scalar",
-    "wiki_rank_reduce",
     # ---- window cutoff (50) ----
+    "wiki_rank_reduce",
     # prior priority order (r9 window + earlier), minus promotions:
     "ts_autocorr_lag1",
     "text_bigram_lm",

@@ -881,3 +881,274 @@ def stream_rate_micro_batch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_start_s")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup cascade (round 10 — the batch cascade's streaming twin)
+# --------------------------------------------------------------------------
+
+#: documents replay slices == micro-batches (1 file per trigger)
+_DC_FILES = 4
+
+
+def _doc_replay_path(sf: str) -> str:
+    from engine.session import data_fingerprint
+
+    tag = (
+        os.path.basename(sf.rstrip("/"))
+        + "_" + data_fingerprint(sf, "documents")
+    )
+    return scratch_dir(f"stream_doc_replay/{tag}")
+
+
+def _doc_replay_dir(spark: SparkSession, sf: str) -> str:
+    """Materialize documents as _DC_FILES sequential parquet slices in
+    doc_id order (contiguous chunks of ceil(n/_DC_FILES) rows, ascending
+    mtimes) — the events replay contract applied to the corpus table, so
+    micro-batch k is EXACTLY slice k and arrival order is doc_id order.
+    That determinism is what lets the incremental cascade be fully
+    SQL-oracled: "arrived earlier" ≡ "smaller doc_id"."""
+    path = _doc_replay_path(sf)
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        return path
+    rows = (
+        T(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()  # replay-fixture builder (test harness), not an operator
+    )
+    chunk = max(1, -(-len(rows) // _DC_FILES))
+    base_t = 1_700_000_000
+    for i in range(0, len(rows), chunk):
+        fp = os.path.join(path, f"slice_{i // chunk:03d}.parquet")
+        pd.DataFrame(
+            [r.asDict() for r in rows[i : i + chunk]],
+            columns=["doc_id", "text"],
+        ).astype({"doc_id": "int64"}).to_parquet(fp, index=False)
+        os.utime(fp, (base_t + i // chunk, base_t + i // chunk))
+    open(marker, "w").close()
+    return path
+
+
+#: the cascade replayed in pure SQL: batch = contiguous doc_id chunk
+#: (the fixture's slicing rule), exact stage = first arrival per md5
+#: content hash, near stage = ANY earlier EXACT-survivor shares a
+#: (band, minhash) bucket under the portable md5 family — the same
+#: signature CTEs as dedup_near_minhash's oracle.
+_DC_SQL = """
+    WITH d AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, text,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, batch_id, text,
+             ('0x' || SUBSTR(MD5(text), 1, 15))::BIGINT AS hh
+      FROM db
+    ),
+    ex AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+      FROM h
+    ),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM ex WHERE rn = 1
+    ),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    ds AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(sh,
+                    s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT
+                         % {p})) AS x
+           FROM shing WHERE LEN(sh) > 0),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(((2 * band + 1) * x + 12345 * band) % {p}) AS h
+      FROM ds CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band)
+      GROUP BY doc_id, band
+    ),
+    nd AS (
+      SELECT DISTINCT sb.doc_id
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.h = sb.h AND sa.doc_id < sb.doc_id
+    ),
+    verdict AS (
+      SELECT ex.batch_id,
+             CASE WHEN ex.rn > 1 THEN 'exact'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near'
+                  ELSE 'keep' END AS v
+      FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id AND ex.rn = 1
+    )
+    SELECT batch_id,
+           COUNT(*) AS arrived,
+           COUNT(*) FILTER (WHERE v = 'exact') AS exact_dups,
+           COUNT(*) FILTER (WHERE v = 'near') AS near_dups,
+           COUNT(*) FILTER (WHERE v = 'keep') AS survivors
+    FROM verdict GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dc_oracle_sql() -> str:
+    from engine.similarity import _MINHASH_P
+
+    return _DC_SQL.format(files=_DC_FILES, p=_MINHASH_P)
+
+
+@register("stream_dedup_cascade", sql=_dc_oracle_sql)
+def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of the batch dedup cascade (VERDICT r9 task 8 —
+    the north star's ingestion loop): documents arrive as micro-batches
+    and each batch dedupes INCREMENTALLY against persistent state
+    stores, never re-scanning the accumulated corpus —
+      stage 1 (exact):   first arrival per md5 content hash wins; later
+                         arrivals drop (in-batch rank + anti-join
+                         against the seen-hash store);
+      stage 2 (near):    a doc drops if ANY of its 6 portable-MinHash
+                         band buckets (the dedup_near_minhash family)
+                         is already owned by an earlier EXACT-survivor
+                         — in-batch bucket self-join + semi-join
+                         against the bucket store;
+      output:            the per-batch funnel (arrived / exact_dups /
+                         near_dups / survivors), the observability row
+                         a production ingest emits per batch.
+    Architecture is foreachBatch + versioned parquet state stores (the
+    stream_foreachbatch_upsert pattern): at 100 TB the stores are the
+    lakehouse dedup ledger (hash store keyed by content hash, bucket
+    store by (band, h)) and each batch's work is O(batch) lookups into
+    them — state never rescans, exactly like pipeline_incremental_dedup
+    anti-joins the store before any heavy work.
+
+    FULLY VALUE-ORACLED: the replay fixture arrives in doc_id order
+    with deterministic slice boundaries (micro-batch k = contiguous
+    chunk k), so "arrived earlier" ≡ "smaller doc_id" and the whole
+    cascade — batch assignment, exact ranks, band buckets, funnel —
+    replays in pure SQL under the portable md5 hash family."""
+    from pyspark.sql import Window
+
+    from engine.session import hash60, tune
+    from engine.similarity import _MINHASH_P, _shingles
+
+    tune(spark)
+    path = _doc_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+    base = scratch_dir(f"dedup_cascade_state/{tag}")
+    state = {"hashes": None, "buckets": None}
+    funnel: list[tuple[int, int, int, int, int]] = []
+    p = F.lit(_MINHASH_P)
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        shingled = (
+            df.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 5)
+            .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        hx = shingled.select(
+            "doc_id",
+            F.transform("sh", lambda s: F.pmod(hash60(s), p)).alias("hx"),
+        )
+        sig = hx.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda i: F.array_min(
+                    F.transform(
+                        "hx",
+                        lambda x: F.pmod(
+                            (F.lit(2) * i + 1).cast("long") * x
+                            + i * F.lit(12345),
+                            p,
+                        ),
+                    )
+                ),
+            ).alias("sig"),
+        )
+        return sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
+
+    def cascade(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        b = batch_df.select("doc_id", "text")
+        n_arrived = b.count()
+        if n_arrived == 0:  # defensive: an empty trigger adds no funnel row
+            return
+        k = len(funnel)
+        ranked = b.withColumn("hh", hash60(F.col("text"))).withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("hh").orderBy("doc_id")),
+        )
+        firsts = ranked.filter(F.col("rn") == 1)
+        if state["hashes"] is not None:
+            prev_h = sp.read.parquet(state["hashes"])
+            surv_e = firsts.join(prev_h, "hh", "left_anti")
+        else:
+            prev_h, surv_e = None, firsts
+        # localCheckpoint: consumed 4× below (bands both sides, counts,
+        # store append) and each batch's lineage would otherwise stack
+        surv_e = surv_e.select("doc_id", "text", "hh").localCheckpoint()
+        n_surv_e = surv_e.count()
+        bands_b = bands_of(surv_e).localCheckpoint()
+        in_batch = (
+            bands_b.alias("a")
+            .join(
+                bands_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        if state["buckets"] is not None:
+            prev_b = sp.read.parquet(state["buckets"])
+            vs_store = bands_b.join(prev_b, ["band", "h"], "left_semi").select(
+                "doc_id"
+            )
+            near_ids = in_batch.unionByName(vs_store).distinct()
+        else:
+            prev_b = None
+            near_ids = in_batch.distinct()
+        n_near = near_ids.count()
+        funnel.append(
+            (k, n_arrived, n_arrived - n_surv_e, n_near, n_surv_e - n_near)
+        )
+        new_h = surv_e.select("hh")
+        if prev_h is not None:
+            new_h = prev_h.unionByName(new_h)
+        hdir = f"{base}/hashes_v{k}"
+        new_h.write.mode("overwrite").parquet(hdir)
+        state["hashes"] = hdir
+        new_b = bands_b.select("band", "h")
+        if prev_b is not None:
+            new_b = prev_b.unionByName(new_b)
+        bdir = f"{base}/buckets_v{k}"
+        new_b.distinct().write.mode("overwrite").parquet(bdir)
+        state["buckets"] = bdir
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(cascade)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        funnel,
+        "batch_id int, arrived long, exact_dups long, near_dups long,"
+        " survivors long",
+    ).orderBy("batch_id")

@@ -378,3 +378,67 @@ def test_dedup_watermark_drops_planted_duplicates(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in out.collect())
     assert got == [1, 1, 2, 4, 7, 8, 9], got
+
+
+def test_stream_dedup_cascade_matches_sequential_semantics(spark):
+    """Pin the r10 streaming dedup cascade against a from-scratch
+    pure-Python SEQUENTIAL replay of its declared semantics: docs
+    arrive in doc_id order in 4 contiguous chunks; first arrival per
+    md5-60bit content hash survives the exact stage; an exact-survivor
+    drops at the near stage iff ANY of its 6 portable-MinHash band
+    buckets was already claimed by an earlier exact-survivor (store +
+    in-batch, which the sequential scan makes one rule). The Spark key
+    implements this with anti/semi joins against versioned state
+    stores — this test proves that relational formulation equals the
+    sequential definition the docstring declares."""
+    import hashlib
+
+    from engine.similarity import _MINHASH_P as P
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(SF_SMOKE + "/documents.parquet").collect()
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = len(docs)
+    chunk = -(-n // 4)
+    seen_h: set[int] = set()
+    buckets: set[tuple[int, int]] = set()
+    expected = []
+    for k0 in range(0, n, chunk):
+        batch = docs[k0 : k0 + chunk]
+        arrived, ex, nr = len(batch), 0, 0
+        for doc_id, text in batch:
+            hh = h60(text)
+            if hh in seen_h:
+                ex += 1
+                continue
+            seen_h.add(hh)
+            toks = text.split(" ")
+            bands: list[tuple[int, int]] = []
+            if len(toks) >= 5:
+                sh = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+                xs = [h60(s) % P for s in sh]
+                bands = [
+                    (i, min(((2 * i + 1) * x + 12345 * i) % P for x in xs))
+                    for i in range(6)
+                ]
+            if any(b in buckets for b in bands):
+                nr += 1
+            # bands of EVERY exact-survivor claim buckets (near-dups too)
+            buckets.update(bands)
+        expected.append((k0 // chunk, arrived, ex, nr, arrived - ex - nr))
+
+    got = [
+        (r["batch_id"], r["arrived"], r["exact_dups"], r["near_dups"],
+         r["survivors"])
+        for r in QUERIES["stream_dedup_cascade"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    # the fixture must actually exercise the cascade: multiple batches,
+    # and at least one doc dropped somewhere (sf fixtures carry dups)
+    assert len(got) == 4
+    assert sum(r[2] + r[3] for r in got) > 0
