@@ -85,6 +85,9 @@ _MODULES = (
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
     # -- (a) changed-code-first
+    "text_bpe_train",  # BRAND-NEW (late r10): iterative BPE merge induction;
+    # join_right moved below the cutoff to keep the window at 50 (its
+    # one-line outer-join path is represented by join_left + join_full).
     "stream_dedup_cascade",
     "sim_cosine_topk_ivf_pq",
     "sim_cosine_topk_lsh",
@@ -111,7 +114,6 @@ _PRIORITY = (
     "join_inner_equi",
     "join_left",
     "join_range_interval",
-    "join_right",
     "join_salted_skew",
     "join_semi",
     "join_star_5way",
@@ -138,6 +140,7 @@ _PRIORITY = (
     "udaf_pandas_grouped",
     "udf_arrow_scalar",
     # ---- window cutoff (50) ----
+    "join_right",
     "wiki_rank_reduce",
     # prior priority order (r9 window + earlier), minus promotions:
     "ts_autocorr_lag1",

@@ -495,3 +495,145 @@ def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "symbol")
         .limit(_BPE_TOPSYM)
     )
+
+
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary TRAINING (the learning half: iterative merge induction)
+# --------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 5
+
+#: one round of frequency-weighted pair statistics over a (s, freq)
+#: spaced relation — shared between the oracle builder's per-round CTEs
+#: so counting is defined ONCE.
+_BPE_PAIRS_OVER = """
+      SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cs) - 1),
+                                   i -> cs[i] || ' ' || cs[i + 1])) AS pr,
+             freq
+      FROM (SELECT string_split(s, ' ') AS cs, freq FROM {src})
+      WHERE LEN(cs) >= 2
+"""
+
+
+def _bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """N-round BPE training unrolled into chained CTEs over the
+    DISTINCT-WORD table: each round recounts pair frequencies (weighted
+    by word frequency) over the PREVIOUS round's merged forms — true
+    BPE, unlike text_bpe_apply's disclosed both-merges-from-initial-
+    stats simplification — takes the (count DESC, pair ASC) argmax, and
+    rewrites the forms by non-overlapping left-to-right replacement
+    (identical semantics in DuckDB and Spark `replace`)."""
+    ctes = [
+        """spaced0 AS MATERIALIZED (
+      SELECT array_to_string(regexp_extract_all(tok, '(.)', 1), ' ') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok != ''
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        pairs = _BPE_PAIRS_OVER.format(src=f"spaced{r - 1}")
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT CAST({r} AS BIGINT) AS rnk, pr AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt,
+             replace(pr, ' ', '') AS new_symbol
+      FROM ({pairs})
+      GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""spaced{r} AS MATERIALIZED (
+      SELECT replace(s, (SELECT pair FROM m{r}),
+                     (SELECT new_symbol FROM m{r})) AS s, freq
+      FROM spaced{r - 1}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, rounds + 1)
+    )
+    joined = ", ".join(ctes)
+    return f"WITH {joined}\n    {union}"
+
+
+@register("text_bpe_train", sql=_bpe_train_sql)
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE vocabulary TRAINING — the learning half that text_bpe_apply's
+    docstring defers ("true BPE recounts between merges"): {R} merge
+    rounds, each recounting adjacent-symbol pair frequencies over the
+    CURRENT segmentation, taking the (count DESC, pair ASC) argmax, and
+    rewriting before the next round — the Sennrich et al. 2016 / GPT-2
+    induction loop. Returns the learned merge table (round, pair,
+    count-at-selection, new symbol).
+
+    Scale design: trains over the DISTINCT-WORD table with frequencies
+    (the standard production optimization — pair counts are weighted by
+    word frequency, so results are IDENTICAL to instance-level training
+    while the loop touches vocabulary-sized data): the 100 TB corpus is
+    read ONCE for the word-frequency build (one corpus shuffle, partial
+    map-side combine), and every subsequent round runs over the word
+    table — dictionary-sized at any corpus scale. The per-round loop
+    state is ONE row (the k-means precedent, SURVEY §2 A18): the argmax
+    is a partial-aggregated count + global top-1 (TakeOrdered, never a
+    full sort) collected driver-side and re-broadcast as a one-row
+    merge relation. Merge application is non-overlapping left-to-right
+    string replacement — identical in both engines; boundary-blind like
+    text_bpe_apply (disclosed: the merged pair is matched as a raw
+    substring of the spaced form, deterministic and engine-identical).
+    Rounds are a fixed constant so the unrolled oracle and the loop
+    agree on depth; every contract SF has >= {R} distinct pairs
+    (asserted — an exhausted corpus would NULL the oracle's scalar
+    subquery rewrite)."""
+    from engine.session import parallelize_scan, scan_units
+
+    d = parallelize_scan(T(spark, sf, "documents"), scan_units(sf, "documents"))
+    cur = scratch_cache(
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(
+            F.array_join(F.expr("regexp_extract_all(tok, '(.)', 1)"), " ").alias("s")
+        )
+        .agg(F.count("*").alias("freq"))
+    )
+    learned: list[tuple[int, str, int, str]] = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        cs = F.split("s", " ")
+        top = (
+            cur.select(cs.alias("cs"), "freq")
+            .filter(F.size("cs") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("cs", 1, F.size("cs") - 1),
+                        F.slice("cs", 2, F.size("cs") - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pr")
+            .limit(1)
+            .first()
+        )
+        assert top is not None, f"BPE corpus exhausted before round {r}"
+        new_symbol = top["pr"].replace(" ", "")
+        learned.append((r, top["pr"], top["cnt"], new_symbol))
+        merge = spark.createDataFrame(
+            [(top["pr"], new_symbol)], "mp STRING, ms STRING"
+        )
+        cur = scratch_cache(
+            cur.crossJoin(F.broadcast(merge)).select(
+                F.expr("replace(s, mp, ms)").alias("s"), "freq"
+            )
+        )
+    return spark.createDataFrame(
+        learned, "rnk BIGINT, pair STRING, cnt BIGINT, new_symbol STRING"
+    )
+
+
+text_bpe_train.__doc__ = text_bpe_train.__doc__.format(R=_BPE_TRAIN_ROUNDS)

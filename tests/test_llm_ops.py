@@ -478,3 +478,53 @@ def test_multimodal_frames_offsets_slice_real_payload(spark):
         assert len(sl) == r["frame_size"]
         assert sum(sl) % 65536 == r["frame_sum"], r
         assert r["pts_ticks"] == r["frame_no"] * 25 and r["timescale"] == 600
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Pin text_bpe_train against an independent pure-Python BPE
+    trainer over the same corpus (the oracle can't catch a rule both
+    SQL engines implement identically wrong — e.g. a mis-weighted
+    frequency or a wrong tiebreak would hash-match if mirrored).
+    str.replace is the same non-overlapping left-to-right semantics as
+    SQL replace, so the reference exercises the identical (disclosed)
+    boundary-blind merge application."""
+    from collections import Counter
+
+    import duckdb
+
+    import engine.tableq as Q
+
+    texts = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
+        .fetchall()
+    ]
+    freq: Counter[str] = Counter()
+    for t in texts:
+        for tok in t.split(" "):
+            if tok:
+                freq[" ".join(tok)] += 1
+    expect = []
+    for r in range(1, Q._BPE_TRAIN_ROUNDS + 1):
+        pc: Counter[str] = Counter()
+        for s, f in freq.items():
+            cs = s.split(" ")
+            for a, b in zip(cs, cs[1:]):
+                pc[a + " " + b] += f
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ns = pair.replace(" ", "")
+        expect.append((r, pair, cnt, ns))
+        nxt: Counter[str] = Counter()
+        for s, f in freq.items():
+            nxt[s.replace(pair, ns)] += f
+        freq = nxt
+
+    got = [
+        (r["rnk"], r["pair"], r["cnt"], r["new_symbol"])
+        for r in sorted(
+            QUERIES["text_bpe_train"](spark, SF_SMOKE).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    assert got == expect
