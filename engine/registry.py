@@ -61,7 +61,9 @@ _MODULES = (
 #: the enumeration order. ROUND-10 ROTATION (r9 delivered 50/50 green and
 #: closed external certification: all 373 keys sampled, every latest word
 #: green — so r10 is the first STALENESS-FIRST window, VERDICT r9 task 1):
-#: (a) positions 1-5 — changed-code-first (the r5/r7/r8/r9 precedent):
+#: (a) positions 1-6 — changed-code-first (the r5/r7/r8/r9 precedent):
+#:     text_bpe_train (BRAND-NEW late-r10 iterative BPE induction;
+#:     join_right moved behind the cutoff to keep the window at 50),
 #:     stream_dedup_cascade (BRAND-NEW streaming twin of the dedup
 #:     cascade — foreachBatch + versioned state stores, swapped in late
 #:     exactly like the r9 Table S twins; wiki_rank_reduce moved to the
@@ -70,10 +72,11 @@ _MODULES = (
 #:     sim_cosine_topk_lsh (r10 adaptive-width/multi-probe/split rewrite),
 #:     sim_cosine_topk_pq + sim_cosine_topk_ivf (shared-helper refactor
 #:     donors — prove the extraction changed nothing under the driver).
-#: (b) positions 6-47 — the 42 keys whose last external green is OLDEST
-#:     (driver-sampled only in r1, eight rounds and several shared-infra
-#:     changes ago: the relational core joins/windows/aggs/sets/sorts,
-#:     filter/project, scan_json_lines/scan_project, topk_global).
+#: (b) positions 7-47 — the 41 remaining keys whose last external green
+#:     is OLDEST (driver-sampled only in r1, eight rounds and several
+#:     shared-infra changes ago: the relational core joins/windows/aggs/
+#:     sets/sorts, filter/project, scan_json_lines/scan_project,
+#:     topk_global).
 #: (c) positions 48-50 — the three r2-stale keys riding the most
 #:     environment-sensitive shared paths: tu_grouped_typed (pandas_udf),
 #:     udaf_pandas_grouped + udf_arrow_scalar (Arrow batch transfer).
@@ -93,7 +96,8 @@ _PRIORITY = (
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_pq",
     "sim_cosine_topk_ivf",
-    # -- (b) the 42 r1-stale keys (alphabetical)
+    # -- (b) the 41 remaining r1-stale keys (alphabetical; join_right
+    #        displaced behind the cutoff by the text_bpe_train swap)
     "agg_cube",
     "agg_distinct",
     "agg_global",

@@ -192,6 +192,37 @@ def scan_units(sf_dir: str, table: str) -> int:
     return _SCAN_UNITS_CACHE[key]
 
 
+_TABLE_ROWS_CACHE: dict = {}
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a parquet source from footer metadata (~ms,
+    memoized on path+mtime like scan_units) — for sizing decisions
+    (e.g. the LSH adaptive bucket width) that only need N, so they
+    never pay a full Spark count job on the hot path (review r10).
+    Returns 0 when the source is unreadable — callers guard with
+    max(1, ...)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(sf_dir) / f"{table}.parquet"
+    try:
+        key = (str(p), p.stat().st_mtime_ns)
+    except OSError:
+        return 0
+    if key not in _TABLE_ROWS_CACHE:
+        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+        rows = 0
+        for f in files:
+            try:
+                rows += pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                pass
+        _TABLE_ROWS_CACHE[key] = rows
+    return _TABLE_ROWS_CACHE[key]
+
+
 def parallelize_scan(df: DataFrame, units: int | None = None) -> DataFrame:
     """Spread a LOW-PARALLELISM scan across cores before CPU-heavy
     per-row work (explode / md5 / regexp / Python kernels).

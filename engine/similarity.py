@@ -713,8 +713,12 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    from engine.session import scratch_cache, table_rows
+
     emb = T(spark, sf, "embeddings")
-    n = max(1, emb.count())
+    # footer-metadata count (~ms, memoized) — the width rule only needs
+    # N, so don't pay a full Spark count job on the hot path
+    n = max(1, table_rows(sf, "embeddings"))
     w = 0.5 * min(1.0, _LSH_TARGET_OCC / n)
     to_vec = array_to_vector
     base = emb.select("vec_id", to_vec(_as_double("embedding")).alias("raw"))
@@ -723,7 +727,9 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
         inputCol="v", outputCol="h", bucketLength=w, numHashTables=4, seed=42
     )
     model = lsh.fit(norm)
-    hashed = (
+    # cached: re-read by sizes, corp AND qh — without it the plan runs
+    # the corpus-wide transform+posexplode 3-4x per invocation
+    hashed = scratch_cache(
         model.transform(norm)
         .select("vec_id", F.posexplode("h").alias("tbl", "hv"))
         .select("vec_id", "tbl", vector_to_array("hv").getItem(0).alias("hkey"))

@@ -950,7 +950,7 @@ _DC_SQL = """
     ),
     h AS (
       SELECT doc_id, batch_id, text,
-             ('0x' || SUBSTR(MD5(text), 1, 15))::BIGINT AS hh
+             ('0x' || SUBSTR(MD5(COALESCE(text, '')), 1, 15))::BIGINT AS hh
       FROM db
     ),
     ex AS (
@@ -1082,7 +1082,14 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         if n_arrived == 0:  # defensive: an empty trigger adds no funnel row
             return
         k = len(funnel)
-        ranked = b.withColumn("hh", hash60(F.col("text"))).withColumn(
+        # COALESCE before hashing: md5(NULL) is NULL, and a NULL hh
+        # survives the cross-batch left_anti (NULL never equi-matches)
+        # once PER BATCH while the oracle's global ROW_NUMBER keeps one
+        # GLOBALLY — so NULL-text docs hash as '' (they dedupe as one
+        # group, consistently, on both engines; review r10).
+        ranked = b.withColumn(
+            "hh", hash60(F.coalesce(F.col("text"), F.lit("")))
+        ).withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("hh").orderBy("doc_id")),
         )

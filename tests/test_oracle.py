@@ -36,6 +36,14 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
+def _is_nested(type_str: str) -> bool:
+    """The nested-output gate's type predicate, defined ONCE so the
+    self-test below pins the shipped gate, not a private copy. Matches
+    a bare "[" so fixed-size arrays ("BIGINT[8]") are rejected too,
+    not just "[]" (ADVICE r8)."""
+    return any(tok in type_str.upper() for tok in ("[", "STRUCT", "MAP("))
+
+
 @pytest.mark.parametrize("key", sorted(ORACLES))
 def test_oracle_output_types_pandas_safe(key, duck):
     """Permanent gate for the r2 failure class: DuckDB HUGEINT output
@@ -51,13 +59,7 @@ def test_oracle_output_types_pandas_safe(key, duck):
     # r7 failure class: list/struct/map output columns crash the driver's
     # pandas sort_values canonicalizer (unhashable) before the oracle even
     # runs — pipeline_embed_batch's ERR. Scalar columns only.
-    # Match a bare "[" so fixed-size arrays ("BIGINT[8]") are rejected
-    # too, not just "[]" (ADVICE r8).
-    nested = [
-        (c, t)
-        for c, t, *_ in desc
-        if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
-    ]
+    nested = [(c, t) for c, t, *_ in desc if _is_nested(t)]
     assert not nested, (
         f"{key}: nested output column(s) {nested} — flatten with "
         f"ARRAY_TO_STRING / engine.canon.joined or explode before returning"
@@ -78,21 +80,13 @@ def test_nested_gate_catches_fixed_size_arrays(duck):
     }
     for label, sql in flagged_sql.items():
         desc = duck.execute(f"DESCRIBE {sql}").fetchall()
-        nested = [
-            (c, t)
-            for c, t, *_ in desc
-            if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
-        ]
+        nested = [(c, t) for c, t, *_ in desc if _is_nested(t)]
         assert nested, f"{label}: gate missed nested type {desc}"
     desc = duck.execute(
         "DESCRIBE SELECT 1::BIGINT AS a, 1.5::DOUBLE AS b, 'x' AS c, "
         "DATE '2024-01-01' AS d, TRUE AS e"
     ).fetchall()
-    nested = [
-        (c, t)
-        for c, t, *_ in desc
-        if any(tok in t.upper() for tok in ("[", "STRUCT", "MAP("))
-    ]
+    nested = [(c, t) for c, t, *_ in desc if _is_nested(t)]
     assert not nested, f"gate false-positive on scalar types: {nested}"
 
 

@@ -124,10 +124,9 @@ def blow_up(
     return pa.concat_tables(parts)
 
 
-ALL_TABLES = (
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-)
+#: derived, not hand-listed — a table added to SCALED/COPIED can't be
+#: silently missing from the orders-family copy loop (review r10)
+ALL_TABLES = COPIED + tuple(SCALED)
 
 
 def main() -> None:
@@ -136,6 +135,22 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--family", choices=("default", "orders"), default="default")
     args = ap.parse_args()
+
+    # _roll_vectors only raises when a shift lands on an exact multiple
+    # of dim, but any factor > dim wraps (shift dim+1 ≡ roll-by-1 —
+    # replica value-identical to replica 1, the duplicate-saturation
+    # adversary). Enforce the stated invariant up front (review r10).
+    if args.family == "default" and args.factor > 1:
+        dim = len(
+            pq.read_table(
+                f"{args.src}/embeddings.parquet", columns=["embedding"]
+            )["embedding"][0].as_py()
+        )
+        if args.factor > dim:
+            ap.error(
+                f"--factor {args.factor} exceeds embedding dim {dim}: "
+                "component rolls would wrap to value-identical replicas"
+            )
 
     from engine.session import scratch_dir
 
