@@ -496,22 +496,35 @@ def stream_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # transformWithState REQUIRES the RocksDB provider, but the conf is
+    # session-wide — without restore it leaks into every streaming key
+    # that runs later in the same session (measured: stream_stream_join
+    # 4.5 s solo vs 5.1 s in-sweep under the leaked provider; review
+    # r10). Restore the prior provider once this key's query finished.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    path = _replay_dir(spark, sf, late=False)
-    s = _read_stream(spark, path)
-    out_schema = StructType(
-        [StructField("user_id", LongType()), StructField("cnt", LongType())]
-    )
-    updates = s.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=CountProcessor(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
-    )
-    mem = _run_to_memory(updates, "update")
+    try:
+        path = _replay_dir(spark, sf, late=False)
+        s = _read_stream(spark, path)
+        out_schema = StructType(
+            [StructField("user_id", LongType()), StructField("cnt", LongType())]
+        )
+        updates = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CountProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        mem = _run_to_memory(updates, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
     return mem.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
 
 
