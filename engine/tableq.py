@@ -497,8 +497,6 @@ def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-
-
 # --------------------------------------------------------------------------
 # BPE vocabulary TRAINING (the learning half: iterative merge induction)
 # --------------------------------------------------------------------------

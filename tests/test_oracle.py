@@ -151,3 +151,16 @@ def test_round_half_away_matches_duckdb_round(duck):
         "SELECT ROUND(v) FROM _hvals ORDER BY i").fetchall()]
     bad = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
     assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_table_rows_matches_parquet_counts(duck):
+    """session.table_rows (footer-metadata row count backing the LSH
+    adaptive width) must equal the actual row count for every source
+    table at the oracle SF, and be memoized-stable across calls."""
+    from engine.session import TABLES, table_rows
+
+    for t in TABLES:
+        want = duck.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+        got = table_rows(SF_ORACLE, t)
+        assert got == want, f"{t}: footer {got} != actual {want}"
+        assert table_rows(SF_ORACLE, t) == got

@@ -442,3 +442,18 @@ def test_stream_dedup_cascade_matches_sequential_semantics(spark):
     # and at least one doc dropped somewhere (sf fixtures carry dups)
     assert len(got) == 4
     assert sum(r[2] + r[3] for r in got) > 0
+
+
+def test_tws_restores_state_store_provider(spark):
+    """Regression pin for the r10 provider leak: stream_stateful_tws
+    needs the RocksDB state-store provider, but the conf is session-
+    wide — it must be restored after the query completes, or every
+    streaming key that runs later in the session silently switches
+    state-store implementations."""
+    from engine.registry import all_queries
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    all_queries()["stream_stateful_tws"](spark, SF_SMOKE).collect()
+    after = spark.conf.get(key, None)
+    assert after == before, f"provider leaked: {before!r} -> {after!r}"
