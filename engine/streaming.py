@@ -1055,7 +1055,13 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     path = _doc_replay_dir(spark, sf)
     tag = os.path.basename(sf.rstrip("/"))
     base = scratch_dir(f"dedup_cascade_state/{tag}")
-    state = {"hashes": None, "buckets": None}
+    # each store is a LIST of per-batch increment dirs read together —
+    # batch k writes ONLY its new rows (O(batch)), never a rewrite of
+    # the accumulated ledger (the pre-r10 versioned-overwrite rewrote
+    # the whole store every batch: O(corpus) write amplification per
+    # batch, quadratic over the run — exactly the rescan the design
+    # statement forbids, just on the write path)
+    state: dict[str, list[str]] = {"hashes": [], "buckets": []}
     funnel: list[tuple[int, int, int, int, int]] = []
     p = F.lit(_MINHASH_P)
 
@@ -1107,8 +1113,8 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("hh").orderBy("doc_id")),
         )
         firsts = ranked.filter(F.col("rn") == 1)
-        if state["hashes"] is not None:
-            prev_h = sp.read.parquet(state["hashes"])
+        if state["hashes"]:
+            prev_h = sp.read.parquet(*state["hashes"])
             surv_e = firsts.join(prev_h, "hh", "left_anti")
         else:
             prev_h, surv_e = None, firsts
@@ -1127,8 +1133,8 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             )
             .select(F.col("b.doc_id").alias("doc_id"))
         )
-        if state["buckets"] is not None:
-            prev_b = sp.read.parquet(state["buckets"])
+        if state["buckets"]:
+            prev_b = sp.read.parquet(*state["buckets"])
             vs_store = bands_b.join(prev_b, ["band", "h"], "left_semi").select(
                 "doc_id"
             )
@@ -1140,18 +1146,25 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         funnel.append(
             (k, n_arrived, n_arrived - n_surv_e, n_near, n_surv_e - n_near)
         )
-        new_h = surv_e.select("hh")
-        if prev_h is not None:
-            new_h = prev_h.unionByName(new_h)
-        hdir = f"{base}/hashes_v{k}"
-        new_h.write.mode("overwrite").parquet(hdir)
-        state["hashes"] = hdir
-        new_b = bands_b.select("band", "h")
+        # empty increments are skipped, not written: a zero-row parquet
+        # dir has no part files and breaks the multi-dir read
+        if n_surv_e > 0:
+            hdir = f"{base}/hashes_v{k}"
+            # batch survivors' hashes are new by construction (the
+            # anti-join above dropped every previously-seen hh) —
+            # write them alone
+            surv_e.select("hh").write.mode("overwrite").parquet(hdir)
+            state["hashes"].append(hdir)
+        new_b = bands_b.select("band", "h").distinct()
         if prev_b is not None:
-            new_b = prev_b.unionByName(new_b)
-        bdir = f"{base}/buckets_v{k}"
-        new_b.distinct().write.mode("overwrite").parquet(bdir)
-        state["buckets"] = bdir
+            # keep the ledger a SET without rewriting it: append only
+            # the buckets the store doesn't already own
+            new_b = new_b.join(prev_b, ["band", "h"], "left_anti")
+        new_b = new_b.localCheckpoint()
+        if new_b.count() > 0:
+            bdir = f"{base}/buckets_v{k}"
+            new_b.write.mode("overwrite").parquet(bdir)
+            state["buckets"].append(bdir)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
