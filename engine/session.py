@@ -160,67 +160,58 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_SCAN_UNITS_CACHE: dict = {}
+_FOOTER_SUM_CACHE: dict = {}
+
+
+def _footer_sum(sf_dir: str, table: str, attr: str) -> int | None:
+    """Sum a pyarrow footer-metadata attribute (num_row_groups /
+    num_rows) across a parquet source's files — ~ms, no JVM. Memoized
+    on :func:`data_fingerprint` (per-file name+mtime+size for dirs) so
+    an in-place part-file rewrite can never serve a stale value (the
+    ADVICE r2 class a bare dir-mtime key would miss). Recursive glob so
+    partitioned layouts (key=val subdirs) are counted too. Returns
+    ``None`` if the source or ANY file's footer is unreadable — callers
+    choose their own fallback; a silent partial sum is never returned."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, table, attr, data_fingerprint(sf_dir, table))
+    if key not in _FOOTER_SUM_CACHE:
+        p = pathlib.Path(sf_dir) / f"{table}.parquet"
+        try:
+            files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+            total = 0
+            for f in files:
+                total += getattr(pq.ParquetFile(f).metadata, attr)
+        except Exception:
+            total = None
+        _FOOTER_SUM_CACHE[key] = total
+    return _FOOTER_SUM_CACHE[key]
 
 
 def scan_units(sf_dir: str, table: str) -> int:
     """Parallelizable units of a parquet source = total row groups
-    across its files, read from the footers with pyarrow (~ms, memoized
-    on path+mtime). This is what Spark's scan can split on — and the
-    JVM-free probe parallelize_scan needs: asking the session
+    across its files (footer metadata via :func:`_footer_sum`). This is
+    what Spark's scan can split on — and the JVM-free probe
+    parallelize_scan needs: asking the session
     (df.rdd.getNumPartitions() / df.inputFiles()) costs a ~0.15 s py4j
     analysis round-trip PER CALL, which out-weighed the fan-out win on
-    the fast keys when measured."""
-    import pathlib
-
-    import pyarrow.parquet as pq
-
-    p = pathlib.Path(sf_dir) / f"{table}.parquet"
-    try:
-        key = (str(p), p.stat().st_mtime_ns)
-    except OSError:
-        return 1
-    if key not in _SCAN_UNITS_CACHE:
-        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
-        units = 0
-        for f in files:
-            try:
-                units += pq.ParquetFile(f).metadata.num_row_groups
-            except Exception:
-                units += 1
-        _SCAN_UNITS_CACHE[key] = max(1, units)
-    return _SCAN_UNITS_CACHE[key]
+    the fast keys when measured. Falls back to 1 (serial scan, always
+    safe) when footers are unreadable."""
+    units = _footer_sum(sf_dir, table, "num_row_groups")
+    return max(1, units) if units is not None else 1
 
 
-_TABLE_ROWS_CACHE: dict = {}
-
-
-def table_rows(sf_dir: str, table: str) -> int:
-    """Exact row count of a parquet source from footer metadata (~ms,
-    memoized on path+mtime like scan_units) — for sizing decisions
-    (e.g. the LSH adaptive bucket width) that only need N, so they
-    never pay a full Spark count job on the hot path (review r10).
-    Returns 0 when the source is unreadable — callers guard with
-    max(1, ...)."""
-    import pathlib
-
-    import pyarrow.parquet as pq
-
-    p = pathlib.Path(sf_dir) / f"{table}.parquet"
-    try:
-        key = (str(p), p.stat().st_mtime_ns)
-    except OSError:
-        return 0
-    if key not in _TABLE_ROWS_CACHE:
-        files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
-        rows = 0
-        for f in files:
-            try:
-                rows += pq.ParquetFile(f).metadata.num_rows
-            except Exception:
-                pass
-        _TABLE_ROWS_CACHE[key] = rows
-    return _TABLE_ROWS_CACHE[key]
+def table_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count of a parquet source from footer metadata
+    (:func:`_footer_sum`) — for sizing decisions (e.g. the LSH adaptive
+    bucket width) that only need N, so they never pay a full Spark
+    count job on the hot path (review r10). Returns ``None`` (never a
+    partial count) when any footer is unreadable — callers fall back to
+    a real Spark count, so a wrong N can never silently mis-size a
+    plan."""
+    return _footer_sum(sf_dir, table, "num_rows")
 
 
 def parallelize_scan(df: DataFrame, units: int | None = None) -> DataFrame:

@@ -717,8 +717,10 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = T(spark, sf, "embeddings")
     # footer-metadata count (~ms, memoized) — the width rule only needs
-    # N, so don't pay a full Spark count job on the hot path
-    n = max(1, table_rows(sf, "embeddings"))
+    # N, so don't pay a full Spark count job on the hot path; falls
+    # back to the real count if any footer is unreadable (table_rows
+    # never returns a partial sum)
+    n = max(1, table_rows(sf, "embeddings") or emb.count())
     w = 0.5 * min(1.0, _LSH_TARGET_OCC / n)
     to_vec = array_to_vector
     base = emb.select("vec_id", to_vec(_as_double("embedding")).alias("raw"))

@@ -136,20 +136,29 @@ def main() -> None:
     ap.add_argument("--family", choices=("default", "orders"), default="default")
     args = ap.parse_args()
 
-    # _roll_vectors only raises when a shift lands on an exact multiple
-    # of dim, but any factor > dim wraps (shift dim+1 ≡ roll-by-1 —
-    # replica value-identical to replica 1, the duplicate-saturation
-    # adversary). Enforce the stated invariant up front (review r10).
+    # Fail-fast UX, not corruption protection: _roll_vectors itself
+    # raises at shift == dim (replicas count 1..factor-1, so any
+    # factor > dim hits that shift) — but only AFTER events/documents
+    # were already written, leaving a partial output dir. Check the
+    # invariant up front, from the schema alone when the embedding
+    # column is a fixed-size list (no data read), else from one row.
     if args.family == "default" and args.factor > 1:
-        dim = len(
-            pq.read_table(
-                f"{args.src}/embeddings.parquet", columns=["embedding"]
-            )["embedding"][0].as_py()
-        )
-        if args.factor > dim:
+        epath = f"{args.src}/embeddings.parquet"
+        etype = pq.read_schema(epath).field("embedding").type
+        if pa.types.is_fixed_size_list(etype):
+            dim = etype.list_size
+        else:
+            batch = next(
+                pq.ParquetFile(epath).iter_batches(
+                    batch_size=1, columns=["embedding"]
+                )
+            )
+            first = batch.column(0)[0].as_py()
+            dim = len(first) if first is not None else 0
+        if dim and args.factor > dim:
             ap.error(
                 f"--factor {args.factor} exceeds embedding dim {dim}: "
-                "component rolls would wrap to value-identical replicas"
+                "the component roll would hit an exact-duplicate shift"
             )
 
     from engine.session import scratch_dir
