@@ -528,3 +528,19 @@ def test_bpe_train_matches_pure_python_reference(spark):
         )
     ]
     assert got == expect
+
+
+def test_bpe_train_counts_non_increasing(spark):
+    """True-BPE invariant: the selected merge count can never rise
+    between rounds — merging the argmax pair only removes occurrences
+    of other pairs (its adjacent ones) and any new pair involving the
+    merged symbol is bounded by that merge's own count. A rise would
+    mean the recount-between-merges loop is reading stale statistics
+    (exactly the bug class the simplified text_bpe_apply discloses)."""
+    rows = sorted(
+        QUERIES["text_bpe_train"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["rnk"],
+    )
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    assert all(r["new_symbol"] == r["pair"].replace(" ", "") for r in rows)
