@@ -255,22 +255,27 @@ def _read_stream(
     )
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(stream_df: DataFrame, mode: str, shards: int = 16) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
     sink; returns the sink table.
 
-    Runs with 16 state shards (shuffle partitions freeze into the state
-    layout at query start): 32 shards is pure per-batch state-store
-    commit overhead at replay scale, while 4-8 under-parallelize the
-    Python stateful workers (measured: 16 beats 8 by ~16% and 4 by ~30%
-    on the stateful family) — a real cluster sizes this to
-    keys/executor via submit conf instead. Restored after the run so
-    batch queries keep the session setting."""
+    ``shards`` = state shard count (shuffle partitions freeze into the
+    state layout at query start). Default 16: 32 is pure per-batch
+    state-store commit overhead at replay scale, while 4-8
+    under-parallelize the PYTHON stateful workers (measured: 16 beats 8
+    by ~16% and 4 by ~30% on the stateful family). JVM-only stateful
+    operators (the stream-stream join) have no Python workers to feed
+    and their replay cost is LINEAR in shard count (~0.25 s/shard of
+    commit overhead measured r10: 32→8.0 s, 16→4.75, 8→2.96, 4→2.30,
+    2→1.95, identical results) — they pass a smaller value. A real
+    cluster sizes this to keys/executor via submit conf instead.
+    Restored after the run so batch queries keep the session
+    setting."""
     _MEM_COUNTER[0] += 1
     name = f"stream_mem_{_MEM_COUNTER[0]}"
     spark = stream_df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shards))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -287,7 +292,9 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 
 def _wm_late_oracle_sql() -> str:
     """Micro-batch watermark recurrence replayed in pure SQL over the
-    materialized slice files (artifact-pinned at the driver's sf0.01):
+    materialized slice files (artifact-pinned; the fixture SF resolves
+    from SPARK_GRAFT_ORACLE_SF like the scan oracles, so cross-SF sims
+    compare like against like — the driver's default stays sf0.01):
 
     - batch id = slice index // {fpt} (the replay's maxFilesPerTrigger
       structure; mtimes are distinct so trigger grouping is total),
@@ -302,7 +309,9 @@ def _wm_late_oracle_sql() -> str:
       minus delay (the last batch's stats never drive an eviction here
       because the late slice does not advance the watermark).
     """
-    path = _replay_path("/root/testdata/sf0.01", late=True)
+    from engine.session import oracle_sf
+
+    path = _replay_path(oracle_sf(), late=True)
     return f"""
     WITH sl AS (
       SELECT *, regexp_extract(filename, 'slice_(\\d+)', 1)::INT AS si
@@ -361,7 +370,8 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
             "cnt",
         )
     )
-    return _run_to_memory(agg, "append")
+    # JVM-only windowed agg: 4 state shards (see _run_to_memory)
+    return _run_to_memory(agg, "append", shards=4)
 
 
 @register(
@@ -388,7 +398,8 @@ def stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     path = _replay_dir(spark, sf, late=False)
     s = _read_stream(spark, path).withWatermark("ts", "10 minutes")
     deduped = s.dropDuplicatesWithinWatermark(["event_id"])
-    out = _run_to_memory(deduped, "append")
+    # JVM-only dedup state: 4 state shards (see _run_to_memory)
+    out = _run_to_memory(deduped, "append", shards=4)
     return out.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy(
         "event_type"
     )
@@ -586,7 +597,10 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id")
     )
-    return _run_to_memory(joined, "append")
+    # 4 state shards, not the Python-stateful family's 16: this join is
+    # JVM-only and its replay wall is linear in shard commit overhead
+    # (see _run_to_memory) — 4.75 s → 2.30 s measured at sf0.1
+    return _run_to_memory(joined, "append", shards=4)
 
 
 @register(
@@ -617,7 +631,8 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
     )
-    out = _run_to_memory(enriched, "complete")
+    # JVM-only broadcast join + agg: 4 state shards (see _run_to_memory)
+    out = _run_to_memory(enriched, "complete", shards=4)
     return out.select(
         "n_name", "cnt", dround("sum_value", 2).alias("sum_value")
     ).orderBy("n_name")
@@ -721,7 +736,8 @@ def _session_timeout_fn(key, pdfs, state: GroupState):
 
 def _session_timeout_oracle_sql() -> str:
     """The custom stateful sessionizer replayed in pure SQL over the
-    slice files (artifact-pinned at the driver's sf0.01): gap-islands
+    slice files (artifact-pinned; fixture SF from SPARK_GRAFT_ORACLE_SF
+    like the scan oracles, driver default sf0.01): gap-islands
     give every session; a session reaches the APPEND sink iff
     (a) it is not its user's last (a later event past the gap emitted
     it from handleInputRows — batch placement is irrelevant to
@@ -731,7 +747,9 @@ def _session_timeout_oracle_sql() -> str:
     final data batch advanced the watermark) passed last_seen + gap.
     Users still active within (gap + delay) of stream end keep their
     last session open forever — exactly the unbounded-stream truth."""
-    path = _replay_path("/root/testdata/sf0.01", late=False)
+    from engine.session import oracle_sf
+
+    path = _replay_path(oracle_sf(), late=False)
     return f"""
     WITH sl AS (SELECT * FROM read_parquet('{path}/*.parquet')),
     wmf AS (SELECT MAX(ts_us) // 1000 - {_WM_DELAY_MS} AS w FROM sl),
