@@ -160,6 +160,21 @@ _FILES_PER_TRIGGER = 4
 _WM_DELAY_MS = 600_000  # 10-minute watermark on every true-streaming key
 
 
+def _jvm_shards(sf: str) -> int:
+    """State shard count for JVM-only stateful streaming operators,
+    sized to the replay's state volume (the keys/executor sizing a real
+    cluster does via submit conf): per-shard commit overhead dominates
+    at small state (4 shards beat 16 by ~2.2x at sf0.1, measured r10),
+    while at 10x events the trade inverts mildly (8 beats 4 by ~15% at
+    sf1x) — so shards grow with the event count, floored at 4, capped
+    at the Python-stateful family's 16. Footer-metadata count (~ms);
+    falls back to the small-state floor if footers are unreadable."""
+    from engine.session import table_rows
+
+    n = table_rows(sf, "events") or 0
+    return max(4, min(16, n // 125_000))
+
+
 def _replay_path(sf: str, late: bool) -> str:
     """Fixture location, fingerprinted on the SOURCE events parquet
     (mtime+size) so a regenerated testdata can never be served a stale
@@ -370,8 +385,8 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
             "cnt",
         )
     )
-    # JVM-only windowed agg: 4 state shards (see _run_to_memory)
-    return _run_to_memory(agg, "append", shards=4)
+    # JVM-only windowed agg: state-sized shard count (_jvm_shards)
+    return _run_to_memory(agg, "append", shards=_jvm_shards(sf))
 
 
 @register(
@@ -398,8 +413,8 @@ def stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     path = _replay_dir(spark, sf, late=False)
     s = _read_stream(spark, path).withWatermark("ts", "10 minutes")
     deduped = s.dropDuplicatesWithinWatermark(["event_id"])
-    # JVM-only dedup state: 4 state shards (see _run_to_memory)
-    out = _run_to_memory(deduped, "append", shards=4)
+    # JVM-only dedup state: state-sized shard count (_jvm_shards)
+    out = _run_to_memory(deduped, "append", shards=_jvm_shards(sf))
     return out.groupBy("event_type").agg(F.count("*").alias("cnt")).orderBy(
         "event_type"
     )
@@ -597,10 +612,11 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id")
     )
-    # 4 state shards, not the Python-stateful family's 16: this join is
-    # JVM-only and its replay wall is linear in shard commit overhead
-    # (see _run_to_memory) — 4.75 s → 2.30 s measured at sf0.1
-    return _run_to_memory(joined, "append", shards=4)
+    # state-sized shard count, not the Python-stateful family's 16:
+    # this join is JVM-only and its replay wall is linear in shard
+    # commit overhead (see _run_to_memory/_jvm_shards) — 4.75 s → 2.30 s
+    # measured at sf0.1
+    return _run_to_memory(joined, "append", shards=_jvm_shards(sf))
 
 
 @register(
@@ -631,8 +647,8 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
     )
-    # JVM-only broadcast join + agg: 4 state shards (see _run_to_memory)
-    out = _run_to_memory(enriched, "complete", shards=4)
+    # JVM-only broadcast join + agg: state-sized shard count
+    out = _run_to_memory(enriched, "complete", shards=_jvm_shards(sf))
     return out.select(
         "n_name", "cnt", dround("sum_value", 2).alias("sum_value")
     ).orderBy("n_name")
