@@ -281,9 +281,19 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     p = pathlib.Path(sf_dir) / f"{table}.parquet"
     try:
         if p.is_dir():
+            # RECURSIVE (ADVICE r10): _footer_sum reads files via rglob,
+            # so the memo key must cover exactly those files — a
+            # top-level iterdir() would miss an in-place part-file
+            # rewrite inside a key=val subdir (subdir mtime/size
+            # unchanged) and serve a stale footer sum.
             stats = sorted(
-                (f.name, f.stat().st_mtime_ns, f.stat().st_size)
-                for f in p.iterdir()
+                (
+                    str(f.relative_to(p)),
+                    f.stat().st_mtime_ns,
+                    f.stat().st_size,
+                )
+                for f in p.rglob("*")
+                if f.is_file()
             )
         else:
             st = p.stat()

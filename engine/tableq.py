@@ -618,7 +618,8 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
             .limit(1)
             .first()
         )
-        assert top is not None, f"BPE corpus exhausted before round {r}"
+        if top is None:  # explicit raise: assert strips under python -O
+            raise ValueError(f"BPE corpus exhausted before round {r}")
         new_symbol = top["pr"].replace(" ", "")
         learned.append((r, top["pr"], top["cnt"], new_symbol))
         merge = spark.createDataFrame(

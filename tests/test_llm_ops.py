@@ -503,6 +503,14 @@ def test_bpe_train_matches_pure_python_reference(spark):
     freq: Counter[str] = Counter()
     for t in texts:
         for tok in t.split(" "):
+            # match both engines' regexp_extract_all(tok, '(.)'): the
+            # regex '.' drops line terminators (\n, \r, and in Spark's
+            # Java regex also NEL/LS/PS) — strip the same
+            # class here so an embedded newline can't diverge (ADVICE
+            # r10).
+            tok = "".join(
+                c for c in tok if c not in "\r\n\x85\u2028\u2029"
+            )
             if tok:
                 freq[" ".join(tok)] += 1
     expect = []
