@@ -58,46 +58,89 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-10 ROTATION (r9 delivered 50/50 green and
-#: closed external certification: all 373 keys sampled, every latest word
-#: green — so r10 is the first STALENESS-FIRST window, VERDICT r9 task 1):
-#: (a) positions 1-6 — changed-code-first (the r5/r7/r8/r9 precedent):
-#:     text_bpe_train (BRAND-NEW late-r10 iterative BPE induction;
-#:     join_right moved behind the cutoff to keep the window at 50),
-#:     stream_dedup_cascade (BRAND-NEW streaming twin of the dedup
-#:     cascade — foreachBatch + versioned state stores, swapped in late
-#:     exactly like the r9 Table S twins; wiki_rank_reduce moved to the
-#:     tail to keep the window at 50),
-#:     sim_cosine_topk_ivf_pq (BRAND-NEW Table T composite),
-#:     sim_cosine_topk_lsh (r10 adaptive-width/multi-probe/split rewrite),
-#:     sim_cosine_topk_pq + sim_cosine_topk_ivf (shared-helper refactor
-#:     donors — prove the extraction changed nothing under the driver).
-#: (b) positions 7-47 — the 41 remaining keys whose last external green
-#:     is OLDEST (driver-sampled only in r1, eight rounds and several
-#:     shared-infra changes ago: the relational core joins/windows/aggs/
-#:     sets/sorts, filter/project, scan_json_lines/scan_project,
-#:     topk_global).
-#: (c) positions 48-50 — the three r2-stale keys riding the most
-#:     environment-sensitive shared paths: tu_grouped_typed (pandas_udf),
-#:     udaf_pandas_grouped + udf_arrow_scalar (Arrow batch transfer).
-#: A fully-green r10 drops the window's median last-green age from ~8
-#: rounds to current. FAIL-first stays the standing rule if any row
-#: comes back red. Positions 51+ keep the prior priority order (minus
-#: keys promoted above) so enumeration stays deterministic; keys not
-#: listed keep registration order behind the prefix (guarded by
+#: the enumeration order. ROUND-11 ROTATION (r10 delivered 50/50 green;
+#: staleness-first continues per VERDICT r10 task 2):
+#: (a) positions 1-5 — changed-code-first (the standing rule when code
+#:     ships): stream_ann_ingest (BRAND-NEW streaming ANN ingestion —
+#:     centroid-assignment-on-arrival + cell-partitioned append),
+#:     stream_dedup_cascade (r11 REWRITE: hash-prefix-bucketed
+#:     append-only ledgers with partition-pruned per-batch reads +
+#:     single-aggregate funnel — closes the r10 weak),
+#:     sim_cosine_topk_ivf_pq (r11 residual-codebook quantization:
+#:     codes now quantize en − cell-mean, ADC adds q·c' back),
+#:     sim_cosine_topk_pq (shared _pq_subspace_encode refactor donor —
+#:     prove the extraction changed nothing under the driver),
+#:     text_bpe_train (assert→ValueError on the production path).
+#: (b) positions 6-45 — the keys whose last external green is OLDEST:
+#:     join_right (r1-stale, displaced from the r10 window) + the 39
+#:     r2-stale keys (fn_* expression family, the wiki/so/tu C-table
+#:     ports, round-2 text keys, python/pandas UDF surfaces).
+#: (c) positions 46-50 — the next-oldest cohort (r3), alphabetical:
+#:     agg_bool/hist_fixed_width/max_by/null_semantics/regression.
+#: A fully-green r11 drops the window's median last-green age to ≤ r3.
+#: FAIL-first stays the standing rule if any row comes back red.
+#: Positions 51+ keep the prior priority order (minus keys promoted
+#: above) so enumeration stays deterministic; keys not listed keep
+#: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first
-    "text_bpe_train",  # BRAND-NEW (late r10): iterative BPE merge induction;
-    # join_right moved below the cutoff to keep the window at 50 (its
-    # one-line outer-join path is represented by join_left + join_full).
+    # -- (a) changed-code-first (r11)
+    "stream_ann_ingest",
     "stream_dedup_cascade",
     "sim_cosine_topk_ivf_pq",
-    "sim_cosine_topk_lsh",
     "sim_cosine_topk_pq",
+    "text_bpe_train",
+    # -- (b) oldest external green: r1 + the 39 r2-stale keys
+    "join_right",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "fn_array",
+    "fn_bitwise",
+    "fn_cast",
+    "fn_date",
+    "fn_explode",
+    "fn_explode_outer",
+    "fn_hash",
+    "fn_interval",
+    "fn_json",
+    "fn_math",
+    "fn_string",
+    "fn_struct",
+    "fn_trig",
+    "fn_variant",
+    "join_q2_min_cost_supplier",
+    "join_q5_local_supplier",
+    "join_q7_nation_volume",
+    "so_cluster_stats",
+    "so_grouped",
+    "so_scored",
+    "so_vectors",
+    "text_lang_dist",
+    "text_langid",
+    "text_quality",
+    "text_repetition_ratio",
+    "text_tfidf_topterms",
+    "text_tokens",
+    "text_wordcount_topn",
+    "tu_grouped",
+    "tu_grouped_sql",
+    "tu_summary",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udtf_tokenize",
+    "wiki_rank_index",
+    "wiki_rank_naive",
+    "wiki_rank_reduce",
+    # -- (c) next-oldest cohort (r3), alphabetical
+    "agg_bool",
+    "agg_hist_fixed_width",
+    "agg_max_by",
+    "agg_null_semantics",
+    "agg_regression",
+    # ---- window cutoff (50) ----
+    # prior priority order, minus promotions:
+    "sim_cosine_topk_lsh",
     "sim_cosine_topk_ivf",
-    # -- (b) the 41 remaining r1-stale keys (alphabetical; join_right
-    #        displaced behind the cutoff by the text_bpe_train swap)
     "agg_cube",
     "agg_distinct",
     "agg_global",
@@ -139,14 +182,9 @@ _PRIORITY = (
     "win_rank_dense_rownum",
     "win_running_sum",
     "win_topk_per_group",
-    # -- (c) r2-stale high-risk shared paths
     "tu_grouped_typed",
     "udaf_pandas_grouped",
     "udf_arrow_scalar",
-    # ---- window cutoff (50) ----
-    "join_right",
-    "wiki_rank_reduce",
-    # prior priority order (r9 window + earlier), minus promotions:
     "ts_autocorr_lag1",
     "text_bigram_lm",
     "text_langid_confusion",

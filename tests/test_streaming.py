@@ -457,3 +457,73 @@ def test_tws_restores_state_store_provider(spark):
     all_queries()["stream_stateful_tws"](spark, SF_SMOKE).collect()
     after = spark.conf.get(key, None)
     assert after == before, f"provider leaked: {before!r} -> {after!r}"
+
+
+def test_stream_ann_ingest_assignment_rule_and_store_layout(spark):
+    """Pin the r11 streaming ANN ingest against a from-scratch
+    pure-Python replay of its declared semantics: batch = contiguous
+    vec_id chunk, assignment = argmin micro-rounded euclidean distance
+    to the frozen k-means centroids (FLOOR(d*1e6+0.5), cluster-id
+    tie-break), avg_dist = exact integer micro-unit sum / n. Also pins
+    the architectural point: the appended store is PARTITIONED BY CELL
+    and together holds exactly the corpus."""
+    import math
+    import pathlib
+
+    import engine.streaming as S
+    from engine.kmeans import materialize_means
+    from engine.session import scratch_dir
+
+    got = [
+        (r["batch_id"], r["cell"], r["n_assigned"], r["avg_dist"])
+        for r in QUERIES["stream_ann_ingest"](spark, SF_SMOKE).collect()
+    ]
+
+    _path, means = materialize_means(spark, SF_SMOKE)
+    emb = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet").collect()
+    )
+    chunk = -(-len(emb) // S._AI_FILES)
+    agg: dict[tuple[int, int], list[int]] = {}
+    for idx, (vid, e) in enumerate(emb):
+        b = idx // chunk
+        best = min(
+            range(len(means)),
+            key=lambda c: (
+                math.floor(
+                    math.sqrt(sum((x - y) ** 2 for x, y in zip(e, means[c])))
+                    * 1e6
+                    + 0.5
+                ),
+                c,
+            ),
+        )
+        du = math.floor(
+            math.sqrt(sum((x - y) ** 2 for x, y in zip(e, means[best])))
+            * 1e6
+            + 0.5
+        )
+        n_du = agg.setdefault((b, best), [0, 0])
+        n_du[0] += 1
+        n_du[1] += du
+    expected = sorted(
+        (b, c, n, round(sdu / n / 1e6 * 1e6) / 1e6)
+        for (b, c), (n, sdu) in agg.items()
+    )
+    assert [(b, c, n, round(a, 6)) for b, c, n, a in got] == [
+        (b, c, n, round(a, 6)) for b, c, n, a in expected
+    ]
+    # store layout: cell=... partition dirs, total rows == corpus
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    store = pathlib.Path(scratch_dir(f"ann_ingest_store/{tag}"))
+    cells = sorted(
+        int(p.name.split("=")[1]) for p in store.iterdir() if p.name.startswith("cell=")
+    )
+    assert set(cells) == {c for _, c, _, _ in got}
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in store.rglob("*.parquet")
+    )
+    assert total == len(emb)
