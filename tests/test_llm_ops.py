@@ -500,6 +500,18 @@ def test_bpe_train_matches_pure_python_reference(spark):
         .execute(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
         .fetchall()
     ]
+    # fixture-cleanliness gate (ADVICE r10): Spark's Java-regex '.'
+    # drops \n \r NEL LS PS while DuckDB's RE2 '.' drops only \n — a
+    # corpus with \r would diverge ENGINE vs ORACLE, not just this
+    # reference. Assert the fixture carries none so the stripping
+    # below is provably a no-op and any future regeneration that
+    # introduces terminators fails loudly here, not as a hash
+    # mismatch downstream.
+    terms = "\r\n\x85\u2028\u2029"
+    assert not any(c in t for t in texts for c in terms), (
+        "documents fixture contains line terminators - the BPE "
+        "char-split regex diverges between Spark and DuckDB on these"
+    )
     freq: Counter[str] = Counter()
     for t in texts:
         for tok in t.split(" "):
