@@ -2138,7 +2138,13 @@ def _pq_cell_means(norm: DataFrame, assigned: DataFrame) -> DataFrame:
     built from EXACT integer sums: each coordinate is quantized to 1e-9
     units, integer-summed (order-free), and divided once — so Spark's
     partial aggregation order cannot move a coordinate, and DuckDB
-    rebuilds the identical doubles from the identical integer sums."""
+    rebuilds the identical doubles from the identical integer sums.
+
+    Bound: |coordinate| ≤ 1 after L2-normalization, so each row adds
+    ≤ 1e9 micro-units and the int64 sum is exact for cells up to ~9e9
+    vectors — far past any real IVF cell (the coarse quantizer exists
+    precisely to keep cells bounded); a cell larger than that should be
+    split, not averaged."""
     dims = norm.join(assigned, "vec_id").select(
         "cell", F.posexplode("en").alias("i", "v")
     )
