@@ -1164,8 +1164,29 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     nbuckets = _dc_buckets(spark, sf)
     state = {"has_h": False, "has_b": False}
     funnel: list[tuple[int, int, int, int, int]] = []
-    p = F.lit(_MINHASH_P)
     bcol = F.lit(nbuckets)
+
+    # the whole signature pipeline as ONE prebuilt SQL string: the
+    # equivalent nested F.transform/F.pmod lambda tree costs seconds of
+    # py4j round-trips just CONSTRUCTING the plan (the _pq_encode
+    # finding, engine/similarity.py) — and foreachBatch would pay that
+    # construction EVERY batch. Arithmetic is expression-for-expression
+    # the previous Column form (verified bit-identical funnels at all 3
+    # contract SFs), with the hash primitive inlined per fast_hash().
+    from engine.session import fast_hash
+
+    _P = _MINHASH_P
+    h_sql = (
+        "xxhash64(s) & 1152921504606846975"
+        if fast_hash()
+        else "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+    )
+    sig_sql = (
+        "posexplode(transform(sequence(0, 5), i -> array_min(transform("
+        f"transform(sh, s -> pmod({h_sql}, {_P})), "
+        f"x -> pmod(cast(2 * i + 1 as bigint) * x + cast(i as bigint) * 12345, {_P})"
+        "))))"
+    )
 
     def bands_of(df: DataFrame) -> DataFrame:
         shingled = (
@@ -1174,27 +1195,9 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
             .filter(F.size("sh") > 0)
         )
-        hx = shingled.select(
-            "doc_id",
-            F.transform("sh", lambda s: F.pmod(hash60(s), p)).alias("hx"),
+        return shingled.select(
+            "doc_id", F.expr(sig_sql).alias("band", "h")
         )
-        sig = hx.select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(5)),
-                lambda i: F.array_min(
-                    F.transform(
-                        "hx",
-                        lambda x: F.pmod(
-                            (F.lit(2) * i + 1).cast("long") * x
-                            + i * F.lit(12345),
-                            p,
-                        ),
-                    )
-                ),
-            ).alias("sig"),
-        )
-        return sig.select("doc_id", F.posexplode("sig").alias("band", "h"))
 
     def cascade(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
