@@ -22,6 +22,53 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: drift canary (VERDICT r11 task 5): five keys whose CODE NEVER
+#: CHANGES between rounds, measured fresh (min of 3) every sweep right
+#: after warm-up. drift_factor = geometric mean of (now / reference);
+#: cross-round comparisons divide by it before calling anything a
+#: regression — r11 measured identical code +36% slower from host
+#: contention alone, so raw cross-round deltas are meaningless.
+#: The five cover distinct subsystems: hash-agg scan, shuffle join,
+#: sliding-window HLL (the r10/r11 drift exhibit), array expressions,
+#: multi-column null-aware sort. Reference = r12 session of 2026-08-16
+#: (BASELINE.md r12); re-pin ONLY when a canary key's code changes.
+_CANARY_REF: dict[str, float] = {
+    "agg_groupby_q1": 0.557,
+    "join_inner_equi": 0.283,
+    "win_hll_sliding_distinct": 2.563,
+    "text_tokens": 0.574,
+    "sort_multi_nulls": 0.299,
+}
+
+
+def run_canary(spark, queries, sf_dir) -> dict:
+    import math
+
+    times: dict[str, float] = {}
+    for key, ref in _CANARY_REF.items():
+        if key not in queries:
+            continue
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(queries[key](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times[key] = round(min(samples), 3)
+    ratios = [times[k] / _CANARY_REF[k] for k in times if _CANARY_REF[k] > 0]
+    factor = (
+        round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+        if ratios
+        else None
+    )
+    return {
+        "keys": times,
+        "reference": _CANARY_REF,
+        "reference_round": "r12",
+        "drift_factor": factor,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = os.environ.get("BENCH_ONLY")
@@ -53,6 +100,9 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    # drift canary first — before the sweep's own memory pressure
+    canary = None if only else run_canary(spark, queries, sf_dir)
 
     # BASELINE.md protocol: per-query MIN over adaptive repeats. This
     # host shows multi-second stalls from external contention that hit
@@ -105,6 +155,7 @@ def main() -> None:
                     "(BASELINE.md); value = sum of those minimums"
                 ),
                 "hash_mode": hash_mode,
+                "drift_canary": canary,
             }
         )
     )

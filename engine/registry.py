@@ -58,39 +58,84 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-11 ROTATION (r10 delivered 50/50 green;
-#: staleness-first continues per VERDICT r10 task 2):
-#: (a) positions 1-5 — changed-code-first (the standing rule when code
-#:     ships): stream_ann_ingest (BRAND-NEW streaming ANN ingestion —
-#:     centroid-assignment-on-arrival + cell-partitioned append),
-#:     stream_dedup_cascade (r11 REWRITE: hash-prefix-bucketed
-#:     append-only ledgers with partition-pruned per-batch reads +
-#:     single-aggregate funnel — closes the r10 weak),
-#:     sim_cosine_topk_ivf_pq (r11 residual-codebook quantization:
-#:     codes now quantize en − cell-mean, ADC adds q·c' back),
-#:     sim_cosine_topk_pq (shared _pq_subspace_encode refactor donor —
-#:     prove the extraction changed nothing under the driver),
-#:     text_bpe_train (assert→ValueError on the production path).
-#: (b) positions 6-45 — the keys whose last external green is OLDEST:
-#:     join_right (r1-stale, displaced from the r10 window) + the 39
-#:     r2-stale keys (fn_* expression family, the wiki/so/tu C-table
-#:     ports, round-2 text keys, python/pandas UDF surfaces).
-#: (c) positions 46-50 — the next-oldest cohort (r3), alphabetical:
-#:     agg_bool/hist_fixed_width/max_by/null_semantics/regression.
-#: A fully-green r11 drops the window's median last-green age to ≤ r3.
+#: the enumeration order. ROUND-12 ROTATION (r11 delivered 50/50 green;
+#: staleness-first continues per VERDICT r11 task 2):
+#: (a) positions 1-5 — changed-code-first (the standing rule):
+#:     pipeline_ann_retrain_gate (BRAND-NEW r12 — the drift-gate consumer
+#:     of the ANN ingest funnel), stream_dedup_cascade (r12: threshold-
+#:     triggered per-bucket ledger compaction + capped dynamic IN filter
+#:     + sorted bucket files), stream_ann_ingest (r12: zero-shuffle
+#:     prebuilt argmin replaces crossJoin+window; empty-trigger guard),
+#:     sim_cosine_topk_ivf_pq (r12: 8-bit residual codes K=256, nprobe=5,
+#:     exact refine of the ADC shortlist — recall@5 0.44→0.92 at sf0.01),
+#:     sim_cosine_topk_ivf (r12: _ivf_probe refactored to take nprobe —
+#:     prove the default path unchanged under the driver).
+#: (b) positions 6-50 — the ENTIRE r3-stale cohort (recomputed from
+#:     CORRECTNESS_r01-r11 unions: the 45 keys whose last external green
+#:     is round 3), alphabetical. A fully-green r12 leaves r5 as the
+#:     oldest cohort — median last-green age drops below r8.
 #: FAIL-first stays the standing rule if any row comes back red.
 #: Positions 51+ keep the prior priority order (minus keys promoted
 #: above) so enumeration stays deterministic; keys not listed keep
 #: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first (r11)
-    "stream_ann_ingest",
+    # -- (a) changed-code-first (r12)
+    "pipeline_ann_retrain_gate",
     "stream_dedup_cascade",
+    "stream_ann_ingest",
     "sim_cosine_topk_ivf_pq",
+    "sim_cosine_topk_ivf",
+    # -- (b) the full r3-stale cohort, alphabetical
+    "agg_salted_skew",
+    "agg_string_concat",
+    "agg_unpivot",
+    "dedup_editdistance",
+    "dedup_embedding",
+    "dedup_sorted_neighborhood",
+    "fn_collation_lcase",
+    "fn_try_arith",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_broadcast_nl",
+    "join_dynamic_partition_pruning",
+    "join_null_safe",
+    "join_q18_large_orders",
+    "join_q4_exists_priority",
+    "join_runtime_bloom_filter",
+    "merge_upsert_scd1",
+    "multimodal_struct",
+    "pipeline_decontaminate",
+    "pipeline_mix_sources",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "scan_parquet_schema_evolution",
+    "set_union_by_name",
+    "sim_cosine_topk_exact",
+    "sim_range_search",
+    "sql_recursive_cte",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "sub_correlated",
+    "sub_in",
+    "sub_scalar",
+    "ts_gapfill",
+    "win_funnel_sequence",
+    "win_latest_per_key",
+    "win_pctrank_bucketed",
+    "win_sessionize_gap",
+    # ---- window cutoff (50) ----
+    # prior priority order, minus promotions:
     "sim_cosine_topk_pq",
     "text_bpe_train",
-    # -- (b) oldest external green: r1 + the 39 r2-stale keys
     "join_right",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -131,16 +176,12 @@ _PRIORITY = (
     "wiki_rank_index",
     "wiki_rank_naive",
     "wiki_rank_reduce",
-    # -- (c) next-oldest cohort (r3), alphabetical
     "agg_bool",
     "agg_hist_fixed_width",
     "agg_max_by",
     "agg_null_semantics",
     "agg_regression",
-    # ---- window cutoff (50) ----
-    # prior priority order, minus promotions:
     "sim_cosine_topk_lsh",
-    "sim_cosine_topk_ivf",
     "agg_cube",
     "agg_distinct",
     "agg_global",

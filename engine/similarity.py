@@ -854,10 +854,13 @@ def _ivf_oracle_sql() -> str:
     )
 
 
-def _ivf_probe(spark: SparkSession, q: DataFrame, means: list) -> DataFrame:
-    """nprobe=3 nearest cells per query against the materialized k-means
-    centroid list (shared by sim_cosine_topk_ivf and the IVF+PQ
-    composite). Query set is driver-sized by contract (5 rows)."""
+def _ivf_probe(
+    spark: SparkSession, q: DataFrame, means: list, nprobe: int = 3
+) -> DataFrame:
+    """nprobe nearest cells per query against the materialized k-means
+    centroid list (shared by sim_cosine_topk_ivf, nprobe=3, and the
+    IVF+PQ composite, nprobe=_IVF_PQ_NPROBE). Query set is driver-sized
+    by contract (5 rows)."""
     import math
 
     def top_cells(qrow):
@@ -869,7 +872,9 @@ def _ivf_probe(spark: SparkSession, q: DataFrame, means: list) -> DataFrame:
             d = math.sqrt(sum((x - y) ** 2 for x, y in zip(qrow, c)))
             return math.floor(d * 1e6 + 0.5) / 1e6
 
-        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
+        return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[
+            :nprobe
+        ]
 
     qrows = q.collect()  # 5 rows — the query set is driver-sized by definition
     return spark.createDataFrame(
@@ -1970,6 +1975,21 @@ _PQ_K = 64  # centroids per subspace (6-bit codes; K=64 measured 0.36
 # recall@5 vs 0.20 at K=16 on the isotropic test embeddings, and Lloyd
 # refinement does NOT lift recall on such data — measured 1–2 steps)
 _PQ_TOPK = 5
+#: residual-path knobs (sim_cosine_topk_ivf_pq ONLY — the global-codebook
+#: compression demo keeps _PQ_K/nprobe=3; VERDICT r11 task 3): 8-bit
+#: codes (K=256 per subspace — storage stays 8 bytes/vector at 8
+#: subspaces, codebook 256×8 doubles/subspace still broadcast-sized)
+#: and a wider coarse probe. A/B at sf0.1 (SCALE.md r12) picked these.
+_PQ_K_R = 256
+_IVF_PQ_NPROBE = 5
+#: ADC shortlist size for the refine/re-rank step (IVF-PQ-R — Jégou et
+#: al. 2011's re-ranking refinement): the top-_PQ_RERANK ADC candidates
+#: per query are re-scored with EXACT cosine (a bounded
+#: queries×_PQ_RERANK-row broadcast join against the corpus) before the
+#: final top-_PQ_TOPK cut. Compressed codes rank the cheap longlist;
+#: full precision decides the podium — the standard recall rescue when
+#: 8-byte codes can't separate thousands of near-ties (isotropic data).
+_PQ_RERANK = 25
 
 #: DuckDB fragments shared across the oracle: left-fold sums so both
 #: engines add in identical order (list_sum's summation order is not
@@ -2087,12 +2107,13 @@ def _pq_norm(emb: DataFrame) -> DataFrame:
 
 
 def _pq_subspace_encode(
-    vecs: DataFrame, vcol: str
+    vecs: DataFrame, vcol: str, k: int = _PQ_K
 ) -> tuple[DataFrame, DataFrame]:
     """Codebook + encode over an arbitrary (vec_id, <vcol>: array<double>)
-    relation — shared by the global path (_pq_encode, vcol='en') and the
-    residual path (vcol='rv', the IVF+PQ composite). Returns
-    (corpus_sub, enc) with the same shapes _pq_encode documents."""
+    relation — shared by the global path (_pq_encode, vcol='en',
+    k=_PQ_K) and the residual path (vcol='rv', k=_PQ_K_R — the IVF+PQ
+    composite's 8-bit codes). Returns (corpus_sub, enc) with the same
+    shapes _pq_encode documents."""
     from engine.session import hash60
 
     cb = (
@@ -2100,7 +2121,7 @@ def _pq_subspace_encode(
             "h", hash60(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
         )
         .orderBy("h", "vec_id")
-        .limit(_PQ_K)
+        .limit(k)
     )
     w_cid = Window.orderBy("h", "vec_id")
     cb = cb.select((F.row_number().over(w_cid) - 1).alias("cid"), vcol)
@@ -2258,9 +2279,12 @@ def _pq_exact_top(norm: DataFrame) -> DataFrame:
     )
 
 
-def _pq_audit_join(pq_top: DataFrame, exact_top: DataFrame) -> DataFrame:
+def _pq_audit_join(
+    pq_top: DataFrame, exact_top: DataFrame, extra: tuple = ()
+) -> DataFrame:
     """Left-join the PQ/ADC top-K against the exact top-K so every hit
-    carries an in_exact recall flag."""
+    carries an in_exact recall flag. `extra` appends columns the caller
+    computed (the refined path's exact `cos`)."""
     return (
         pq_top.join(
             exact_top,
@@ -2273,20 +2297,23 @@ def _pq_audit_join(pq_top: DataFrame, exact_top: DataFrame) -> DataFrame:
             "neighbor_id",
             "rnk",
             "adc",
+            *extra,
             F.col("ex_neighbor").isNotNull().alias("in_exact"),
         )
         .orderBy("query_id", "rnk")
     )
 
 
-#: the production composite: IVF coarse probe (nprobe=3 of the k-means
-#: cells) prunes the corpus, then RESIDUAL PQ/ADC scores ONLY the probed
-#: cells: vectors are quantized as (cell mean c') + (PQ code of en − c'),
-#: and ADC scores q·c' + Σ_s q_s·r̂_s. Cell means are rebuilt from exact
-#: 1e-9-unit integer sums (order-free on both engines); the codebook is
-#: the hash-bottom-{_PQ_K} sample of the RESIDUALS. Probe CTEs as
-#: _TOPK_IVF_SQL; {{means}}/{{assign}} are the sf0.01-pinned k-means
-#: artifacts (the so_kmeans_ml contract).
+#: the production composite: IVF coarse probe (nprobe=_IVF_PQ_NPROBE of
+#: the k-means cells) prunes the corpus, then RESIDUAL PQ/ADC scores
+#: ONLY the probed cells: vectors are quantized as (cell mean c') + (PQ
+#: code of en − c'), and ADC scores q·c' + Σ_s q_s·r̂_s. Cell means are
+#: rebuilt from exact 1e-9-unit integer sums (order-free on both
+#: engines); the codebook is the hash-bottom-{_PQ_K_R} sample of the
+#: RESIDUALS (8-bit codes); the ADC top-{_PQ_RERANK} shortlist is
+#: REFINED with exact cosine before the final top-{_PQ_TOPK} cut
+#: (IVF-PQ-R, r12). Probe CTEs as _TOPK_IVF_SQL; {{means}}/{{assign}}
+#: are the sf0.01-pinned k-means artifacts (the so_kmeans_ml contract).
 _IVF_PQ_SQL = f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -2322,7 +2349,7 @@ _IVF_PQ_SQL = f"""
         SELECT vec_id, rv, ROW_NUMBER() OVER (ORDER BY
           ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
           vec_id) AS rn
-        FROM residv) WHERE rn <= {_PQ_K}
+        FROM residv) WHERE rn <= {_PQ_K_R}
     ),
     sub AS (SELECT UNNEST(generate_series(0, {_PQ_S - 1})) AS s),
     cent_sub AS (
@@ -2353,7 +2380,7 @@ _IVF_PQ_SQL = f"""
                         cluster) AS crnk
       FROM qraw CROSS JOIN m
     ),
-    probe AS (SELECT query_id, cluster FROM cellrank WHERE crnk <= 3),
+    probe AS (SELECT query_id, cluster FROM cellrank WHERE crnk <= {_IVF_PQ_NPROBE}),
     q_sub AS (
       SELECT vec_id AS query_id, s,
              list_slice(en, s*{_PQ_D}+1, s*{_PQ_D}+{_PQ_D}) AS qsub
@@ -2377,11 +2404,24 @@ _IVF_PQ_SQL = f"""
       WHERE e.vec_id != q.query_id
       GROUP BY 1, 2
     ),
-    pq_top AS (
-      SELECT query_id, neighbor_id, adc,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adc DESC, neighbor_id) AS rnk
-      FROM adc
+    shortl AS (
+      SELECT query_id, neighbor_id, adc FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS arnk
+        FROM adc)
+      WHERE arnk <= {_PQ_RERANK}
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, s.adc,
+             ROUND({_PQ_DOT.format(d=64, a="q.en", b="c.en")} * 1e6) / 1e6
+               AS cos,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+               ROUND({_PQ_DOT.format(d=64, a="q.en", b="c.en")} * 1e6) / 1e6
+                 DESC, s.neighbor_id) AS rnk
+      FROM shortl s
+      JOIN nrm q ON q.vec_id = s.query_id
+      JOIN nrm c ON c.vec_id = s.neighbor_id
     ),
     exact_top AS (
       SELECT query_id, neighbor_id FROM (
@@ -2393,9 +2433,9 @@ _IVF_PQ_SQL = f"""
         JOIN nrm c ON c.vec_id != q.vec_id)
       WHERE rnk <= {_PQ_TOPK}
     )
-    SELECT p.query_id, p.neighbor_id, p.rnk, p.adc,
+    SELECT p.query_id, p.neighbor_id, p.rnk, p.adc, p.cos,
            (et.neighbor_id IS NOT NULL) AS in_exact
-    FROM pq_top p LEFT JOIN exact_top et
+    FROM refined p LEFT JOIN exact_top et
       ON et.query_id = p.query_id AND et.neighbor_id = p.neighbor_id
     WHERE p.rnk <= {_PQ_TOPK}
     ORDER BY p.query_id, p.rnk
@@ -2416,9 +2456,9 @@ _PQ_CODES_MATERIALIZED: set[tuple[str, str, str]] = set()
 def _pq_codes_path(sf_tag: str) -> str:
     from engine.session import scratch_dir
 
-    # encr_: residual-codebook generation (r11) — a new artifact name so
-    # a pre-residual enc_ dir from an earlier build is never reused
-    return scratch_dir("pq_codes") + f"/encr_{sf_tag}"
+    # encr{K}_: residual-codebook generation (r11), K in the name (r12)
+    # so a stale artifact from an earlier codebook size is never reused
+    return scratch_dir("pq_codes") + f"/encr{_PQ_K_R}_{sf_tag}"
 
 
 def _pq_cmeans_path(sf_tag: str) -> str:
@@ -2443,7 +2483,7 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     path = _pq_codes_path(tag)
-    key = ("pq_codes", sf, data_fingerprint(sf, "embeddings"))
+    key = ("pq_codes", sf, data_fingerprint(sf, "embeddings"), _PQ_K_R)
     if key in _PQ_CODES_MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
         return path
     from engine.kmeans import materialize_assignments
@@ -2457,7 +2497,9 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     cmeans.write.mode("overwrite").parquet(_pq_cmeans_path(tag))
     cmeans = spark.read.parquet(_pq_cmeans_path(tag))
     resid = _pq_residuals(norm, assigned, cmeans)
-    _rsub, enc = _pq_subspace_encode(resid.select("vec_id", "rv"), "rv")
+    _rsub, enc = _pq_subspace_encode(
+        resid.select("vec_id", "rv"), "rv", k=_PQ_K_R
+    )
     enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
@@ -2475,9 +2517,9 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     8-byte codes per vector, cell-partitioned layout, a query touches
     nprobe/K of the codes and never a raw vector — which is exactly
     this plan: the enc relation joins the cell assignment, the
-    broadcast probe relation keeps only the nprobe=3 winning cells per
-    query, and ADC scores the survivors with the shared exact-integer
-    micro-unit arithmetic.
+    broadcast probe relation keeps only the nprobe=_IVF_PQ_NPROBE
+    winning cells per query, and ADC scores the survivors with the
+    shared exact-integer micro-unit arithmetic.
 
     Contracts reused verbatim: the k-means cell artifacts + micro-
     rounded probe ranking (sim_cosine_topk_ivf, engine/kmeans.py), the
@@ -2496,13 +2538,25 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     adds the coarse term back: q·(c' + r̂) = q·c' + Σ_s q_s·r̂_s. The
     cell means are exact-integer means of the normalized vectors
     (1e-9-unit sums — order-free on both engines), the codebook is the
-    hash-bottom-{_PQ_K} sample of the residuals, and q·c' joins in as
-    a broadcast (queries × cells) relation. Measured recall@5 at
-    sf0.01: 0.44 residual vs 0.16 global on the full-scan ADC (numpy
-    replica) — within-cell variance is what PQ should spend its bits
-    on once the coarse quantizer explains the cells. The global-
-    codebook path stays alive as sim_cosine_topk_pq (the isotropic-
-    data fallback and compression demo)."""
+    hash-bottom-{_PQ_K_R} sample of the residuals, and q·c' joins in
+    as a broadcast (queries × cells) relation. The global-codebook
+    path stays alive as sim_cosine_topk_pq (the isotropic-data
+    fallback and compression demo).
+
+    REFINE step (r12, VERDICT r11 task 3 — IVF-PQ-R, Jégou et al.'s
+    re-ranking refinement): the ADC ranking keeps a top-{_PQ_RERANK}
+    shortlist per query, which is re-scored with EXACT cosine (a
+    bounded queries×{_PQ_RERANK}-row broadcast join against the
+    normalized corpus) before the final top-{_PQ_TOPK} cut. Compressed
+    codes rank the longlist cheaply; full precision decides the podium
+    — on isotropic embeddings 8-byte codes cannot separate thousands
+    of near-ties, so refinement is where the recall comes from.
+    Measured recall@5 (SCALE.md r12): lever A/B first — 8-bit codes
+    (K 64→256) lifted sf0.01 0.44→0.68 but sf0.1 only 0.20→0.24, and
+    nprobe 3→5 added ≤0.04 (the cell-capture ceiling: on isotropic
+    data the true neighbors' cells are uniform, so recall is capped
+    near nprobe/K_cells) — then refine: 0.92 / 0.76 / 0.52 at
+    sf0.01 / sf0.1 / sf1x with K=256, nprobe=5, rerank=25."""
     from engine.kmeans import materialize_means
 
     emb = T(spark, sf, "embeddings")
@@ -2510,7 +2564,7 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
-    probe = _ivf_probe(spark, q, means)
+    probe = _ivf_probe(spark, q, means, nprobe=_IVF_PQ_NPROBE)
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     codes = spark.read.parquet(materialize_pq_codes(spark, sf))
     cmeans = spark.read.parquet(_pq_cmeans_path(tag))
@@ -2558,7 +2612,37 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     w_pq = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
-    pq_top = adc.withColumn("rnk", F.row_number().over(w_pq)).filter(
+    short = adc.withColumn("arnk", F.row_number().over(w_pq)).filter(
+        F.col("arnk") <= _PQ_RERANK
+    )
+    # refine (IVF-PQ-R, r12): exact cosine over the BOUNDED shortlist
+    # only — the queries×_PQ_RERANK-row shortlist broadcasts against
+    # the normalized corpus (one scan, hash-probe per corpus row), then
+    # the final top-_PQ_TOPK cut ranks on full precision. Codes ranked
+    # the longlist; raw vectors are touched for ≤ queries×_PQ_RERANK
+    # candidate rows — the 8-byte-codes economics survive.
+    qn = norm.filter(F.col("vec_id") < _PQ_TOPK).select(
+        F.col("vec_id").alias("query_id"), F.col("en").alias("qe")
+    )
+    refined = (
+        norm.select(F.col("vec_id").alias("neighbor_id"), F.col("en").alias("ce"))
+        .join(
+            F.broadcast(short.select("query_id", "neighbor_id", "adc")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.expr(
+                "round(aggregate(zip_with(qe, ce, (p, q) -> p * q), 0D,"
+                " (a, v) -> a + v) * 1e6) / 1e6"
+            ).alias("cos"),
+        )
+    )
+    w_r = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    pq_top = refined.withColumn("rnk", F.row_number().over(w_r)).filter(
         F.col("rnk") <= _PQ_TOPK
     )
-    return _pq_audit_join(pq_top, _pq_exact_top(norm))
+    return _pq_audit_join(pq_top, _pq_exact_top(norm), extra=("cos",))

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -1070,9 +1070,37 @@ _DC_LEDGER_TARGET_ROWS = 2048
 #: read-volume probe for the scale evidence (tools/cascade_scale.py):
 #: when set to a list, each batch appends a dict with the ledgers' total
 #: rows (pyarrow footer sum — no Spark job) and the rows the PRUNED
-#: per-batch reads actually scanned. None in production — the probe's
+#: per-batch reads actually feed into the ledger joins (post partition
+#: prune AND post dynamic IN filter). None in production — the probe's
 #: extra count actions exist only under measurement.
 _DC_READ_PROBE: list | None = None
+
+#: per-bucket compaction trigger (VERDICT r11 task 1 — the LSM read-amp
+#: fix): every batch appends ONE file per touched bucket dir, so after
+#: N batches a bucket holds O(N) small files and each pruned read pays
+#: O(N) listing/footer costs per touched bucket. When a bucket exceeds
+#: this many files it is rewritten as ONE file sorted by its join key
+#: (_compact_ledger_buckets). The check runs right after each batch's
+#: append, so a bucket never exceeds threshold+1 files at read time,
+#: regardless of batch count; raising the knob trades fewer rewrite
+#: passes for more files listed per read — the classic LSM trade.
+_DC_COMPACT_FILES = 8
+
+#: cap on the dynamic IN-list filter (VERDICT r11 task 7, the
+#: Trino-style runtime filter): each batch pushes its distinct hash
+#: values into the pruned ledger scans as an IN predicate, so only rows
+#: that can possibly join survive the scan (and, via PushedFilters,
+#: parquet can dictionary/stats-skip inside sorted bucket files once
+#: row groups are production-sized). The list is driver-collected from
+#: the batch, so it is capped; a batch with more distinct keys falls
+#: back to partition pruning alone — exactly how production engines
+#: gate runtime filters on build-side size (at that scale Spark's
+#: runtime bloom-filter join is the mechanism instead). 4096 measured
+#: free at the contract SFs (r12 sweep: ≈ cap-off wall time), while
+#: 32768 — an 18,750-value IN at sf0.1's band side — cost +4 s/run in
+#: plan/codegen/eval: IN lists stop being free after a few thousand
+#: values, so the cap stays in the same bounded class as _dc_buckets.
+_DC_DYNFILTER_CAP = 4096
 
 
 def _dc_buckets(spark: SparkSession, sf: str) -> int:
@@ -1099,6 +1127,81 @@ def _ledger_rows(root: str) -> int:
         pq.ParquetFile(f).metadata.num_rows
         for f in pathlib.Path(root).rglob("*.parquet")
     )
+
+
+def _ledger_files_max(root: str) -> int:
+    """Max parquet files in any bucket dir of a ledger (probe only)."""
+    import pathlib
+
+    return max(
+        (
+            sum(1 for _ in d.glob("*.parquet"))
+            for d in pathlib.Path(root).glob("*=*")
+        ),
+        default=0,
+    )
+
+
+def _sql_in(col: str, vals) -> Column:
+    """Dynamic IN-list as ONE parsed SQL string. Column.isin(…) builds
+    a py4j literal PER VALUE — measured ~10 s/run at a few-thousand-
+    value lists (the r11 plan-construction lesson in filter form);
+    a single expr() string parses in milliseconds. Values are ints,
+    sorted so the plan text is deterministic. An empty list means "no
+    rows can match" (e.g. an all-short-docs batch claims no buckets)."""
+    if not vals:
+        return F.lit(False)
+    return F.expr(f"{col} in ({','.join(str(v) for v in sorted(vals))})")
+
+
+def _compact_ledger_buckets(
+    sp: SparkSession, root: str, part_col: str, sort_cols: list[str]
+) -> int:
+    """Threshold-triggered compaction of an append-only hash-prefix-
+    partitioned ledger (VERDICT r11 task 1): every bucket dir holding
+    more than _DC_COMPACT_FILES parquet files is rewritten as ONE
+    file, sorted by the bucket's join key (task 7 — sorted files give
+    parquet row groups tight min/max + dictionary stats, so the pushed
+    dynamic IN filter can skip inside a bucket once row groups are
+    meaningful at production bucket sizes; at toy scale a bucket is a
+    single row group and the win is file-count alone).
+
+    ALL due buckets compact in ONE Spark job: the due dirs are read
+    with partition discovery (basePath) and written back through
+    DYNAMIC partition overwrite, which replaces exactly the partitions
+    present in the frame and leaves every other bucket's files
+    untouched. The first cut rewrote each bucket as its own read+write
+    job — measured ~90 jobs/batch in the cascade_scale regime (B=3125,
+    many buckets crossing the threshold together) and 30+ s/batch of
+    pure job-scheduling overhead; the single-job shape is the one that
+    survives B at the 4096 cap. Driver cost when nothing is due is a
+    filesystem listing over ≤ B dirs, no Spark job. foreachBatch
+    serializes batches, so the overwrite never races a reader.
+    Returns the number of buckets compacted."""
+    import pathlib
+
+    due = [
+        d
+        for d in pathlib.Path(root).glob("*=*")
+        if sum(1 for _ in d.glob("*.parquet")) > _DC_COMPACT_FILES
+    ]
+    if not due:
+        return 0
+    prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            sp.read.option("basePath", root)
+            .parquet(*[str(d) for d in due])
+            .repartition(part_col)
+            .sortWithinPartitions(part_col, *sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(root)
+        )
+    finally:
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(due)
 
 
 @register("stream_dedup_cascade", sql=_dc_oracle_sql)
@@ -1128,12 +1231,24 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         hash to (O(batch) write — the late-r10 fix, now per-partition);
       * READS only the partitions the batch actually touches: the
         batch's distinct pb/pbb values (a bounded collect, ≤ B ≤ 4096
-        ints) become a partition-pruning isin filter, so the scan lists
+        ints) become a partition-pruning filter, so the scan lists
         and reads touched buckets only — min(batch, B)/B of the ledger
         instead of all of it. At 100 TB with B at the cap this is a
         storage-partitioned equi-join on (pb, hh) / (pbb, band, h);
         tools/cascade_scale.py measures scanned-rows tracking the batch
-        while the ledger grows (SCALE.md).
+        while the ledger grows (SCALE.md);
+      * FILTERS the pruned read by the batch's own hash values (r12,
+        a Trino-style dynamic IN filter, capped — _DC_DYNFILTER_CAP):
+        within a touched bucket only rows that can possibly equi-join
+        survive the scan, and because appends and compactions write
+        bucket files SORTED by the join key, parquet row-group stats
+        can skip inside buckets once row groups are production-sized;
+      * COMPACTS any bucket exceeding _DC_COMPACT_FILES files into ONE
+        sorted file (r12 — threshold-triggered, per-bucket, inside the
+        serialized foreachBatch), so pruned reads never pay O(batches)
+        file listing/footer costs: the LSM write-amp/read-files trade,
+        with tools/cascade_scale.py showing files/bucket bounded while
+        scanned rows stay flat.
     The funnel is computed in ONE aggregate per batch (VERDICT r10 task
     5 — previously 4 count actions + an extra checkpoint): arrived /
     exact / near fall out of a single labeled join, survivors by
@@ -1219,13 +1334,37 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
             return
         if state["has_h"]:
-            # the batch's touched hash-ledger partitions — bounded
-            # collect, ≤ min(batch, B) ≤ 4096 ints (see _dc_buckets);
-            # only needed once a ledger exists to prune
-            pbs = [r[0] for r in ranked.select("pb").distinct().collect()]
-            # partition-pruned ledger read: only the batch's pb dirs
-            # are listed/scanned, then a co-located (pb, hh) equi-join
-            prev_h = sp.read.parquet(hroot).filter(F.col("pb").isin(pbs))
+            # KNOWN double-compute (ADVICE r11, measured and kept): the
+            # key collect below is an action, so ranked's hash+window
+            # runs for it and AGAIN when lab materializes. The fix —
+            # localCheckpoint(ranked) before collecting — was A/B'd at
+            # r12 and is ~1.3 s/run SLOWER at sf0.01/sf0.1 (the extra
+            # eager checkpoint job costs more than the recompute, the
+            # same shape as r11's folded-join negative result), so the
+            # double-compute stays, on purpose.
+            # the batch's join keys — ONE bounded collect driving BOTH
+            # pruning levels: pb values prune ledger partitions
+            # (≤ min(batch, B) ≤ 4096 dirs listed), hh values ride as a
+            # dynamic IN filter into the pruned scan (the Trino-style
+            # runtime filter, VERDICT r11 task 7) so only ledger rows
+            # that can possibly equi-join survive the scan; over the
+            # cap, partition pruning alone (see _DC_DYNFILTER_CAP)
+            keys = (
+                ranked.select("pb", "hh")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_h = sp.read.parquet(hroot)
+            if len(keys) <= _DC_DYNFILTER_CAP:
+                prev_h = prev_h.filter(
+                    _sql_in("pb", {r["pb"] for r in keys})
+                ).filter(_sql_in("hh", {r["hh"] for r in keys}))
+            else:
+                pbs = {
+                    r[0] for r in ranked.select("pb").distinct().collect()
+                }
+                prev_h = prev_h.filter(_sql_in("pb", pbs))
             if _DC_READ_PROBE is not None:
                 _probe_h = (_ledger_rows(hroot), prev_h.count())
             lab = ranked.join(
@@ -1236,9 +1375,9 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
                 _probe_h = (0, 0)
             lab = ranked.withColumn("seen", F.lit(None).cast("int"))
         # localCheckpoint LAB (not its survivor filter): consumed 3×
-        # below (bands, store append, the funnel aggregate) — one hash
-        # computation + ONE pruned ledger read per batch, and each
-        # batch's lineage would otherwise stack across batches
+        # below (bands, store append, the funnel aggregate) — its
+        # recompute source is the checkpointed ranked + ONE pruned
+        # ledger read, and each batch's lineage would otherwise stack
         lab = lab.localCheckpoint()
         # exact survivors: first in-batch arrival of an unseen hash
         surv_e = lab.filter(
@@ -1260,8 +1399,28 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("b.doc_id").alias("doc_id"))
         )
         if state["has_b"]:
-            pbbs = [r[0] for r in bands_b.select("pbb").distinct().collect()]
-            prev_b = sp.read.parquet(broot).filter(F.col("pbb").isin(pbbs))
+            # same two-level pruning as the hash ledger: pbb partition
+            # prune + dynamic IN on the batch's minhash values (h alone
+            # — a superset filter of the (band, h) join key, so every
+            # possible match survives; bands_b is checkpointed, the
+            # collect does not recompute it)
+            bkeys = (
+                bands_b.select("pbb", "h")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_b = sp.read.parquet(broot)
+            if len(bkeys) <= _DC_DYNFILTER_CAP:
+                prev_b = prev_b.filter(
+                    _sql_in("pbb", {r["pbb"] for r in bkeys})
+                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
+            else:
+                pbbs = {
+                    r[0]
+                    for r in bands_b.select("pbb").distinct().collect()
+                }
+                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
             if _DC_READ_PROBE is not None:
                 _probe_b = (_ledger_rows(broot), prev_b.count())
             vs_store = bands_b.join(
@@ -1293,6 +1452,39 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
         )
         arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
         funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
+        # O(batch) appends into the partitions the rows hash to; the
+        # batch's survivor hashes are new by construction (seen-flag
+        # filter above), bucket rows are anti-joined against the pruned
+        # store read so the ledger stays a SET without being rewritten.
+        # repartition ON the partition column first: without it every
+        # shuffle task writes its own file into every pb dir (tasks×B
+        # tiny files per batch — measured +4 s/sweep in committer
+        # overhead); with it each pb dir gains ONE file per batch.
+        # sortWithinPartitions on the join key (VERDICT r11 task 7):
+        # sorted files give row groups tight min/max + dictionary
+        # stats, so the pushed dynamic IN filter can skip inside a
+        # bucket once row groups are meaningful at production sizes
+        surv_e.select("pb", "hh").repartition("pb").sortWithinPartitions(
+            "pb", "hh"
+        ).write.mode("append").partitionBy("pb").parquet(hroot)
+        new_b = bands_b.select("pbb", "band", "h").distinct()
+        if prev_b is not None:
+            new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
+        new_b.repartition("pbb").sortWithinPartitions(
+            "pbb", "band", "h"
+        ).write.mode("append").partitionBy("pbb").parquet(broot)
+        # threshold-triggered per-bucket compaction (VERDICT r11 task
+        # 1): bounds files/bucket regardless of batch count, so pruned
+        # reads never pay O(batches) listing/footer costs — driver-side
+        # listing when below threshold, O(bucket) rewrite when hit
+        ncomp = _compact_ledger_buckets(
+            sp, hroot, "pb", ["hh"]
+        ) + _compact_ledger_buckets(sp, broot, "pbb", ["band", "h"])
+        # flags from the filesystem (no Spark job): an all-short-docs
+        # batch can append zero bucket rows, and a zero-file root must
+        # not be read next batch
+        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
+        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
         if _DC_READ_PROBE is not None:
             _DC_READ_PROBE.append(
                 {
@@ -1302,30 +1494,12 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
                     "h_scanned": _probe_h[1],
                     "b_ledger": _probe_b[0],
                     "b_scanned": _probe_b[1],
+                    # post-append, post-compaction file bounds
+                    "h_files_max": _ledger_files_max(hroot),
+                    "b_files_max": _ledger_files_max(broot),
+                    "compacted": ncomp,
                 }
             )
-        # O(batch) appends into the partitions the rows hash to; the
-        # batch's survivor hashes are new by construction (seen-flag
-        # filter above), bucket rows are anti-joined against the pruned
-        # store read so the ledger stays a SET without being rewritten.
-        # repartition ON the partition column first: without it every
-        # shuffle task writes its own file into every pb dir (tasks×B
-        # tiny files per batch — measured +4 s/sweep in committer
-        # overhead); with it each pb dir gains ONE file per batch
-        surv_e.select("pb", "hh").repartition("pb").write.mode(
-            "append"
-        ).partitionBy("pb").parquet(hroot)
-        new_b = bands_b.select("pbb", "band", "h").distinct()
-        if prev_b is not None:
-            new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
-        new_b.repartition("pbb").write.mode("append").partitionBy(
-            "pbb"
-        ).parquet(broot)
-        # flags from the filesystem (no Spark job): an all-short-docs
-        # batch can append zero bucket rows, and a zero-file root must
-        # not be read next batch
-        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
-        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
@@ -1434,6 +1608,30 @@ def _ai_oracle_sql() -> str:
     return _AI_SQL.format(files=_AI_FILES, means=_means_path("sf0_01"))
 
 
+def _argmin_cell_sql(means: list[list[float]]) -> str:
+    """Nearest-centroid assignment as ONE prebuilt per-row SQL
+    expression (VERDICT r11 finding 1 — replaces crossJoin(centroids) +
+    row_number window, which shuffled batch×K expanded rows per batch):
+    the frozen centroid matrix rides inline as literal arrays (repr()
+    round-trips every double exactly, and cast('…' as double) parses it
+    back bit-identically), all K distances evaluate inside a single
+    projection, and array_min over (du, cell) structs is the argmin
+    with the cluster-id tie-break — zero shuffle, zero join. du is the
+    micro-rounded euclidean distance (FLOOR(d·1e6 + 0.5), the
+    _ivf_probe rounding contract). Built once per operator start, never
+    inside foreachBatch (the r11 plan-construction lesson)."""
+    arrs = ", ".join(
+        "array(" + ", ".join(f"cast('{v!r}' as double)" for v in m) + ")"
+        for m in means
+    )
+    return (
+        f"array_min(zip_with(array({arrs}), sequence(0, {len(means) - 1}),"
+        " (m, k) -> struct(cast(floor(sqrt(aggregate(zip_with(embedding, m,"
+        " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v)) * 1e6 + 0.5d)"
+        " as bigint) as du, cast(k as int) as cell)))"
+    )
+
+
 @register("stream_ann_ingest", sql=_ai_oracle_sql)
 def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ANN index ingestion (VERDICT r10 task 8 — the
@@ -1454,7 +1652,15 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     cluster-id tie-breaks, so it is bit-reproducible in SQL; avg_dist
     divides the EXACT integer micro-unit sum once per group. At 100 TB
     the append is one partitioned write per batch (no shuffle of the
-    existing index, no re-cluster), centroids ride as a broadcast.
+    existing index, no re-cluster). The argmin is a PER-ROW expression
+    fold over the frozen centroid matrix, prebuilt ONCE as a SQL string
+    before the stream starts (_argmin_cell_sql — VERDICT r11 finding 1
+    replaced the crossJoin×K + row_number window, which shuffled
+    batch×K expanded rows every batch): the per-batch plan now has NO
+    exchange before the funnel aggregate (plan-gated in tests). For a
+    coarse quantizer too large to inline (K beyond ~10^4 cells) the
+    fallback is groupBy(vec_id).agg(min_by(...)) — partial-aggregable,
+    one exchange — not the window rank.
 
     FULLY VALUE-ORACLED: replay slices arrive in vec_id order with
     deterministic chunk boundaries (the _doc_replay_dir contract), the
@@ -1467,7 +1673,10 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from engine.session import tune
 
     tune(spark)
-    means_path, _means = materialize_means(spark, sf)
+    _means_path_, means = materialize_means(spark, sf)
+    # the argmin expression is prebuilt ONCE from the frozen centroids —
+    # never inside foreachBatch (the r11 plan-construction lesson)
+    argmin_sql = _argmin_cell_sql(means)
     path = _emb_replay_dir(spark, sf)
     tag = os.path.basename(sf.rstrip("/"))
     store = scratch_dir(f"ann_ingest_store/{tag}")
@@ -1476,25 +1685,23 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     nbatch = [0]  # own counter: funnel holds PER-CELL rows, not batches
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # defensive (ADVICE r11): an empty trigger must not consume
+            # a batch id — later batches would shift off the oracle's
+            # file-slice numbering (mirrors the cascade's guard)
+            return
         k = nbatch[0]
         nbatch[0] += 1
-        means_df = sp.read.parquet(means_path).select(
-            F.col("cluster").alias("cell"), "mean"
-        )
-        du = F.expr(
-            "cast(floor(sqrt(aggregate(zip_with(embedding, mean,"
-            " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v))"
-            " * 1e6 + 0.5d) as bigint)"
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy("du", "cell")
         assigned = (
-            batch_df.crossJoin(F.broadcast(means_df))
-            .select("vec_id", "embedding", "cell", du.alias("du"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            batch_df.select(
+                "vec_id", "embedding", F.expr(argmin_sql).alias("b")
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("b.cell").alias("cell"),
+                F.col("b.du").alias("du"),
+            )
             .localCheckpoint()  # consumed twice: funnel agg + store append
         )
         rows = (
@@ -1533,3 +1740,148 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "n_assigned",
         dround(F.col("sdu") / F.col("n_assigned") / 1e6, 6).alias("avg_dist"),
     ).orderBy("batch_id", "cell")
+
+
+# --------------------------------------------------------------------------
+# ANN maintenance: the drift-gate consumer of the ingest funnel
+# --------------------------------------------------------------------------
+
+#: drift threshold for the re-train gate, as an exact integer ratio
+#: (recent_avg > base_avg * _RG_NUM/_RG_DEN triggers): 5% mean-distance
+#: growth over the ingest window. Compared by int64 cross-
+#: multiplication of the micro-unit sums, so the decision is
+#: bit-reproducible on both engines — no floating-point ratio ever
+#: exists to disagree about.
+_RG_NUM, _RG_DEN = 105, 100
+
+#: the gate unrolled in SQL: the ingest funnel's (batch, cell) sums
+#: (same CTEs as _AI_SQL), then baseline = batch 0 vs recent = last
+#: batch per cell, full-outer so a cell seen in only one window still
+#: gets a decision. {files}/{means} as _AI_SQL.
+_RG_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM base
+    ),
+    m AS (SELECT cluster, mean FROM read_parquet('{means}/*.parquet')),
+    d AS (
+      SELECT b.batch_id, b.vec_id, m.cluster,
+             CAST(FLOOR(SQRT(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (b.e[i] - m.mean[i]) * (b.e[i] - m.mean[i])),
+                  (x, y) -> x + y)) * 1e6 + 0.5) AS BIGINT) AS du
+      FROM b CROSS JOIN m
+    ),
+    a AS (
+      SELECT batch_id, vec_id, cluster, du,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn
+      FROM d
+    ),
+    funnel AS (
+      SELECT batch_id, cluster AS cell, COUNT(*) AS n, SUM(du) AS sdu
+      FROM a WHERE rn = 1 GROUP BY 1, 2
+    ),
+    base0 AS (SELECT cell, n, sdu FROM funnel WHERE batch_id = 0),
+    rec AS (
+      SELECT cell, n, sdu FROM funnel
+      WHERE batch_id = (SELECT MAX(batch_id) FROM funnel)
+    )
+    SELECT COALESCE(b.cell, r.cell) AS cell,
+           COALESCE(b.n, 0) AS base_n,
+           COALESCE(r.n, 0) AS recent_n,
+           ROUND(b.sdu / b.n / 1e6 * 1e6) / 1e6 AS base_avg,
+           ROUND(r.sdu / r.n / 1e6 * 1e6) / 1e6 AS recent_avg,
+           CASE WHEN COALESCE(r.n, 0) = 0 THEN false
+                WHEN COALESCE(b.n, 0) = 0 THEN true
+                ELSE r.sdu * b.n * {den} > b.sdu * r.n * {num} END AS retrain
+    FROM base0 b FULL OUTER JOIN rec r ON b.cell = r.cell
+    ORDER BY 1
+"""
+
+
+def _rg_oracle_sql() -> str:
+    from engine.kmeans import _means_path
+
+    return _RG_SQL.format(
+        files=_AI_FILES, means=_means_path("sf0_01"), num=_RG_NUM, den=_RG_DEN
+    )
+
+
+@register("pipeline_ann_retrain_gate", sql=_rg_oracle_sql)
+def pipeline_ann_retrain_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The consumer of stream_ann_ingest's drift funnel (VERDICT r11
+    task 6 — completes ingest → monitor → MAINTAIN): per IVF cell,
+    compare the mean assignment distance of the MOST RECENT ingest
+    batch against the FIRST batch (the baseline the frozen coarse
+    quantizer was accepted at) and emit the re-train decision relation
+    — (cell, base_n, recent_n, base_avg, recent_avg, retrain). A cell
+    re-trains when its recent mean distance exceeds baseline by the
+    pinned ratio (_RG_NUM/_RG_DEN = +5%), when it receives traffic it
+    never saw at baseline (base_n = 0 → the quantizer has no mandate
+    there), and never on no recent evidence (recent_n = 0). The
+    comparison cross-multiplies the EXACT integer micro-unit sums
+    (r.sdu·b.n·100 > b.sdu·r.n·105 ⇔ recent_avg > base_avg·1.05), so
+    the boundary cannot flip on FP noise — the same exactness contract
+    as the funnel's avg_dist.
+
+    The funnel is recomputed batch-side here (assignment =
+    _argmin_cell_sql's zero-shuffle fold over the frozen centroids,
+    grouped by the replay fixture's batch rule) because the replay is
+    deterministic — it is row-identical to what stream_ann_ingest
+    emits. In production the gate reads the PERSISTED funnel the
+    ingest stream already emits (batch_id arrives on the row); the
+    ROW_NUMBER-over-vec_id here is fixture-replay bookkeeping, not the
+    operator's scale path — the gate aggregate itself touches
+    (batches × cells) observability rows, never vectors."""
+    from engine.kmeans import materialize_means
+    from engine.session import tune
+
+    tune(spark)
+    _mp, means = materialize_means(spark, sf)
+    argmin_sql = _argmin_cell_sql(means)
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    chunk = max(1, -(-n // _AI_FILES))
+    from pyspark.sql import Window
+
+    r = F.row_number().over(Window.orderBy("vec_id")) - 1
+    funnel = (
+        emb.withColumn("batch_id", F.floor(r / chunk).cast("int"))
+        .select("batch_id", F.expr(argmin_sql).alias("b"))
+        .groupBy("batch_id", F.col("b.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("b.du").alias("sdu"))
+        .localCheckpoint()  # batches×cells observability rows, read 3×
+    )
+    last = funnel.agg(F.max("batch_id")).first()[0]
+    base0 = funnel.filter(F.col("batch_id") == 0).select(
+        "cell", F.col("n").alias("bn"), F.col("sdu").alias("bsdu")
+    )
+    rec = funnel.filter(F.col("batch_id") == last).select(
+        "cell", F.col("n").alias("rn"), F.col("sdu").alias("rsdu")
+    )
+    return (
+        base0.join(rec, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("bn", F.lit(0)).alias("base_n"),
+            F.coalesce("rn", F.lit(0)).alias("recent_n"),
+            dround(F.col("bsdu") / F.col("bn") / 1e6, 6).alias("base_avg"),
+            dround(F.col("rsdu") / F.col("rn") / 1e6, 6).alias("recent_avg"),
+            F.when(F.coalesce("rn", F.lit(0)) == 0, F.lit(False))
+            .when(F.coalesce("bn", F.lit(0)) == 0, F.lit(True))
+            .otherwise(
+                F.col("rsdu") * F.col("bn") * _RG_DEN
+                > F.col("bsdu") * F.col("rn") * _RG_NUM
+            )
+            .alias("retrain"),
+        )
+        .orderBy("cell")
+    )

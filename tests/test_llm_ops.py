@@ -187,19 +187,22 @@ def test_ivf_topk_recall_vs_exact(spark):
 
 
 def test_ivf_pq_composite_structure_probe_confinement_and_dpp(spark):
-    """The r10 production composite (IVF coarse probe + PQ/ADC within
-    probed cells, engine/similarity.py): (a) PQ's structural gates —
-    exactly TOPK ranked neighbors per query, never self, ADC
-    descending; (b) every returned neighbor's cell must be one of the
-    query's nprobe=3 probed cells, recomputed here from the
-    materialized assignment + centroids with the key's own micro-unit
-    rounding; (c) the recall self-audit beats chance; (d) the codes
-    scan is dynamic-partition-pruned by the broadcast probe join (the
-    cell-partitioned layout is the 100 TB point of the key)."""
+    """The production composite (IVF coarse probe + residual PQ/ADC
+    within probed cells + exact refine of the shortlist,
+    engine/similarity.py): (a) structural gates — exactly TOPK ranked
+    neighbors per query, never self, EXACT cos descending in rank (the
+    r12 refine re-ranks on full precision, so adc need not be monotone
+    in the final rank — only present); (b) every returned neighbor's
+    cell must be one of the query's nprobe=_IVF_PQ_NPROBE probed
+    cells, recomputed here from the materialized assignment +
+    centroids with the key's own micro-unit rounding; (c) the recall
+    self-audit beats chance; (d) the codes scan is dynamic-partition-
+    pruned by the broadcast probe join (the cell-partitioned layout is
+    the 100 TB point of the key)."""
     import math
 
     from engine.kmeans import materialize_assignments, materialize_means
-    from engine.similarity import _PQ_TOPK
+    from engine.similarity import _IVF_PQ_NPROBE, _PQ_TOPK
 
     df = QUERIES["sim_cosine_topk_ivf_pq"](spark, SF_SMOKE)
     rows = df.collect()
@@ -210,8 +213,9 @@ def test_ivf_pq_composite_structure_probe_confinement_and_dpp(spark):
     for q, rs in byq.items():
         assert sorted(r["rnk"] for r in rs) == list(range(1, _PQ_TOPK + 1))
         assert all(r["neighbor_id"] != q for r in rs)
-        adcs = [r["adc"] for r in sorted(rs, key=lambda r: r["rnk"])]
-        assert adcs == sorted(adcs, reverse=True)
+        coss = [r["cos"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert coss == sorted(coss, reverse=True)
+        assert all(r["adc"] is not None for r in rs)
 
     asg = {
         r["vec_id"]: r["cluster"]
@@ -230,7 +234,11 @@ def test_ivf_pq_composite_structure_probe_confinement_and_dpp(spark):
             d = math.sqrt(sum((x - y) ** 2 for x, y in zip(emb[qid], c)))
             return math.floor(d * 1e6 + 0.5) / 1e6
 
-        return set(sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3])
+        return set(
+            sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[
+                :_IVF_PQ_NPROBE
+            ]
+        )
 
     for r in rows:
         assert asg[r["neighbor_id"]] in probed(r["query_id"]), r

@@ -527,3 +527,82 @@ def test_stream_ann_ingest_assignment_rule_and_store_layout(spark):
         pq.ParquetFile(f).metadata.num_rows for f in store.rglob("*.parquet")
     )
     assert total == len(emb)
+
+
+def test_pipeline_ann_retrain_gate_rule(spark):
+    """Pin the r12 drift gate against a pure-Python replay of its
+    declared semantics: funnel = per-(batch, cell) exact micro-unit
+    assignment sums (the stream_ann_ingest rule), baseline = batch 0,
+    recent = last batch, retrain iff recent_avg > base_avg * 105/100
+    decided by int64 cross-multiplication — plus the evidence edges
+    (recent_n=0 -> never, base_n=0 -> always)."""
+    import math
+
+    import engine.streaming as S
+    from engine.kmeans import materialize_means
+
+    got = [
+        (r["cell"], r["base_n"], r["recent_n"], r["retrain"])
+        for r in QUERIES["pipeline_ann_retrain_gate"](spark, SF_SMOKE).collect()
+    ]
+
+    _p, means = materialize_means(spark, SF_SMOKE)
+    emb = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet").collect()
+    )
+    chunk = -(-len(emb) // S._AI_FILES)
+    agg: dict[tuple[int, int], list[int]] = {}
+    for idx, (vid, e) in enumerate(emb):
+        b = idx // chunk
+        du_of = lambda c: math.floor(
+            math.sqrt(sum((x - y) ** 2 for x, y in zip(e, means[c]))) * 1e6
+            + 0.5
+        )
+        best = min(range(len(means)), key=lambda c: (du_of(c), c))
+        n_du = agg.setdefault((b, best), [0, 0])
+        n_du[0] += 1
+        n_du[1] += du_of(best)
+    last = max(b for b, _ in agg)
+    cells = {c for b, c in agg if b in (0, last)}
+    expected = []
+    for c in sorted(cells):
+        bn, bsdu = agg.get((0, c), (0, 0))
+        rn, rsdu = agg.get((last, c), (0, 0))
+        if rn == 0:
+            retrain = False
+        elif bn == 0:
+            retrain = True
+        else:
+            retrain = rsdu * bn * 100 > bsdu * rn * 105
+        expected.append((c, bn, rn, retrain))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_ann_ingest_argmin_plan_no_exchange(spark):
+    """Plan gate for the r12 zero-shuffle argmin (VERDICT r11 finding
+    1): the per-batch assignment relation — exactly the projection
+    foreachBatch builds before its localCheckpoint — must contain NO
+    Exchange: the old crossJoin(centroids) + row_number window
+    shuffled batch×K expanded rows every batch; the prebuilt
+    expression fold assigns per row."""
+    import engine.streaming as S
+    from engine.kmeans import materialize_means
+
+    _p, means = materialize_means(spark, SF_SMOKE)
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = emb.select(
+        "vec_id", "embedding", F.expr(S._argmin_cell_sql(means)).alias("b")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("b.cell").alias("cell"),
+        F.col("b.du").alias("du"),
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it is not a degenerate plan: it really assigns every row
+    assert assigned.count() == emb.count()

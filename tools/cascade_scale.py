@@ -12,13 +12,21 @@ same batch size) the mean rows scanned per batch stays flat while the
 final ledger is 10x larger. Without partition pruning every batch would
 scan the whole accumulated ledger (the pre-r11 shape).
 
+r12 additions measured here: per-batch rows surviving the pruned reads
+now ALSO reflect the dynamic IN filter (only rows that can equi-join
+the batch survive the scan), and the h_files_max/b_files_max columns
+show files/bucket BOUNDED by the threshold compaction while the batch
+count grows — without compaction a bucket accumulates one file per
+touching batch and the pruned reads pay O(batches) listing/footers.
+
 Scale-model knobs (patched here, not in production):
 - _DC_FILES is set per SF so every batch is ~BATCH_ROWS docs; the
   replay fixture path encodes the slice count so re-slicing is safe.
 - _DC_LEDGER_TARGET_ROWS is shrunk so B > batch at these tiny SFs,
   modeling the production regime where the ledger dwarfs the batch
-  (at contract scale the default 256 gives B=8 and a 125-doc batch
-  touches every bucket, which demonstrates nothing).
+  (the default 2048 keeps B at the floor of 8 at sf0.01/sf0.1 —
+  ~1.3k/12.5k docs — so a 125-doc batch touches every bucket, which
+  demonstrates nothing; at sf1x and beyond B grows past the floor).
 
 Each run's funnel is ALSO value-checked against the DuckDB oracle at
 the patched slice count (the oracle derives batch boundaries from
@@ -68,6 +76,15 @@ def main() -> int:
             S._DC_READ_PROBE = None
         # steady state = batches with a non-empty ledger (skip batch 0)
         steady = [r for r in probe if r["h_ledger"] > 0]
+        if not steady:
+            # a corpus too small for any post-ledger batch (e.g. 2
+            # batches where batch 0 appends nothing) has no steady
+            # state to average — emit the run shape and skip the means
+            # (ADVICE r11: the mean would divide by zero)
+            print(json.dumps({"sf": sf, "docs": n, "batches": len(probe),
+                              "steady_batches": 0, "oracle": "match"}),
+                  flush=True)
+            continue
         h_scan = [r["h_scanned"] for r in steady]
         b_scan = [r["b_scanned"] for r in steady]
         row = {
@@ -81,6 +98,9 @@ def main() -> int:
             "b_ledger_final": probe[-1]["b_ledger"],
             "b_scanned_mean": round(sum(b_scan) / len(b_scan), 1),
             "b_scanned_max": max(b_scan),
+            "h_files_max": max(r["h_files_max"] for r in probe),
+            "b_files_max": max(r["b_files_max"] for r in probe),
+            "compactions": sum(r["compacted"] for r in probe),
             "oracle": "match",
         }
         print(json.dumps(row), flush=True)
