@@ -33,11 +33,11 @@ def materialize(df) -> None:
 #: multi-column null-aware sort. Reference = r12 session of 2026-08-16
 #: (BASELINE.md r12); re-pin ONLY when a canary key's code changes.
 _CANARY_REF: dict[str, float] = {
-    "agg_groupby_q1": 0.557,
-    "join_inner_equi": 0.283,
-    "win_hll_sliding_distinct": 2.563,
-    "text_tokens": 0.574,
-    "sort_multi_nulls": 0.299,
+    "agg_groupby_q1": 0.555,
+    "join_inner_equi": 0.367,
+    "win_hll_sliding_distinct": 2.579,
+    "text_tokens": 0.232,
+    "sort_multi_nulls": 0.589,
 }
 
 

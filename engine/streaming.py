@@ -1716,6 +1716,13 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
         assigned.select("cell", "vec_id", "embedding").write.mode(
             "append"
         ).partitionBy("cell").parquet(store)
+        # same LSM bound as the cascade ledgers (r12): a cell dir gains
+        # one file per touching batch, so trickle ingest needs the
+        # threshold compaction too — one dynamic-overwrite job for all
+        # due cells, sorted by vec_id for point-lookup row-group stats
+        _compact_ledger_buckets(
+            batch_df.sparkSession, store, "cell", ["vec_id"]
+        )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
