@@ -2450,21 +2450,27 @@ def _ivf_pq_oracle_sql() -> str:
     )
 
 
-_PQ_CODES_MATERIALIZED: set[tuple[str, str, str]] = set()
-
-
-def _pq_codes_path(sf_tag: str) -> str:
+def _pq_codes_path(sf: str) -> str:
+    """Fingerprint-addressed codes artifact (r12): the name carries the
+    codebook size AND the source-data fingerprint, so a pre-existing
+    _SUCCESS is sufficient proof of freshness across processes — the
+    assignments the codes depend on are themselves deterministic given
+    the same embeddings. (The r11 in-process memo made every NEW
+    process pay the full encode — ~128 s at sf1x with K=256 — even
+    though the artifact on disk was already exactly right.)"""
     from engine.session import scratch_dir
 
-    # encr{K}_: residual-codebook generation (r11), K in the name (r12)
-    # so a stale artifact from an earlier codebook size is never reused
-    return scratch_dir("pq_codes") + f"/encr{_PQ_K_R}_{sf_tag}"
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    fp = data_fingerprint(sf, "embeddings")
+    return scratch_dir("pq_codes") + f"/encr{_PQ_K_R}_{tag}_{fp}"
 
 
-def _pq_cmeans_path(sf_tag: str) -> str:
+def _pq_cmeans_path(sf: str) -> str:
     from engine.session import scratch_dir
 
-    return scratch_dir("pq_codes") + f"/cmeans_{sf_tag}"
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    fp = data_fingerprint(sf, "embeddings")
+    return scratch_dir("pq_codes") + f"/cmeans_{tag}_{fp}"
 
 
 def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
@@ -2481,10 +2487,11 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     scratch in SQL rather than reading this artifact."""
     import os
 
-    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    path = _pq_codes_path(tag)
-    key = ("pq_codes", sf, data_fingerprint(sf, "embeddings"), _PQ_K_R)
-    if key in _PQ_CODES_MATERIALIZED and os.path.exists(path + "/_SUCCESS"):
+    path = _pq_codes_path(sf)
+    # fingerprint-addressed (see _pq_codes_path): _SUCCESS alone proves
+    # freshness, across processes — the codes' _SUCCESS is written
+    # last, after the cmeans sibling, so its presence implies both
+    if os.path.exists(path + "/_SUCCESS"):
         return path
     from engine.kmeans import materialize_assignments
 
@@ -2494,8 +2501,8 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     )
     norm = _pq_norm(emb)
     cmeans = _pq_cell_means(norm, assigned)
-    cmeans.write.mode("overwrite").parquet(_pq_cmeans_path(tag))
-    cmeans = spark.read.parquet(_pq_cmeans_path(tag))
+    cmeans.write.mode("overwrite").parquet(_pq_cmeans_path(sf))
+    cmeans = spark.read.parquet(_pq_cmeans_path(sf))
     resid = _pq_residuals(norm, assigned, cmeans)
     _rsub, enc = _pq_subspace_encode(
         resid.select("vec_id", "rv"), "rv", k=_PQ_K_R
@@ -2503,7 +2510,6 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
-    _PQ_CODES_MATERIALIZED.add(key)
     return path
 
 
@@ -2565,9 +2571,8 @@ def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
     probe = _ivf_probe(spark, q, means, nprobe=_IVF_PQ_NPROBE)
-    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     codes = spark.read.parquet(materialize_pq_codes(spark, sf))
-    cmeans = spark.read.parquet(_pq_cmeans_path(tag))
+    cmeans = spark.read.parquet(_pq_cmeans_path(sf))
     norm, corpus_sub, _enc = _pq_encode(emb)
     q_sub = corpus_sub.filter(F.col("vec_id") < _PQ_TOPK).select(
         F.col("vec_id").alias("query_id"), "s", F.col("vsub").alias("qsub")
