@@ -606,3 +606,110 @@ def test_stream_ann_ingest_argmin_plan_no_exchange(spark):
     assert "Exchange" not in plan, plan
     # and it is not a degenerate plan: it really assigns every row
     assert assigned.count() == emb.count()
+
+
+def test_cascade_compaction_and_dynfilter_result_invariance(spark):
+    """The r12 ledger machinery must be RESULT-INVISIBLE: (a) forcing
+    compaction after EVERY batch (threshold 0) and (b) disabling the
+    dynamic IN filter entirely (cap 0) must both produce the exact
+    funnel of the shipped configuration — compaction only rewrites
+    bytes, and the IN filter only removes rows that could never join.
+    Also pins the compaction invariants directly: every bucket dir
+    collapses to one file and ledger CONTENT is unchanged."""
+    import pathlib
+
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    def funnel():
+        return [
+            tuple(int(x) for x in r)
+            for r in QUERIES["stream_dedup_cascade"](spark, SF_SMOKE).collect()
+        ]
+
+    shipped = funnel()
+    thr, cap = S._DC_COMPACT_FILES, S._DC_DYNFILTER_CAP
+    try:
+        S._DC_COMPACT_FILES = 0  # compact every touched bucket, every batch
+        compacted = funnel()
+        tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+        base = pathlib.Path(scratch_dir(f"dedup_cascade_state/{tag}"))
+        for store in ("hashes", "buckets"):
+            for d in (base / store).glob("*=*"):
+                nf = sum(1 for _ in d.glob("*.parquet"))
+                assert nf == 1, (store, d.name, nf)
+        S._DC_COMPACT_FILES = thr
+        S._DC_DYNFILTER_CAP = 0  # partition pruning only, no IN filter
+        unfiltered = funnel()
+    finally:
+        S._DC_COMPACT_FILES = thr
+        S._DC_DYNFILTER_CAP = cap
+    assert compacted == shipped
+    assert unfiltered == shipped
+
+
+def test_compact_ledger_buckets_preserves_content(spark):
+    """_compact_ledger_buckets on a hand-built partitioned store:
+    multiset of rows identical before/after, files/bucket collapses to
+    1, and untouched (below-threshold) buckets keep their files."""
+    import pathlib
+
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    root = scratch_dir("compact_unit_test")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    # bucket p=0 gets 3 appends (over a threshold of 2), p=1 gets one
+    for vals in ([(0, 5), (0, 3)], [(0, 9)], [(0, 1), (1, 7)]):
+        (
+            spark.createDataFrame(vals, "p int, x long")
+            .repartition("p")
+            .write.mode("append")
+            .partitionBy("p")
+            .parquet(root)
+        )
+    before = sorted(
+        (r["p"], r["x"]) for r in spark.read.parquet(root).collect()
+    )
+    files_p1_before = sum(
+        1 for _ in pathlib.Path(root, "p=1").glob("*.parquet")
+    )
+    old = S._DC_COMPACT_FILES
+    try:
+        S._DC_COMPACT_FILES = 2
+        n = S._compact_ledger_buckets(spark, root, "p", ["x"])
+    finally:
+        S._DC_COMPACT_FILES = old
+    assert n == 1  # only p=0 exceeded the threshold
+    after = sorted(
+        (r["p"], r["x"]) for r in spark.read.parquet(root).collect()
+    )
+    assert after == before
+    assert sum(1 for _ in pathlib.Path(root, "p=0").glob("*.parquet")) == 1
+    # dynamic overwrite must not have touched the below-threshold bucket
+    assert (
+        sum(1 for _ in pathlib.Path(root, "p=1").glob("*.parquet"))
+        == files_p1_before
+    )
+    # and the compacted file is sorted by the join key (row-group stats
+    # usable): read back preserving file order within the single file
+    xs = [
+        r["x"]
+        for r in spark.read.parquet(str(pathlib.Path(root, "p=0"))).collect()
+    ]
+    assert xs == sorted(xs)
+
+
+def test_sql_in_matches_isin_semantics(spark):
+    """_sql_in (the parsed-string IN builder) must be value-equivalent
+    to Column.isin, including the empty-list 'nothing matches' case."""
+    import engine.streaming as S
+
+    df = spark.range(10).select(F.col("id").cast("bigint").alias("v"))
+    got = sorted(
+        r["v"] for r in df.filter(S._sql_in("v", {7, 3, 9, 11})).collect()
+    )
+    assert got == [3, 7, 9]
+    assert df.filter(S._sql_in("v", set())).count() == 0
