@@ -713,3 +713,54 @@ def test_sql_in_matches_isin_semantics(spark):
     )
     assert got == [3, 7, 9]
     assert df.filter(S._sql_in("v", set())).count() == 0
+
+
+def test_cascade_pruned_read_plan_two_level_filters(spark):
+    """Plan gate for the r12 two-level ledger pruning: a pruned read
+    shaped exactly like the cascade's (partition-prefix IN + dynamic
+    key IN) must show the prefix under PartitionFilters (directory
+    pruning) and the key IN under PushedFilters (parquet-evaluable —
+    row-group stats/dictionary skipping once row groups are
+    production-sized)."""
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    QUERIES["stream_dedup_cascade"](spark, SF_SMOKE).collect()
+    root = scratch_dir("dedup_cascade_state/sf0.001/hashes")
+    df = (
+        spark.read.parquet(root)
+        .filter(S._sql_in("pb", {0, 1}))
+        .filter(S._sql_in("hh", {12345, 678}))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [pb" in plan and " IN (0,1)" in plan, plan
+    assert "PushedFilters: [In(hh, [12345,678])]" in plan, plan
+
+
+def test_retrain_gate_edge_branches_under_trickle_replay(spark):
+    """Exercise the gate's evidence edges with an 80-batch trickle
+    replay at sf0.01 — the key's oracle-contract SF (its means artifact
+    is sf0_01-pinned, so the smoke SF cannot be oracle-compared): ~6
+    vectors/batch over 10 cells, so cells routinely miss batch 0 or the
+    last batch. base_n=0 with recent traffic must retrain, recent_n=0
+    must never retrain — verified against the DuckDB oracle at the
+    patched slice count AND asserted to actually occur in the
+    fixture."""
+    import engine.streaming as S
+
+    from .conftest import make_duck
+    from .oracle_utils import compare
+
+    sf = "/root/testdata/sf0.01"
+    old = S._AI_FILES
+    try:
+        S._AI_FILES = 80
+        df = QUERIES["pipeline_ann_retrain_gate"](spark, sf)
+        rows = df.collect()
+        compare(df, make_duck(sf), S._rg_oracle_sql(), key="rg80")
+    finally:
+        S._AI_FILES = old
+    new_cells = [r for r in rows if r["base_n"] == 0 and r["recent_n"] > 0]
+    idle_cells = [r for r in rows if r["recent_n"] == 0 and r["base_n"] > 0]
+    assert new_cells and all(r["retrain"] for r in new_cells)
+    assert idle_cells and not any(r["retrain"] for r in idle_cells)
