@@ -60,7 +60,10 @@ _MODULES = (
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
 #: the enumeration order. ROUND-12 ROTATION (r11 delivered 50/50 green;
 #: staleness-first continues per VERDICT r11 task 2):
-#: (a) positions 1-5 — changed-code-first (the standing rule):
+#: (a) positions 1-6 — changed-code-first (the standing rule):
+#:     stream_dedup_cascade_ttl (BRAND-NEW late-r12 — the cascade with
+#:     retention-bounded state: last-seen TTL semantics, window-
+#:     filtered ledger reads, retention-applying compaction),
 #:     pipeline_ann_retrain_gate (BRAND-NEW r12 — the drift-gate consumer
 #:     of the ANN ingest funnel), stream_dedup_cascade (r12: threshold-
 #:     triggered per-bucket ledger compaction + capped dynamic IN filter
@@ -70,17 +73,23 @@ _MODULES = (
 #:     exact refine of the ADC shortlist — recall@5 0.44→0.92 at sf0.01),
 #:     sim_cosine_topk_ivf (r12: _ivf_probe refactored to take nprobe —
 #:     prove the default path unchanged under the driver).
-#: (b) positions 6-50 — the ENTIRE r3-stale cohort (recomputed from
+#: (b) positions 7-50 — the r3-stale cohort (recomputed from
 #:     CORRECTNESS_r01-r11 unions: the 45 keys whose last external green
-#:     is round 3), alphabetical. A fully-green r12 leaves r5 as the
-#:     oldest cohort — median last-green age drops below r8.
+#:     is round 3), alphabetical; 44 of 45 fit behind the six changed
+#:     keys, the displaced win_sessionize_gap sits at position 51 and
+#:     rotates next round. A fully-green r12 still drops the median
+#:     last-green age below r8.
 #: FAIL-first stays the standing rule if any row comes back red.
 #: Positions 51+ keep the prior priority order (minus keys promoted
 #: above) so enumeration stays deterministic; keys not listed keep
 #: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first (r12)
+    # -- (a) changed-code-first (r12). The late-r12 TTL cascade joins
+    # the head per the standing rule, displacing the alphabetically-
+    # last r3-cohort key (win_sessionize_gap) to position 51 — 44 of
+    # the 45 r3-stale keys stay in the window; the 45th rotates next.
+    "stream_dedup_cascade_ttl",
     "pipeline_ann_retrain_gate",
     "stream_dedup_cascade",
     "stream_ann_ingest",
@@ -131,9 +140,9 @@ _PRIORITY = (
     "win_funnel_sequence",
     "win_latest_per_key",
     "win_pctrank_bucketed",
-    "win_sessionize_gap",
     # ---- window cutoff (50) ----
     # prior priority order, minus promotions:
+    "win_sessionize_gap",
     "sim_cosine_topk_pq",
     "text_bpe_train",
     "join_right",

@@ -1142,6 +1142,44 @@ def _ledger_files_max(root: str) -> int:
     )
 
 
+def _dc_bands_of():
+    """Build the cascade's MinHash band-signature mapper with the
+    whole signature pipeline PREBUILT as ONE SQL string (the r11
+    finding: the equivalent nested F.transform/F.pmod lambda tree
+    costs seconds of py4j round-trips just CONSTRUCTING the plan, and
+    foreachBatch would pay that construction EVERY batch). Arithmetic
+    is expression-for-expression the dedup_near_minhash Column form
+    (verified bit-identical funnels at all 3 contract SFs), with the
+    hash primitive inlined per fast_hash(). Shared by the unbounded
+    cascade and the r12 TTL variant — both must bucket identically."""
+    from engine.session import fast_hash
+    from engine.similarity import _MINHASH_P, _shingles
+
+    h_sql = (
+        "xxhash64(s) & 1152921504606846975"
+        if fast_hash()
+        else "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+    )
+    sig_sql = (
+        "posexplode(transform(sequence(0, 5), i -> array_min(transform("
+        f"transform(sh, s -> pmod({h_sql}, {_MINHASH_P})), "
+        "x -> pmod(cast(2 * i + 1 as bigint) * x + cast(i as bigint)"
+        f" * 12345, {_MINHASH_P})"
+        "))))"
+    )
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        shingled = (
+            df.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 5)
+            .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        return shingled.select("doc_id", F.expr(sig_sql).alias("band", "h"))
+
+    return bands_of
+
+
 def _sql_in(col: str, vals) -> Column:
     """Dynamic IN-list as ONE parsed SQL string. Column.isin(…) builds
     a py4j literal PER VALUE — measured ~10 s/run at a few-thousand-
@@ -1155,7 +1193,11 @@ def _sql_in(col: str, vals) -> Column:
 
 
 def _compact_ledger_buckets(
-    sp: SparkSession, root: str, part_col: str, sort_cols: list[str]
+    sp: SparkSession,
+    root: str,
+    part_col: str,
+    sort_cols: list[str],
+    retain: Column | None = None,
 ) -> int:
     """Threshold-triggered compaction of an append-only hash-prefix-
     partitioned ledger (VERDICT r11 task 1): every bucket dir holding
@@ -1190,10 +1232,38 @@ def _compact_ledger_buckets(
     prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        df = sp.read.option("basePath", root).parquet(*[str(d) for d in due])
+        if retain is not None:
+            # retention-applying compaction (the TTL cascade): expired
+            # rows are dropped DURING the rewrite — pure space
+            # reclamation, since every read already filters the live
+            # window; correctness never depends on when compaction ran
+            df = df.filter(retain)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # frame — a fully-expired bucket would keep its dead files
+            # (and re-trigger every batch), so drop it outright
+            import shutil
+
+            live = {r[0] for r in df.select(part_col).distinct().collect()}
+            dead = [d for d in due if int(d.name.split("=", 1)[1]) not in live]
+            for d in dead:
+                shutil.rmtree(d)
+            due = [d for d in due if d not in dead]
+            if not due:
+                return len(dead)
+            if dead:
+                # rebuild the frame: the overwrite job re-lists its
+                # input, which must no longer include the deleted dirs
+                df = (
+                    sp.read.option("basePath", root)
+                    .parquet(*[str(d) for d in due])
+                    .filter(retain)
+                )
+            ndone = len(due) + len(dead)
+        else:
+            ndone = len(due)
         (
-            sp.read.option("basePath", root)
-            .parquet(*[str(d) for d in due])
-            .repartition(part_col)
+            df.repartition(part_col)
             .sortWithinPartitions(part_col, *sort_cols)
             .write.mode("overwrite")
             .partitionBy(part_col)
@@ -1201,7 +1271,7 @@ def _compact_ledger_buckets(
         )
     finally:
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return len(due)
+    return ndone
 
 
 @register("stream_dedup_cascade", sql=_dc_oracle_sql)
@@ -1265,7 +1335,6 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     from engine.session import hash60, tune
-    from engine.similarity import _MINHASH_P, _shingles
 
     tune(spark)
     path = _doc_replay_dir(spark, sf)
@@ -1281,38 +1350,7 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     funnel: list[tuple[int, int, int, int, int]] = []
     bcol = F.lit(nbuckets)
 
-    # the whole signature pipeline as ONE prebuilt SQL string: the
-    # equivalent nested F.transform/F.pmod lambda tree costs seconds of
-    # py4j round-trips just CONSTRUCTING the plan (the _pq_encode
-    # finding, engine/similarity.py) — and foreachBatch would pay that
-    # construction EVERY batch. Arithmetic is expression-for-expression
-    # the previous Column form (verified bit-identical funnels at all 3
-    # contract SFs), with the hash primitive inlined per fast_hash().
-    from engine.session import fast_hash
-
-    _P = _MINHASH_P
-    h_sql = (
-        "xxhash64(s) & 1152921504606846975"
-        if fast_hash()
-        else "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
-    )
-    sig_sql = (
-        "posexplode(transform(sequence(0, 5), i -> array_min(transform("
-        f"transform(sh, s -> pmod({h_sql}, {_P})), "
-        f"x -> pmod(cast(2 * i + 1 as bigint) * x + cast(i as bigint) * 12345, {_P})"
-        "))))"
-    )
-
-    def bands_of(df: DataFrame) -> DataFrame:
-        shingled = (
-            df.select("doc_id", F.split("text", " ").alias("toks"))
-            .filter(F.size("toks") >= 5)
-            .select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-            .filter(F.size("sh") > 0)
-        )
-        return shingled.select(
-            "doc_id", F.expr(sig_sql).alias("band", "h")
-        )
+    bands_of = _dc_bands_of()
 
     def cascade(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -1892,3 +1930,307 @@ def pipeline_ann_retrain_gate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# TTL'd streaming dedup: retention-bounded state (the 100 TB reality)
+# --------------------------------------------------------------------------
+
+#: live window of the TTL cascade, in batches: an arrival is a
+#: duplicate only if the same content (or band bucket) was seen within
+#: the last _DC_TTL batches; older sightings have EXPIRED and the doc
+#: is re-admitted. 2 (of the 4 contract batches) makes expiry actually
+#: fire on the contract fixtures (gap-3 band collisions exist at every
+#: SF), so the knob is exercised, not decorative.
+_DC_TTL = 2
+
+#: the TTL cascade replayed in pure SQL. Every ARRIVAL refreshes the
+#: hash's last-seen time (last-seen semantics — the only formulation
+#: that stays recursion-free: dup status depends on prior ARRIVALS, not
+#: prior survivors), so exact-dup(d) ⇔ ∃ earlier arrival of the same
+#: hash within {ttl} batches; band claims come from exact-SURVIVORS
+#: (every survivor claims, near-dups included — the unbounded cascade's
+#: rule) and expire on the same window.
+_DCT_SQL = """
+    WITH d AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, text,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, batch_id, text,
+             ('0x' || SUBSTR(MD5(COALESCE(text, '')), 1, 15))::BIGINT AS hh
+      FROM db
+    ),
+    exd AS (
+      SELECT DISTINCT a.doc_id
+      FROM h a JOIN h b
+        ON b.hh = a.hh AND b.doc_id < a.doc_id
+       AND b.batch_id >= a.batch_id - {ttl}
+    ),
+    toks AS (
+      SELECT h.doc_id, STRING_SPLIT(h.text, ' ') AS t
+      FROM h LEFT JOIN exd ON exd.doc_id = h.doc_id
+      WHERE exd.doc_id IS NULL
+    ),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    ds AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(sh,
+                    s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT
+                         % {p})) AS x
+           FROM shing WHERE LEN(sh) > 0),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(((2 * band + 1) * x + 12345 * band) % {p}) AS h
+      FROM ds CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band)
+      GROUP BY doc_id, band
+    ),
+    nd AS (
+      SELECT DISTINCT sb.doc_id
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.h = sb.h AND sa.doc_id < sb.doc_id
+      JOIN db da ON da.doc_id = sa.doc_id
+      JOIN db d2 ON d2.doc_id = sb.doc_id
+      WHERE da.batch_id >= d2.batch_id - {ttl}
+    ),
+    verdict AS (
+      SELECT h.batch_id,
+             CASE WHEN exd.doc_id IS NOT NULL THEN 'exact'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near'
+                  ELSE 'keep' END AS v
+      FROM h LEFT JOIN exd ON exd.doc_id = h.doc_id
+             LEFT JOIN nd ON nd.doc_id = h.doc_id
+    )
+    SELECT batch_id,
+           COUNT(*) AS arrived,
+           COUNT(*) FILTER (WHERE v = 'exact') AS exact_dups,
+           COUNT(*) FILTER (WHERE v = 'near') AS near_dups,
+           COUNT(*) FILTER (WHERE v = 'keep') AS survivors
+    FROM verdict GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dct_oracle_sql() -> str:
+    from engine.similarity import _MINHASH_P
+
+    return _DCT_SQL.format(files=_DC_FILES, p=_MINHASH_P, ttl=_DC_TTL)
+
+
+@register("stream_dedup_cascade_ttl", sql=_dct_oracle_sql)
+def stream_dedup_cascade_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup cascade with RETENTION-BOUNDED state (r12): identical
+    ingest loop to :func:`stream_dedup_cascade`, but a sighting only
+    suppresses duplicates for _DC_TTL batches — the 100 TB reality,
+    where dedup state cannot grow with the corpus forever and every
+    production ingest pipeline bounds it by a retention horizon
+    (time-partitioned Bloom banks, TTL'd RocksDB state, Kafka
+    compaction windows are all this same idea).
+
+    Semantics (last-seen refresh — deliberately recursion-free): a doc
+    is an exact-dup iff ANY arrival of the same content hash happened
+    within the last _DC_TTL batches (every arrival refreshes the
+    clock, dup or not); an exact-survivor is a near-dup iff any of its
+    6 MinHash band buckets was claimed by an earlier exact-survivor
+    within the window. Expired sightings re-admit the doc — the funnel
+    differs from the unbounded cascade exactly on expiry (pinned by
+    test).
+
+    State architecture: the same hash-prefix-bucketed append-only
+    ledgers as the unbounded cascade, with a batch_id column. Appends
+    stay O(batch) (the batch's distinct hashes / the survivors' band
+    claims, stamped with the batch id — no anti-join needed: the
+    batch column keys recurrence instead of set semantics). Reads add
+    `batch_id >= k − TTL` on top of the partition prune + dynamic IN
+    filter, so join input stays batch-bounded AND window-bounded.
+    Compaction is RETENTION-APPLYING: the threshold rewrite drops
+    expired rows (and deletes fully-expired buckets), so steady-state
+    ledger SIZE is O(window × arrival rate), not O(corpus) — pure
+    space reclamation, since reads filter the window regardless of
+    when compaction last ran (correctness never depends on it).
+
+    FULLY VALUE-ORACLED: same replay fixture as the unbounded cascade;
+    the whole TTL recurrence unrolls in flat SQL (_DCT_SQL) because
+    last-seen refresh makes dup status a join against prior ARRIVALS,
+    not prior survivors."""
+    import pathlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from engine.session import hash60, tune
+
+    tune(spark)
+    path = _doc_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+    base = scratch_dir(f"dedup_cascade_ttl_state/{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh ledgers per run
+    hroot = os.path.join(base, "hashes")
+    broot = os.path.join(base, "buckets")
+    nbuckets = _dc_buckets(spark, sf)
+    state = {"has_h": False, "has_b": False}
+    funnel: list[tuple[int, int, int, int, int]] = []
+    bcol = F.lit(nbuckets)
+    bands_of = _dc_bands_of()
+
+    def cascade(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        k = len(funnel)
+        ranked = (
+            batch_df.select("doc_id", "text")
+            .withColumn("hh", hash60(F.coalesce(F.col("text"), F.lit(""))))
+            .withColumn("pb", F.pmod("hh", bcol).cast("int"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("hh").orderBy("doc_id")
+                ),
+            )
+        )
+        if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
+            return
+        live = F.col("batch_id") >= F.lit(k - _DC_TTL)
+        if state["has_h"]:
+            keys = (
+                ranked.select("pb", "hh")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_h = sp.read.parquet(hroot).filter(live)
+            if len(keys) <= _DC_DYNFILTER_CAP:
+                prev_h = prev_h.filter(
+                    _sql_in("pb", {r["pb"] for r in keys})
+                ).filter(_sql_in("hh", {r["hh"] for r in keys}))
+            else:
+                pbs = {
+                    r[0] for r in ranked.select("pb").distinct().collect()
+                }
+                prev_h = prev_h.filter(_sql_in("pb", pbs))
+            # a hash may carry several live sightings (one per batch);
+            # the seen flag needs existence, not multiplicity
+            lab = ranked.join(
+                prev_h.select("pb", "hh").distinct().withColumn(
+                    "seen", F.lit(1)
+                ),
+                ["pb", "hh"],
+                "left",
+            )
+        else:
+            lab = ranked.withColumn("seen", F.lit(None).cast("int"))
+        lab = lab.localCheckpoint()  # consumed 3×, as the unbounded twin
+        surv_e = lab.filter(
+            (F.col("rn") == 1) & F.col("seen").isNull()
+        ).select("doc_id", "text", "hh", "pb")
+        bands_b = (
+            bands_of(surv_e)
+            .withColumn("pbb", F.pmod("h", bcol).cast("int"))
+            .localCheckpoint()
+        )
+        in_batch = (
+            bands_b.alias("a")
+            .join(
+                bands_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        if state["has_b"]:
+            bkeys = (
+                bands_b.select("pbb", "h")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_b = sp.read.parquet(broot).filter(live)
+            if len(bkeys) <= _DC_DYNFILTER_CAP:
+                prev_b = prev_b.filter(
+                    _sql_in("pbb", {r["pbb"] for r in bkeys})
+                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
+            else:
+                pbbs = {
+                    r[0]
+                    for r in bands_b.select("pbb").distinct().collect()
+                }
+                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
+            vs_store = bands_b.join(
+                prev_b, ["pbb", "band", "h"], "left_semi"
+            ).select("doc_id")
+            near_ids = in_batch.unionByName(vs_store).distinct()
+        else:
+            near_ids = in_batch.distinct()
+        row = (
+            lab.join(
+                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("arrived"),
+                F.count(
+                    F.when(
+                        (F.col("rn") > 1) | F.col("seen").isNotNull(), 1
+                    )
+                ).alias("ex"),
+                F.count("isnear").alias("nr"),
+            )
+            .first()
+        )
+        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
+        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
+        # EVERY arrival refreshes the clock: append the batch's distinct
+        # hashes (rn = 1 picks one row per hh), stamped with batch k —
+        # no anti-join against the store; the batch column keys
+        # recurrence where the unbounded twin needed set semantics
+        lab.filter(F.col("rn") == 1).select("pb", "hh").withColumn(
+            "batch_id", F.lit(k)
+        ).repartition("pb").sortWithinPartitions("pb", "hh").write.mode(
+            "append"
+        ).partitionBy("pb").parquet(hroot)
+        new_b = (
+            bands_b.select("pbb", "band", "h")
+            .distinct()
+            .withColumn("batch_id", F.lit(k))
+        )
+        new_b.repartition("pbb").sortWithinPartitions(
+            "pbb", "band", "h"
+        ).write.mode("append").partitionBy("pbb").parquet(broot)
+        # retention-applying compaction: expired rows drop during the
+        # threshold rewrite, bounding steady-state ledger size to the
+        # live window (reads filter the window regardless)
+        _compact_ledger_buckets(sp, hroot, "pb", ["hh"], retain=live)
+        _compact_ledger_buckets(
+            sp, broot, "pbb", ["band", "h"], retain=live
+        )
+        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
+        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(cascade)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        funnel,
+        "batch_id int, arrived long, exact_dups long, near_dups long,"
+        " survivors long",
+    ).orderBy("batch_id")

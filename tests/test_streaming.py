@@ -764,3 +764,93 @@ def test_retrain_gate_edge_branches_under_trickle_replay(spark):
     idle_cells = [r for r in rows if r["recent_n"] == 0 and r["base_n"] > 0]
     assert new_cells and all(r["retrain"] for r in new_cells)
     assert idle_cells and not any(r["retrain"] for r in idle_cells)
+
+
+def test_stream_dedup_cascade_ttl_matches_sequential_semantics(spark):
+    """Pin the r12 TTL cascade against a from-scratch pure-Python
+    SEQUENTIAL replay of its declared last-seen semantics: a doc is an
+    exact-dup iff ANY arrival of its md5-60bit hash happened within the
+    last _DC_TTL batches (every arrival refreshes the clock); an
+    exact-survivor is a near-dup iff any of its 6 band buckets was
+    claimed by an earlier exact-survivor within the window. Also pins
+    that expiry FIRES on this fixture: the TTL funnel must differ from
+    the unbounded cascade's (gap-3 collisions exist at every SF)."""
+    import hashlib
+
+    import engine.streaming as S
+    from engine.similarity import _MINHASH_P as P
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(SF_SMOKE + "/documents.parquet").collect()
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ttl = S._DC_TTL
+    n = len(docs)
+    chunk = -(-n // 4)
+    last_h: dict[int, int] = {}  # hash -> last-seen batch
+    claims: dict[tuple[int, int], int] = {}  # band bucket -> last claim batch
+    expected = []
+    for k0 in range(0, n, chunk):
+        b = k0 // chunk
+        arrived, ex, nr = len(docs[k0 : k0 + chunk]), 0, 0
+        for doc_id, text in docs[k0 : k0 + chunk]:
+            hh = h60(text if text is not None else "")
+            seen = hh in last_h and last_h[hh] >= b - ttl
+            last_h[hh] = b  # EVERY arrival refreshes, dup or not
+            if seen:
+                ex += 1
+                continue
+            toks = (text or "").split(" ")
+            bands: list[tuple[int, int]] = []
+            if len(toks) >= 5:
+                sh = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+                xs = [h60(s) % P for s in sh]
+                bands = [
+                    (i, min(((2 * i + 1) * x + 12345 * i) % P for x in xs))
+                    for i in range(6)
+                ]
+            if any(bk in claims and claims[bk] >= b - ttl for bk in bands):
+                nr += 1
+            for bk in bands:  # every exact-survivor claims, near-dups too
+                claims[bk] = b
+        expected.append((b, arrived, ex, nr, arrived - ex - nr))
+
+    got = [
+        tuple(int(x) for x in r)
+        for r in QUERIES["stream_dedup_cascade_ttl"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    unbounded = [
+        tuple(int(x) for x in r)
+        for r in QUERIES["stream_dedup_cascade"](spark, SF_SMOKE).collect()
+    ]
+    assert got != unbounded  # expiry must actually fire on this fixture
+
+
+def test_ttl_cascade_retention_bounds_ledger_rows(spark):
+    """Force compaction every batch (threshold 0): after the run the
+    TTL ledgers must hold ONLY live-window rows — steady-state state
+    size is O(window), not O(corpus). (Reads filter the window
+    regardless; this pins the space-reclamation half.)"""
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    old = S._DC_COMPACT_FILES
+    try:
+        S._DC_COMPACT_FILES = 0
+        QUERIES["stream_dedup_cascade_ttl"](spark, SF_SMOKE).collect()
+    finally:
+        S._DC_COMPACT_FILES = old
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_dir(f"dedup_cascade_ttl_state/{tag}")
+    # last batch index is 3 (4 slices); its compaction ran with
+    # live = batch_id >= 3 - TTL
+    floor = 3 - S._DC_TTL
+    for store in ("hashes", "buckets"):
+        rows = spark.read.parquet(f"{base}/{store}")
+        assert rows.filter(F.col("batch_id") < floor).count() == 0, store
+        assert rows.count() > 0, store
