@@ -1102,6 +1102,14 @@ _DC_COMPACT_FILES = 8
 #: values, so the cap stays in the same bounded class as _dc_buckets.
 _DC_DYNFILTER_CAP = 4096
 
+#: test hook (duplicate-epoch injection, r13): when set to a callable,
+#: every ledger-writing foreachBatch callback is wrapped with it before
+#: the stream starts — tests re-deliver each epoch mid-stream and
+#: assert funnel rows and ledger bytes are unchanged (the idempotency
+#: contract foreachBatch's at-least-once delivery requires). None in
+#: production.
+_DC_BATCH_WRAPPER = None
+
 
 def _dc_buckets(spark: SparkSession, sf: str) -> int:
     """Ledger bucket count B for this corpus: ceil(N / target), clamped
@@ -1130,12 +1138,13 @@ def _ledger_rows(root: str) -> int:
 
 
 def _ledger_files_max(root: str) -> int:
-    """Max parquet files in any bucket dir of a ledger (probe only)."""
+    """Max parquet files in any bucket dir of a ledger (probe only).
+    Recursive: bucket dirs hold epoch=<id> subdirs (r13 layout)."""
     import pathlib
 
     return max(
         (
-            sum(1 for _ in d.glob("*.parquet"))
+            sum(1 for _ in d.rglob("*.parquet"))
             for d in pathlib.Path(root).glob("*=*")
         ),
         default=0,
@@ -1219,13 +1228,28 @@ def _compact_ledger_buckets(
     survives B at the 4096 cap. Driver cost when nothing is due is a
     filesystem listing over ≤ B dirs, no Spark job. foreachBatch
     serializes batches, so the overwrite never races a reader.
-    Returns the number of buckets compacted."""
+
+    Layout contract (r13): roots are partitioned by (part_col, epoch)
+    — each batch's appends land in the epoch-keyed subdir of every
+    bucket they touch (the idempotent-redelivery unit). Compaction
+    folds all of a due bucket's epoch generations into the epoch=-1
+    COMPACTED sentinel partition, and deletes the folded source dirs
+    (and, on the retain path, fully-expired buckets) only AFTER the
+    rewrite commits (ADVICE r12): a failure mid-rewrite leaves every
+    source file in place — reads window-filter / join on exact keys,
+    so a surviving stale dir is never a correctness hazard, only
+    bytes. Only COMMITTED epochs reach compaction (callers mark the
+    epoch before compacting), so a folded epoch can never be
+    re-delivered. Bucket partition values compare as STRINGS
+    (type-generic across partition-column types, ADVICE r12).
+    Returns the number of buckets compacted (incl. expired-deleted)."""
     import pathlib
+    import shutil
 
     due = [
         d
         for d in pathlib.Path(root).glob("*=*")
-        if sum(1 for _ in d.glob("*.parquet")) > _DC_COMPACT_FILES
+        if sum(1 for _ in d.rglob("*.parquet")) > _DC_COMPACT_FILES
     ]
     if not due:
         return 0
@@ -1241,37 +1265,380 @@ def _compact_ledger_buckets(
             df = df.filter(retain)
             # dynamic overwrite only replaces partitions PRESENT in the
             # frame — a fully-expired bucket would keep its dead files
-            # (and re-trigger every batch), so drop it outright
-            import shutil
-
-            live = {r[0] for r in df.select(part_col).distinct().collect()}
-            dead = [d for d in due if int(d.name.split("=", 1)[1]) not in live]
-            for d in dead:
-                shutil.rmtree(d)
-            due = [d for d in due if d not in dead]
-            if not due:
-                return len(dead)
-            if dead:
+            # (and re-trigger every batch), so it is deleted outright
+            # (below, after the rewrite commits)
+            live = {
+                str(r[0]) for r in df.select(part_col).distinct().collect()
+            }
+            dead = [d for d in due if d.name.split("=", 1)[1] not in live]
+            write_due = [d for d in due if d not in dead]
+            if dead and write_due:
                 # rebuild the frame: the overwrite job re-lists its
-                # input, which must no longer include the deleted dirs
+                # input, which must not include all-expired dirs (their
+                # rows are filtered out anyway; skipping the dirs skips
+                # their footers)
                 df = (
                     sp.read.option("basePath", root)
-                    .parquet(*[str(d) for d in due])
+                    .parquet(*[str(d) for d in write_due])
                     .filter(retain)
                 )
-            ndone = len(due) + len(dead)
         else:
-            ndone = len(due)
-        (
-            df.repartition(part_col)
-            .sortWithinPartitions(part_col, *sort_cols)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(root)
-        )
+            dead, write_due = [], due
+        if write_due:
+            (
+                df.withColumn("epoch", F.lit(-1))
+                .repartition(part_col)
+                .sortWithinPartitions(part_col, *sort_cols)
+                .write.mode("overwrite")
+                .partitionBy(part_col, "epoch")
+                .parquet(root)
+            )
+        # deletes strictly AFTER the overwrite committed (ADVICE r12):
+        # a failed rewrite leaves the ledger byte-identical
+        for d in dead:
+            shutil.rmtree(d)
+        for d in write_due:
+            for e in d.glob("epoch=*"):
+                if e.name != "epoch=-1":
+                    shutil.rmtree(e)
     finally:
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return ndone
+    return len(due)
+
+
+def _epoch_marker(base: str, epoch_id: int) -> str:
+    """Commit marker for one foreachBatch epoch (r13 — VERDICT r12 task
+    3): written AFTER the epoch's ledger appends commit. Lives under
+    the state base's `_epochs/` dir (underscore-prefixed, so Spark's
+    file listings ignore it)."""
+    return os.path.join(base, "_epochs", str(int(epoch_id)))
+
+
+def _clear_epoch_leftovers(roots: list[str], epoch_id: int) -> None:
+    """Remove ledger files a previously FAILED delivery of this epoch
+    left behind: appends are keyed by epoch subdir (…/<part>=<v>/
+    epoch=<id>/), so an unmarked epoch's partial writes are exactly the
+    epoch-keyed dirs — deleting them makes the redo append-from-clean
+    instead of double-appending. Committed (marked) epochs never reach
+    this path, so a compaction-folded epoch can never be cleared."""
+    import pathlib
+    import shutil
+
+    for root in roots:
+        for d in pathlib.Path(root).glob(f"*=*/epoch={int(epoch_id)}"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_dedup_cascade(
+    spark: SparkSession, sf: str, state_name: str, ttl: int | None
+) -> DataFrame:
+    """The ONE batch body behind stream_dedup_cascade (ttl=None,
+    unbounded set-semantics ledgers) and stream_dedup_cascade_ttl
+    (ttl=_DC_TTL, last-seen-refresh ledgers with window-filtered reads
+    and retention-applying compaction) — VERDICT r12 task 7: the two
+    operators previously duplicated ~200 lines of rank/prune/dynfilter/
+    band machinery differing only in the live filter and append stamps;
+    a fix applied to one and missed in the other was the likeliest bug
+    vector. Semantics per mode are documented on the registered
+    wrappers; every plan decision (prebuilt SQL expressions, capped
+    dynamic IN, localCheckpoint placement, threshold compaction) is
+    shared and was A/B-measured in r11/r12 (BASELINE.md).
+
+    Epoch-keyed idempotent appends (r13 — VERDICT r12 task 3): every
+    append lands under the bucket's epoch=<epoch_id> subdir, and the
+    epoch is COMMITTED by a marker file written after both ledgers'
+    appends. A re-delivered epoch (foreachBatch redelivers the failed
+    epoch on restart-after-failure) is either (a) marked → full no-op,
+    or (b) unmarked → its partial epoch-keyed dirs are deleted and the
+    batch redone from clean. Funnel rows and ledger bytes are identical
+    under duplicate delivery (pinned by test at 3 SFs)."""
+    import pathlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    from engine.session import hash60, tune
+
+    tune(spark)
+    path = _doc_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+    base = scratch_dir(f"{state_name}/{tag}")
+    # fresh ledgers per run: the roots are append-only during the run,
+    # so a prior run's rows must not leak in
+    shutil.rmtree(base, ignore_errors=True)
+    hroot = os.path.join(base, "hashes")
+    broot = os.path.join(base, "buckets")
+    nbuckets = _dc_buckets(spark, sf)
+    state = {"has_h": False, "has_b": False}
+    funnel: list[tuple[int, int, int, int, int]] = []
+    bcol = F.lit(nbuckets)
+
+    bands_of = _dc_bands_of()
+
+    def cascade(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        k = len(funnel)
+        marker = _epoch_marker(base, epoch_id)
+        if os.path.exists(marker):
+            # duplicate delivery of a COMMITTED epoch — full no-op:
+            # funnel row already appended, ledgers already hold the
+            # epoch's rows (byte-identical skip, pinned by test)
+            return
+        _clear_epoch_leftovers([hroot, broot], epoch_id)
+        if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
+            return
+        # COALESCE before hashing: md5(NULL) is NULL, and a NULL hh
+        # never equi-matches the ledger — NULL-text docs hash as ''
+        # so they dedupe as ONE group on both engines (review r10).
+        ranked = (
+            batch_df.select("doc_id", "text")
+            .withColumn("hh", hash60(F.coalesce(F.col("text"), F.lit(""))))
+            .withColumn("pb", F.pmod("hh", bcol).cast("int"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("hh").orderBy("doc_id")
+                ),
+            )
+        )
+        # TTL mode: a sighting only counts within the live window —
+        # ledger reads filter it, and compaction drops what expired
+        live = (
+            F.col("batch_id") >= F.lit(k - ttl) if ttl is not None else None
+        )
+        if state["has_h"]:
+            # KNOWN double-compute (ADVICE r11, measured and kept): the
+            # key collect below is an action, so ranked's hash+window
+            # runs for it and AGAIN when lab materializes. The fix —
+            # localCheckpoint(ranked) before collecting — was A/B'd at
+            # r12 and is ~1.3 s/run SLOWER at sf0.01/sf0.1 (the extra
+            # eager checkpoint job costs more than the recompute, the
+            # same shape as r11's folded-join negative result), so the
+            # double-compute stays, on purpose.
+            # the batch's join keys — ONE bounded collect driving BOTH
+            # pruning levels: pb values prune ledger partitions
+            # (≤ min(batch, B) ≤ 4096 dirs listed), hh values ride as a
+            # dynamic IN filter into the pruned scan (the Trino-style
+            # runtime filter, VERDICT r11 task 7) so only ledger rows
+            # that can possibly equi-join survive the scan; over the
+            # cap, partition pruning alone (see _DC_DYNFILTER_CAP)
+            keys = (
+                ranked.select("pb", "hh")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_h = sp.read.parquet(hroot)
+            if live is not None:
+                prev_h = prev_h.filter(live)
+            if len(keys) <= _DC_DYNFILTER_CAP:
+                prev_h = prev_h.filter(
+                    _sql_in("pb", {r["pb"] for r in keys})
+                ).filter(_sql_in("hh", {r["hh"] for r in keys}))
+            else:
+                pbs = {
+                    r[0] for r in ranked.select("pb").distinct().collect()
+                }
+                prev_h = prev_h.filter(_sql_in("pb", pbs))
+            if _DC_READ_PROBE is not None:
+                _probe_h = (_ledger_rows(hroot), prev_h.count())
+            # the seen flag needs existence, not multiplicity: the
+            # unbounded ledger is a SET by construction (survivor
+            # hashes are anti-filtered before append), the TTL ledger
+            # carries one sighting per (hash, batch) and needs the
+            # distinct
+            seen_h = prev_h.select("pb", "hh")
+            if ttl is not None:
+                seen_h = seen_h.distinct()
+            lab = ranked.join(
+                seen_h.withColumn("seen", F.lit(1)), ["pb", "hh"], "left"
+            )
+        else:
+            if _DC_READ_PROBE is not None:
+                _probe_h = (0, 0)
+            lab = ranked.withColumn("seen", F.lit(None).cast("int"))
+        # localCheckpoint LAB (not its survivor filter): consumed 3×
+        # below (bands, store append, the funnel aggregate) — its
+        # recompute source is the checkpointed ranked + ONE pruned
+        # ledger read, and each batch's lineage would otherwise stack
+        lab = lab.localCheckpoint()
+        # exact survivors: first in-batch arrival of an unseen hash
+        surv_e = lab.filter(
+            (F.col("rn") == 1) & F.col("seen").isNull()
+        ).select("doc_id", "text", "hh", "pb")
+        bands_b = (
+            bands_of(surv_e)
+            .withColumn("pbb", F.pmod("h", bcol).cast("int"))
+            .localCheckpoint()  # consumed 4×: self-join ×2, semi, append
+        )
+        in_batch = (
+            bands_b.alias("a")
+            .join(
+                bands_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        if state["has_b"]:
+            # same two-level pruning as the hash ledger: pbb partition
+            # prune + dynamic IN on the batch's minhash values (h alone
+            # — a superset filter of the (band, h) join key, so every
+            # possible match survives; bands_b is checkpointed, the
+            # collect does not recompute it)
+            bkeys = (
+                bands_b.select("pbb", "h")
+                .distinct()
+                .limit(_DC_DYNFILTER_CAP + 1)
+                .collect()
+            )
+            prev_b = sp.read.parquet(broot)
+            if live is not None:
+                prev_b = prev_b.filter(live)
+            if len(bkeys) <= _DC_DYNFILTER_CAP:
+                prev_b = prev_b.filter(
+                    _sql_in("pbb", {r["pbb"] for r in bkeys})
+                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
+            else:
+                pbbs = {
+                    r[0]
+                    for r in bands_b.select("pbb").distinct().collect()
+                }
+                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
+            if _DC_READ_PROBE is not None:
+                _probe_b = (_ledger_rows(broot), prev_b.count())
+            vs_store = bands_b.join(
+                prev_b, ["pbb", "band", "h"], "left_semi"
+            ).select("doc_id")
+            near_ids = in_batch.unionByName(vs_store).distinct()
+        else:
+            if _DC_READ_PROBE is not None:
+                _probe_b = (0, 0)
+            prev_b = None
+            near_ids = in_batch.distinct()
+        # ONE funnel action: near_ids ⊆ exact-survivors and exact-drops
+        # have rn>1 or seen, so the three labels are disjoint and
+        # survivors fall out by difference
+        row = (
+            lab.join(
+                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("arrived"),
+                F.count(
+                    F.when(
+                        (F.col("rn") > 1) | F.col("seen").isNotNull(), 1
+                    )
+                ).alias("ex"),
+                F.count("isnear").alias("nr"),
+            )
+            .first()
+        )
+        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
+        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
+        # O(batch) appends into the partitions the rows hash to, keyed
+        # by epoch subdir (idempotent redelivery — see docstring).
+        # Unbounded mode: the batch's survivor hashes are new by
+        # construction (seen-flag filter above), bucket rows are
+        # anti-joined against the pruned store read so the ledger stays
+        # a SET without being rewritten. TTL mode: EVERY arrival
+        # refreshes the clock — the batch's distinct hashes (rn = 1
+        # picks one row per hh) append stamped with batch k, no
+        # anti-join: the batch column keys recurrence where the
+        # unbounded twin needed set semantics.
+        # repartition ON the partition column first: without it every
+        # shuffle task writes its own file into every pb dir (tasks×B
+        # tiny files per batch — measured +4 s/sweep in committer
+        # overhead); with it each pb dir gains ONE file per batch.
+        # sortWithinPartitions on the join key (VERDICT r11 task 7):
+        # sorted files give row groups tight min/max + dictionary
+        # stats, so the pushed dynamic IN filter can skip inside a
+        # bucket once row groups are meaningful at production sizes
+        ecol = F.lit(int(epoch_id))
+        if ttl is None:
+            new_h = surv_e.select("pb", "hh")
+        else:
+            new_h = (
+                lab.filter(F.col("rn") == 1)
+                .select("pb", "hh")
+                .withColumn("batch_id", F.lit(k))
+            )
+        new_h.withColumn("epoch", ecol).repartition(
+            "pb"
+        ).sortWithinPartitions("pb", "hh").write.mode("append").partitionBy(
+            "pb", "epoch"
+        ).parquet(hroot)
+        new_b = bands_b.select("pbb", "band", "h").distinct()
+        if ttl is None and prev_b is not None:
+            new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
+        if ttl is not None:
+            new_b = new_b.withColumn("batch_id", F.lit(k))
+        new_b.withColumn("epoch", ecol).repartition(
+            "pbb"
+        ).sortWithinPartitions("pbb", "band", "h").write.mode(
+            "append"
+        ).partitionBy("pbb", "epoch").parquet(broot)
+        # COMMIT the epoch: appends are in; a re-delivery from here on
+        # is a no-op. Compaction runs after the commit — a folded epoch
+        # can therefore never be re-delivered into a double-append, and
+        # a redo skipped past compaction is covered by the next batch's
+        # threshold check (compaction is maintenance, never semantics).
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
+        # threshold-triggered per-bucket compaction (VERDICT r11 task
+        # 1): bounds files/bucket regardless of batch count, so pruned
+        # reads never pay O(batches) listing/footer costs — driver-side
+        # listing when below threshold, O(bucket) rewrite when hit.
+        # TTL mode passes the live window as retain: expired rows drop
+        # during the rewrite (space reclamation only; reads filter the
+        # window regardless of when compaction last ran)
+        ncomp = _compact_ledger_buckets(
+            sp, hroot, "pb", ["hh"], retain=live
+        ) + _compact_ledger_buckets(
+            sp, broot, "pbb", ["band", "h"], retain=live
+        )
+        # flags from the filesystem (no Spark job): an all-short-docs
+        # batch can append zero bucket rows, and a zero-file root must
+        # not be read next batch
+        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
+        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
+        if _DC_READ_PROBE is not None:
+            _DC_READ_PROBE.append(
+                {
+                    "batch": k,
+                    "arrived": arrived,
+                    "h_ledger": _probe_h[0],
+                    "h_scanned": _probe_h[1],
+                    "b_ledger": _probe_b[0],
+                    "b_scanned": _probe_b[1],
+                    # post-append, post-compaction file bounds
+                    "h_files_max": _ledger_files_max(hroot),
+                    "b_files_max": _ledger_files_max(broot),
+                    "compacted": ncomp,
+                }
+            )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    cb = cascade if _DC_BATCH_WRAPPER is None else _DC_BATCH_WRAPPER(cascade)
+    try:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(cb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        funnel,
+        "batch_id int, arrived long, exact_dups long, near_dups long,"
+        " survivors long",
+    ).orderBy("batch_id")
 
 
 @register("stream_dedup_cascade", sql=_dc_oracle_sql)
@@ -1328,236 +1695,11 @@ def stream_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     with deterministic slice boundaries (micro-batch k = contiguous
     chunk k), so "arrived earlier" ≡ "smaller doc_id" and the whole
     cascade — batch assignment, exact ranks, band buckets, funnel —
-    replays in pure SQL under the portable md5 hash family."""
-    import pathlib
-    import shutil
+    replays in pure SQL under the portable md5 hash family.
 
-    from pyspark.sql import Window
-
-    from engine.session import hash60, tune
-
-    tune(spark)
-    path = _doc_replay_dir(spark, sf)
-    tag = os.path.basename(sf.rstrip("/"))
-    base = scratch_dir(f"dedup_cascade_state/{tag}")
-    # fresh ledgers per run: the roots are append-only during the run,
-    # so a prior run's rows must not leak in
-    shutil.rmtree(base, ignore_errors=True)
-    hroot = os.path.join(base, "hashes")
-    broot = os.path.join(base, "buckets")
-    nbuckets = _dc_buckets(spark, sf)
-    state = {"has_h": False, "has_b": False}
-    funnel: list[tuple[int, int, int, int, int]] = []
-    bcol = F.lit(nbuckets)
-
-    bands_of = _dc_bands_of()
-
-    def cascade(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
-        k = len(funnel)
-        # COALESCE before hashing: md5(NULL) is NULL, and a NULL hh
-        # never equi-matches the ledger — NULL-text docs hash as ''
-        # so they dedupe as ONE group on both engines (review r10).
-        ranked = (
-            batch_df.select("doc_id", "text")
-            .withColumn("hh", hash60(F.coalesce(F.col("text"), F.lit(""))))
-            .withColumn("pb", F.pmod("hh", bcol).cast("int"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("hh").orderBy("doc_id")
-                ),
-            )
-        )
-        if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
-            return
-        if state["has_h"]:
-            # KNOWN double-compute (ADVICE r11, measured and kept): the
-            # key collect below is an action, so ranked's hash+window
-            # runs for it and AGAIN when lab materializes. The fix —
-            # localCheckpoint(ranked) before collecting — was A/B'd at
-            # r12 and is ~1.3 s/run SLOWER at sf0.01/sf0.1 (the extra
-            # eager checkpoint job costs more than the recompute, the
-            # same shape as r11's folded-join negative result), so the
-            # double-compute stays, on purpose.
-            # the batch's join keys — ONE bounded collect driving BOTH
-            # pruning levels: pb values prune ledger partitions
-            # (≤ min(batch, B) ≤ 4096 dirs listed), hh values ride as a
-            # dynamic IN filter into the pruned scan (the Trino-style
-            # runtime filter, VERDICT r11 task 7) so only ledger rows
-            # that can possibly equi-join survive the scan; over the
-            # cap, partition pruning alone (see _DC_DYNFILTER_CAP)
-            keys = (
-                ranked.select("pb", "hh")
-                .distinct()
-                .limit(_DC_DYNFILTER_CAP + 1)
-                .collect()
-            )
-            prev_h = sp.read.parquet(hroot)
-            if len(keys) <= _DC_DYNFILTER_CAP:
-                prev_h = prev_h.filter(
-                    _sql_in("pb", {r["pb"] for r in keys})
-                ).filter(_sql_in("hh", {r["hh"] for r in keys}))
-            else:
-                pbs = {
-                    r[0] for r in ranked.select("pb").distinct().collect()
-                }
-                prev_h = prev_h.filter(_sql_in("pb", pbs))
-            if _DC_READ_PROBE is not None:
-                _probe_h = (_ledger_rows(hroot), prev_h.count())
-            lab = ranked.join(
-                prev_h.withColumn("seen", F.lit(1)), ["pb", "hh"], "left"
-            )
-        else:
-            if _DC_READ_PROBE is not None:
-                _probe_h = (0, 0)
-            lab = ranked.withColumn("seen", F.lit(None).cast("int"))
-        # localCheckpoint LAB (not its survivor filter): consumed 3×
-        # below (bands, store append, the funnel aggregate) — its
-        # recompute source is the checkpointed ranked + ONE pruned
-        # ledger read, and each batch's lineage would otherwise stack
-        lab = lab.localCheckpoint()
-        # exact survivors: first in-batch arrival of an unseen hash
-        surv_e = lab.filter(
-            (F.col("rn") == 1) & F.col("seen").isNull()
-        ).select("doc_id", "text", "hh", "pb")
-        bands_b = (
-            bands_of(surv_e)
-            .withColumn("pbb", F.pmod("h", bcol).cast("int"))
-            .localCheckpoint()  # consumed 4×: self-join ×2, semi, append
-        )
-        in_batch = (
-            bands_b.alias("a")
-            .join(
-                bands_b.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("b.doc_id").alias("doc_id"))
-        )
-        if state["has_b"]:
-            # same two-level pruning as the hash ledger: pbb partition
-            # prune + dynamic IN on the batch's minhash values (h alone
-            # — a superset filter of the (band, h) join key, so every
-            # possible match survives; bands_b is checkpointed, the
-            # collect does not recompute it)
-            bkeys = (
-                bands_b.select("pbb", "h")
-                .distinct()
-                .limit(_DC_DYNFILTER_CAP + 1)
-                .collect()
-            )
-            prev_b = sp.read.parquet(broot)
-            if len(bkeys) <= _DC_DYNFILTER_CAP:
-                prev_b = prev_b.filter(
-                    _sql_in("pbb", {r["pbb"] for r in bkeys})
-                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
-            else:
-                pbbs = {
-                    r[0]
-                    for r in bands_b.select("pbb").distinct().collect()
-                }
-                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
-            if _DC_READ_PROBE is not None:
-                _probe_b = (_ledger_rows(broot), prev_b.count())
-            vs_store = bands_b.join(
-                prev_b, ["pbb", "band", "h"], "left_semi"
-            ).select("doc_id")
-            near_ids = in_batch.unionByName(vs_store).distinct()
-        else:
-            if _DC_READ_PROBE is not None:
-                _probe_b = (0, 0)
-            prev_b = None
-            near_ids = in_batch.distinct()
-        # ONE funnel action: near_ids ⊆ exact-survivors and exact-drops
-        # have rn>1 or seen, so the three labels are disjoint and
-        # survivors fall out by difference
-        row = (
-            lab.join(
-                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("arrived"),
-                F.count(
-                    F.when(
-                        (F.col("rn") > 1) | F.col("seen").isNotNull(), 1
-                    )
-                ).alias("ex"),
-                F.count("isnear").alias("nr"),
-            )
-            .first()
-        )
-        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
-        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
-        # O(batch) appends into the partitions the rows hash to; the
-        # batch's survivor hashes are new by construction (seen-flag
-        # filter above), bucket rows are anti-joined against the pruned
-        # store read so the ledger stays a SET without being rewritten.
-        # repartition ON the partition column first: without it every
-        # shuffle task writes its own file into every pb dir (tasks×B
-        # tiny files per batch — measured +4 s/sweep in committer
-        # overhead); with it each pb dir gains ONE file per batch.
-        # sortWithinPartitions on the join key (VERDICT r11 task 7):
-        # sorted files give row groups tight min/max + dictionary
-        # stats, so the pushed dynamic IN filter can skip inside a
-        # bucket once row groups are meaningful at production sizes
-        surv_e.select("pb", "hh").repartition("pb").sortWithinPartitions(
-            "pb", "hh"
-        ).write.mode("append").partitionBy("pb").parquet(hroot)
-        new_b = bands_b.select("pbb", "band", "h").distinct()
-        if prev_b is not None:
-            new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
-        new_b.repartition("pbb").sortWithinPartitions(
-            "pbb", "band", "h"
-        ).write.mode("append").partitionBy("pbb").parquet(broot)
-        # threshold-triggered per-bucket compaction (VERDICT r11 task
-        # 1): bounds files/bucket regardless of batch count, so pruned
-        # reads never pay O(batches) listing/footer costs — driver-side
-        # listing when below threshold, O(bucket) rewrite when hit
-        ncomp = _compact_ledger_buckets(
-            sp, hroot, "pb", ["hh"]
-        ) + _compact_ledger_buckets(sp, broot, "pbb", ["band", "h"])
-        # flags from the filesystem (no Spark job): an all-short-docs
-        # batch can append zero bucket rows, and a zero-file root must
-        # not be read next batch
-        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
-        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
-        if _DC_READ_PROBE is not None:
-            _DC_READ_PROBE.append(
-                {
-                    "batch": k,
-                    "arrived": arrived,
-                    "h_ledger": _probe_h[0],
-                    "h_scanned": _probe_h[1],
-                    "b_ledger": _probe_b[0],
-                    "b_scanned": _probe_b[1],
-                    # post-append, post-compaction file bounds
-                    "h_files_max": _ledger_files_max(hroot),
-                    "b_files_max": _ledger_files_max(broot),
-                    "compacted": ncomp,
-                }
-            )
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        q = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(path)
-            .writeStream.foreachBatch(cascade)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        funnel,
-        "batch_id int, arrived long, exact_dups long, near_dups long,"
-        " survivors long",
-    ).orderBy("batch_id")
+    Batch body + epoch-keyed idempotent appends: :func:`_run_dedup_cascade`
+    (shared with the TTL variant — VERDICT r12 tasks 7 and 3)."""
+    return _run_dedup_cascade(spark, sf, "dedup_cascade_state", ttl=None)
 
 
 # --------------------------------------------------------------------------
@@ -1723,6 +1865,13 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     nbatch = [0]  # own counter: funnel holds PER-CELL rows, not batches
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = _epoch_marker(store, epoch_id)
+        if os.path.exists(marker):
+            # duplicate delivery of a COMMITTED epoch (r13 — VERDICT
+            # r12 task 3): funnel rows already appended, the store
+            # already holds the epoch's vectors — full no-op
+            return
+        _clear_epoch_leftovers([store], epoch_id)
         if batch_df.isEmpty():
             # defensive (ADVICE r11): an empty trigger must not consume
             # a batch id — later batches would shift off the oracle's
@@ -1750,10 +1899,15 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
         for r in rows:
             funnel.append((k, r["cell"], r["n"], r["sdu"]))
         # the actual index growth: one partitioned append, never a
-        # rewrite of the existing cells
-        assigned.select("cell", "vec_id", "embedding").write.mode(
-            "append"
-        ).partitionBy("cell").parquet(store)
+        # rewrite of the existing cells; keyed by epoch subdir so a
+        # re-delivered failed epoch redoes from clean (the cascade's
+        # idempotency contract, _run_dedup_cascade)
+        assigned.select("cell", "vec_id", "embedding").withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ).write.mode("append").partitionBy("cell", "epoch").parquet(store)
+        # COMMIT the epoch before maintenance (see _run_dedup_cascade)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
         # same LSM bound as the cascade ledgers (r12): a cell dir gains
         # one file per touching batch, so trickle ingest needs the
         # threshold compaction too — one dynamic-overwrite job for all
@@ -1764,12 +1918,13 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    cb = ingest if _DC_BATCH_WRAPPER is None else _DC_BATCH_WRAPPER(ingest)
     try:
         q = (
             spark.readStream.schema("vec_id long, embedding array<double>")
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
-            .writeStream.foreachBatch(ingest)
+            .writeStream.foreachBatch(cb)
             .trigger(availableNow=True)
             .start()
         )
@@ -2062,175 +2217,10 @@ def stream_dedup_cascade_ttl(spark: SparkSession, sf: str) -> DataFrame:
     FULLY VALUE-ORACLED: same replay fixture as the unbounded cascade;
     the whole TTL recurrence unrolls in flat SQL (_DCT_SQL) because
     last-seen refresh makes dup status a join against prior ARRIVALS,
-    not prior survivors."""
-    import pathlib
-    import shutil
+    not prior survivors.
 
-    from pyspark.sql import Window
-
-    from engine.session import hash60, tune
-
-    tune(spark)
-    path = _doc_replay_dir(spark, sf)
-    tag = os.path.basename(sf.rstrip("/"))
-    base = scratch_dir(f"dedup_cascade_ttl_state/{tag}")
-    shutil.rmtree(base, ignore_errors=True)  # fresh ledgers per run
-    hroot = os.path.join(base, "hashes")
-    broot = os.path.join(base, "buckets")
-    nbuckets = _dc_buckets(spark, sf)
-    state = {"has_h": False, "has_b": False}
-    funnel: list[tuple[int, int, int, int, int]] = []
-    bcol = F.lit(nbuckets)
-    bands_of = _dc_bands_of()
-
-    def cascade(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
-        k = len(funnel)
-        ranked = (
-            batch_df.select("doc_id", "text")
-            .withColumn("hh", hash60(F.coalesce(F.col("text"), F.lit(""))))
-            .withColumn("pb", F.pmod("hh", bcol).cast("int"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("hh").orderBy("doc_id")
-                ),
-            )
-        )
-        if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
-            return
-        live = F.col("batch_id") >= F.lit(k - _DC_TTL)
-        if state["has_h"]:
-            keys = (
-                ranked.select("pb", "hh")
-                .distinct()
-                .limit(_DC_DYNFILTER_CAP + 1)
-                .collect()
-            )
-            prev_h = sp.read.parquet(hroot).filter(live)
-            if len(keys) <= _DC_DYNFILTER_CAP:
-                prev_h = prev_h.filter(
-                    _sql_in("pb", {r["pb"] for r in keys})
-                ).filter(_sql_in("hh", {r["hh"] for r in keys}))
-            else:
-                pbs = {
-                    r[0] for r in ranked.select("pb").distinct().collect()
-                }
-                prev_h = prev_h.filter(_sql_in("pb", pbs))
-            # a hash may carry several live sightings (one per batch);
-            # the seen flag needs existence, not multiplicity
-            lab = ranked.join(
-                prev_h.select("pb", "hh").distinct().withColumn(
-                    "seen", F.lit(1)
-                ),
-                ["pb", "hh"],
-                "left",
-            )
-        else:
-            lab = ranked.withColumn("seen", F.lit(None).cast("int"))
-        lab = lab.localCheckpoint()  # consumed 3×, as the unbounded twin
-        surv_e = lab.filter(
-            (F.col("rn") == 1) & F.col("seen").isNull()
-        ).select("doc_id", "text", "hh", "pb")
-        bands_b = (
-            bands_of(surv_e)
-            .withColumn("pbb", F.pmod("h", bcol).cast("int"))
-            .localCheckpoint()
-        )
-        in_batch = (
-            bands_b.alias("a")
-            .join(
-                bands_b.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("b.doc_id").alias("doc_id"))
-        )
-        if state["has_b"]:
-            bkeys = (
-                bands_b.select("pbb", "h")
-                .distinct()
-                .limit(_DC_DYNFILTER_CAP + 1)
-                .collect()
-            )
-            prev_b = sp.read.parquet(broot).filter(live)
-            if len(bkeys) <= _DC_DYNFILTER_CAP:
-                prev_b = prev_b.filter(
-                    _sql_in("pbb", {r["pbb"] for r in bkeys})
-                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
-            else:
-                pbbs = {
-                    r[0]
-                    for r in bands_b.select("pbb").distinct().collect()
-                }
-                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
-            vs_store = bands_b.join(
-                prev_b, ["pbb", "band", "h"], "left_semi"
-            ).select("doc_id")
-            near_ids = in_batch.unionByName(vs_store).distinct()
-        else:
-            near_ids = in_batch.distinct()
-        row = (
-            lab.join(
-                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("arrived"),
-                F.count(
-                    F.when(
-                        (F.col("rn") > 1) | F.col("seen").isNotNull(), 1
-                    )
-                ).alias("ex"),
-                F.count("isnear").alias("nr"),
-            )
-            .first()
-        )
-        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
-        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
-        # EVERY arrival refreshes the clock: append the batch's distinct
-        # hashes (rn = 1 picks one row per hh), stamped with batch k —
-        # no anti-join against the store; the batch column keys
-        # recurrence where the unbounded twin needed set semantics
-        lab.filter(F.col("rn") == 1).select("pb", "hh").withColumn(
-            "batch_id", F.lit(k)
-        ).repartition("pb").sortWithinPartitions("pb", "hh").write.mode(
-            "append"
-        ).partitionBy("pb").parquet(hroot)
-        new_b = (
-            bands_b.select("pbb", "band", "h")
-            .distinct()
-            .withColumn("batch_id", F.lit(k))
-        )
-        new_b.repartition("pbb").sortWithinPartitions(
-            "pbb", "band", "h"
-        ).write.mode("append").partitionBy("pbb").parquet(broot)
-        # retention-applying compaction: expired rows drop during the
-        # threshold rewrite, bounding steady-state ledger size to the
-        # live window (reads filter the window regardless)
-        _compact_ledger_buckets(sp, hroot, "pb", ["hh"], retain=live)
-        _compact_ledger_buckets(
-            sp, broot, "pbb", ["band", "h"], retain=live
-        )
-        state["has_h"] = any(pathlib.Path(hroot).rglob("*.parquet"))
-        state["has_b"] = any(pathlib.Path(broot).rglob("*.parquet"))
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        q = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(path)
-            .writeStream.foreachBatch(cascade)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        funnel,
-        "batch_id int, arrived long, exact_dups long, near_dups long,"
-        " survivors long",
-    ).orderBy("batch_id")
+    Batch body + epoch-keyed idempotent appends: :func:`_run_dedup_cascade`
+    (shared with the unbounded cascade — VERDICT r12 tasks 7 and 3)."""
+    return _run_dedup_cascade(
+        spark, sf, "dedup_cascade_ttl_state", ttl=_DC_TTL
+    )

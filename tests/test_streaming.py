@@ -3,6 +3,7 @@ must agree with their batch forms; watermark behavior must be visible."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from engine.registry import all_queries
@@ -636,7 +637,9 @@ def test_cascade_compaction_and_dynfilter_result_invariance(spark):
         base = pathlib.Path(scratch_dir(f"dedup_cascade_state/{tag}"))
         for store in ("hashes", "buckets"):
             for d in (base / store).glob("*=*"):
-                nf = sum(1 for _ in d.glob("*.parquet"))
+                # r13 layout: appends land in epoch=<id> subdirs and
+                # compaction folds them into the epoch=-1 sentinel
+                nf = sum(1 for _ in d.rglob("*.parquet"))
                 assert nf == 1, (store, d.name, nf)
         S._DC_COMPACT_FILES = thr
         S._DC_DYNFILTER_CAP = 0  # partition pruning only, no IN filter
@@ -661,20 +664,22 @@ def test_compact_ledger_buckets_preserves_content(spark):
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    # bucket p=0 gets 3 appends (over a threshold of 2), p=1 gets one
-    for vals in ([(0, 5), (0, 3)], [(0, 9)], [(0, 1), (1, 7)]):
+    # bucket p=0 gets 3 epoch-keyed appends (over a threshold of 2),
+    # p=1 gets one — the r13 (part_col, epoch) ledger layout
+    for e, vals in enumerate(([(0, 5), (0, 3)], [(0, 9)], [(0, 1), (1, 7)])):
         (
             spark.createDataFrame(vals, "p int, x long")
+            .withColumn("epoch", F.lit(e))
             .repartition("p")
             .write.mode("append")
-            .partitionBy("p")
+            .partitionBy("p", "epoch")
             .parquet(root)
         )
     before = sorted(
         (r["p"], r["x"]) for r in spark.read.parquet(root).collect()
     )
     files_p1_before = sum(
-        1 for _ in pathlib.Path(root, "p=1").glob("*.parquet")
+        1 for _ in pathlib.Path(root, "p=1").rglob("*.parquet")
     )
     old = S._DC_COMPACT_FILES
     try:
@@ -687,10 +692,15 @@ def test_compact_ledger_buckets_preserves_content(spark):
         (r["p"], r["x"]) for r in spark.read.parquet(root).collect()
     )
     assert after == before
-    assert sum(1 for _ in pathlib.Path(root, "p=0").glob("*.parquet")) == 1
+    # folded into ONE file under the epoch=-1 compacted sentinel; the
+    # source epoch dirs are gone (deleted after the rewrite committed)
+    assert sum(1 for _ in pathlib.Path(root, "p=0").rglob("*.parquet")) == 1
+    assert [d.name for d in pathlib.Path(root, "p=0").glob("epoch=*")] == [
+        "epoch=-1"
+    ]
     # dynamic overwrite must not have touched the below-threshold bucket
     assert (
-        sum(1 for _ in pathlib.Path(root, "p=1").glob("*.parquet"))
+        sum(1 for _ in pathlib.Path(root, "p=1").rglob("*.parquet"))
         == files_p1_before
     )
     # and the compacted file is sorted by the join key (row-group stats
@@ -829,6 +839,85 @@ def test_stream_dedup_cascade_ttl_matches_sequential_semantics(spark):
         for r in QUERIES["stream_dedup_cascade"](spark, SF_SMOKE).collect()
     ]
     assert got != unbounded  # expiry must actually fire on this fixture
+
+
+def _state_tree_hashes(base: str) -> dict[str, str]:
+    """sha1 per file under a state base (ledgers + epoch markers) —
+    byte-identity probe for the duplicate-epoch tests."""
+    import hashlib
+    import pathlib
+
+    return {
+        str(f): hashlib.sha1(f.read_bytes()).hexdigest()
+        for f in sorted(pathlib.Path(base).rglob("*"))
+        if f.is_file()
+    }
+
+
+@pytest.mark.parametrize(
+    "key,state_name",
+    [
+        ("stream_dedup_cascade", "dedup_cascade_state"),
+        ("stream_dedup_cascade_ttl", "dedup_cascade_ttl_state"),
+        ("stream_ann_ingest", "ann_ingest_store"),
+    ],
+)
+def test_duplicate_epoch_delivery_is_noop(spark, key, state_name):
+    """r13 epoch-keyed idempotent appends (VERDICT r12 task 3):
+    foreachBatch guarantees at-least-once delivery — on restart after
+    a failure the failed epoch is RE-delivered. Inject a duplicate
+    delivery of EVERY epoch mid-stream (the _DC_BATCH_WRAPPER hook)
+    and assert (a) the state tree — ledger parquet AND epoch markers —
+    is byte-identical before/after each duplicate call, and (b) the
+    funnel equals the clean single-delivery run's."""
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    clean = [tuple(r) for r in QUERIES[key](spark, SF_SMOKE).collect()]
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_dir(f"{state_name}/{tag}")
+
+    noop_flags: list[bool] = []
+
+    def wrapper(fn):
+        def wrapped(df, eid):
+            fn(df, eid)
+            before = _state_tree_hashes(base)
+            fn(df, eid)  # duplicate delivery of a committed epoch
+            noop_flags.append(_state_tree_hashes(base) == before)
+
+        return wrapped
+
+    S._DC_BATCH_WRAPPER = wrapper
+    try:
+        dup = [tuple(r) for r in QUERIES[key](spark, SF_SMOKE).collect()]
+    finally:
+        S._DC_BATCH_WRAPPER = None
+    assert dup == clean
+    assert noop_flags and all(noop_flags), noop_flags
+
+
+def test_clear_epoch_leftovers_removes_only_that_epoch(spark):
+    """The redo path of an UNMARKED (failed-delivery) epoch: its
+    epoch-keyed dirs are deleted across buckets; other epochs and the
+    compacted sentinel are untouched."""
+    import pathlib
+
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    root = scratch_dir("epoch_cleanup_unit_test")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    for p, e in [(0, 7), (1, 7), (0, 6), (0, -1)]:
+        pathlib.Path(root, f"pb={p}", f"epoch={e}").mkdir(parents=True)
+        pathlib.Path(root, f"pb={p}", f"epoch={e}", "f.parquet").touch()
+    S._clear_epoch_leftovers([root], 7)
+    left = sorted(
+        str(d.relative_to(root)) for d in pathlib.Path(root).glob("*=*/epoch=*")
+    )
+    assert left == ["pb=0/epoch=-1", "pb=0/epoch=6"]
 
 
 def test_ttl_cascade_retention_bounds_ledger_rows(spark):
