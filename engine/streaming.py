@@ -1942,6 +1942,211 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("batch_id", "cell")
 
 
+#: live window of the TTL'd ANN ingest store, in batches — the vector
+#: twin of _DC_TTL: a stored vector expires _AI_TTL batches after
+#: arrival (retention-bounded index state, the 100 TB reality the TTL
+#: cascade established for the dedup ledgers — VERDICT r12 task 4). 2
+#: of the 4 contract batches makes expiry actually FIRE on the
+#: contract fixtures (the last batch's live window excludes batch 0),
+#: so the knob is exercised, not decorative.
+_AI_TTL = 2
+
+#: the TTL'd ingest replayed in pure SQL: assignment funnel as _AI_SQL,
+#: plus per batch k the LIVE per-cell store size = arrivals assigned to
+#: the cell within [k−{ttl}, k] (every vector arrives exactly once, so
+#: the live count is a pure window sum over the funnel). Cells with
+#: live rows but no arrivals in batch k emit n_assigned=0 rows with a
+#: NULL avg_dist.
+_AIT_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM base
+    ),
+    m AS (SELECT cluster, mean FROM read_parquet('{means}/*.parquet')),
+    d AS (
+      SELECT b.batch_id, b.vec_id, m.cluster,
+             CAST(FLOOR(SQRT(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (b.e[i] - m.mean[i]) * (b.e[i] - m.mean[i])),
+                  (x, y) -> x + y)) * 1e6 + 0.5) AS BIGINT) AS du
+      FROM b CROSS JOIN m
+    ),
+    a AS (
+      SELECT batch_id, vec_id, cluster, du,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn
+      FROM d
+    ),
+    funnel AS (
+      SELECT batch_id, cluster AS cell, COUNT(*) AS n, SUM(du) AS sdu
+      FROM a WHERE rn = 1 GROUP BY 1, 2
+    ),
+    ks AS (SELECT DISTINCT batch_id FROM b),
+    live AS (
+      SELECT k.batch_id, f.cell, CAST(SUM(f.n) AS BIGINT) AS live_rows
+      FROM ks k JOIN funnel f
+        ON f.batch_id <= k.batch_id AND f.batch_id >= k.batch_id - {ttl}
+      GROUP BY 1, 2
+    )
+    SELECT l.batch_id, l.cell,
+           COALESCE(f.n, 0) AS n_assigned,
+           ROUND(f.sdu / f.n / 1e6 * 1e6) / 1e6 AS avg_dist,
+           l.live_rows
+    FROM live l LEFT JOIN funnel f
+      ON f.batch_id = l.batch_id AND f.cell = l.cell
+    ORDER BY 1, 2
+"""
+
+
+def _ait_oracle_sql() -> str:
+    from engine.kmeans import _means_path, _sf_tag
+    from engine.session import oracle_sf
+
+    # means path resolved from the oracle's SF (SPARK_GRAFT_ORACLE_SF,
+    # the r9 scan-oracle convention) so 3-SF sims compare like against
+    # like — the Spark side materializes the same-SF artifact first
+    return _AIT_SQL.format(
+        files=_AI_FILES, means=_means_path(_sf_tag(oracle_sf())), ttl=_AI_TTL
+    )
+
+
+@register("stream_ann_ingest_ttl", sql=_ait_oracle_sql)
+def stream_ann_ingest_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """:func:`stream_ann_ingest` with RETENTION-BOUNDED store state
+    (r13 — VERDICT r12 task 4, the vector twin of
+    :func:`stream_dedup_cascade_ttl`): a stored vector expires _AI_TTL
+    batches after arrival, so the cell-partitioned vector store is
+    bounded at O(window × arrival rate) instead of growing O(corpus)
+    forever — the delete story every production streaming index needs
+    (time-partitioned segment retention in Lucene/Milvus, TTL'd
+    RocksDB state, Kafka log retention are all this same idea).
+
+    Mechanics on top of the ingest loop:
+      * appends stamp each vector with its arrival ``batch_id`` (a
+        DATA column — epoch subdirs stay the idempotency unit);
+      * COMPACTION IS RETENTION-APPLYING: the threshold rewrite drops
+        expired rows and deletes fully-expired cell dirs (the TTL
+        cascade's _compact_ledger_buckets retain path, reused) — pure
+        space reclamation, since every read filters the live window
+        regardless of when compaction last ran;
+      * the funnel gains ``live_rows`` — the per-cell LIVE store size
+        measured by READING THE STORE after the batch's append with
+        the window filter on (batch_id row-group stats skip expired
+        not-yet-compacted files; retention bounds what is listed) —
+        observability that pins the retention semantics in the oracle:
+        cells with live vectors but no arrivals this batch emit
+        n_assigned=0 rows, and a cell's live count DROPS when its old
+        batches expire (expiry provably fires on the contract
+        fixtures: the last batch's window excludes batch 0).
+
+    FULLY VALUE-ORACLED (_AIT_SQL): every vector arrives exactly once,
+    so the live store size is a pure window sum over the assignment
+    funnel — no recursion, same replay fixture and pinned centroids as
+    the ingest."""
+    import shutil
+
+    from engine.canon import dround
+    from engine.kmeans import materialize_means
+    from engine.session import tune
+
+    tune(spark)
+    _means_path_, means = materialize_means(spark, sf)
+    argmin_sql = _argmin_cell_sql(means)
+    path = _emb_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+    store = scratch_dir(f"ann_ingest_ttl_store/{tag}")
+    shutil.rmtree(store, ignore_errors=True)  # fresh index per run
+    # funnel rows: (batch, cell, n_assigned, sdu | None, live_rows)
+    funnel: list[tuple[int, int, int, int | None, int]] = []
+    nbatch = [0]
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = _epoch_marker(store, epoch_id)
+        if os.path.exists(marker):
+            return  # duplicate delivery of a committed epoch — no-op
+        _clear_epoch_leftovers([store], epoch_id)
+        if batch_df.isEmpty():
+            return  # empty trigger must not consume a batch id
+        k = nbatch[0]
+        nbatch[0] += 1
+        assigned = (
+            batch_df.select(
+                "vec_id", "embedding", F.expr(argmin_sql).alias("b")
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("b.cell").alias("cell"),
+                F.col("b.du").alias("du"),
+            )
+            .localCheckpoint()  # consumed twice: funnel agg + append
+        )
+        arr = {
+            r["cell"]: (r["n"], r["sdu"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
+            .collect()  # ≤ k-cells rows — observability-sized
+        }
+        # append BEFORE the live read: the window [k-TTL, k] includes
+        # this batch's own arrivals; batch_id is a data column (the
+        # retention key), epoch the idempotency subdir
+        assigned.select("cell", "vec_id", "embedding").withColumn(
+            "batch_id", F.lit(k)
+        ).withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).partitionBy("cell", "epoch").parquet(store)
+        live = F.col("batch_id") >= F.lit(k - _AI_TTL)
+        lv = (
+            spark.read.parquet(store)
+            .filter(live)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("lv"))
+            .collect()  # ≤ k-cells rows
+        )
+        for r in sorted(lv, key=lambda r: r["cell"]):
+            n, sdu = arr.get(r["cell"], (0, None))
+            funnel.append((k, r["cell"], n, sdu, r["lv"]))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
+        # retention-applying compaction: expired vectors drop during
+        # the threshold rewrite; fully-expired cells delete
+        _compact_ledger_buckets(
+            batch_df.sparkSession, store, "cell", ["vec_id"], retain=live
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    cb = ingest if _DC_BATCH_WRAPPER is None else _DC_BATCH_WRAPPER(ingest)
+    try:
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(cb)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.createDataFrame(
+        funnel,
+        "batch_id int, cell int, n_assigned long, sdu long, live_rows long",
+    )
+    return out.select(
+        "batch_id",
+        "cell",
+        "n_assigned",
+        dround(F.col("sdu") / F.col("n_assigned") / 1e6, 6).alias("avg_dist"),
+        "live_rows",
+    ).orderBy("batch_id", "cell")
+
+
 # --------------------------------------------------------------------------
 # ANN maintenance: the drift-gate consumer of the ingest funnel
 # --------------------------------------------------------------------------

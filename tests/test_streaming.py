@@ -860,6 +860,7 @@ def _state_tree_hashes(base: str) -> dict[str, str]:
         ("stream_dedup_cascade", "dedup_cascade_state"),
         ("stream_dedup_cascade_ttl", "dedup_cascade_ttl_state"),
         ("stream_ann_ingest", "ann_ingest_store"),
+        ("stream_ann_ingest_ttl", "ann_ingest_ttl_store"),
     ],
 )
 def test_duplicate_epoch_delivery_is_noop(spark, key, state_name):
@@ -918,6 +919,50 @@ def test_clear_epoch_leftovers_removes_only_that_epoch(spark):
         str(d.relative_to(root)) for d in pathlib.Path(root).glob("*=*/epoch=*")
     )
     assert left == ["pb=0/epoch=-1", "pb=0/epoch=6"]
+
+
+def test_ann_ingest_ttl_expiry_fires_and_bounds_store(spark):
+    """r13 retention-bounded ANN ingest (VERDICT r12 task 4): (a) the
+    live_rows funnel column must show expiry FIRING — at the last
+    batch some cell's live count is below its cumulative arrivals —
+    and must equal the window sum of that cell's arrivals; (b) with
+    compaction forced every batch, the store physically holds ONLY
+    live-window vectors (space reclamation, the TTL cascade's
+    contract applied to the vector store)."""
+    import engine.streaming as S
+    from engine.session import scratch_dir
+
+    old = S._DC_COMPACT_FILES
+    try:
+        S._DC_COMPACT_FILES = 0
+        rows = [
+            tuple(int(x) for x in (r[0], r[1], r[2], r[4]))
+            for r in QUERIES["stream_ann_ingest_ttl"](
+                spark, SF_SMOKE
+            ).collect()
+        ]
+    finally:
+        S._DC_COMPACT_FILES = old
+    # (a) live == window-sum of arrivals per cell; expiry fires
+    arr = {(b, c): n for b, c, n, _lv in rows}
+    last = max(b for b, *_ in rows)
+    fired = False
+    for b, c, _n, lv in rows:
+        window = sum(
+            arr.get((bb, c), 0) for bb in range(b - S._AI_TTL, b + 1)
+        )
+        assert lv == window, (b, c, lv, window)
+        cum = sum(arr.get((bb, c), 0) for bb in range(0, b + 1))
+        if b == last and lv < cum:
+            fired = True
+    assert fired
+    # (b) the store holds only live-window rows after the final
+    # retention-applying compaction (live = batch_id >= last - TTL)
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    store = scratch_dir(f"ann_ingest_ttl_store/{tag}")
+    stored = spark.read.parquet(store)
+    assert stored.filter(F.col("batch_id") < last - S._AI_TTL).count() == 0
+    assert stored.count() > 0
 
 
 def test_ttl_cascade_retention_bounds_ledger_rows(spark):
