@@ -2450,67 +2450,94 @@ def _ivf_pq_oracle_sql() -> str:
     )
 
 
-def _pq_codes_path(sf: str) -> str:
-    """Fingerprint-addressed codes artifact (r12): the name carries the
-    codebook size AND the source-data fingerprint, so a pre-existing
-    _SUCCESS is sufficient proof of freshness across processes — the
-    assignments the codes depend on are themselves deterministic given
-    the same embeddings. (The r11 in-process memo made every NEW
-    process pay the full encode — ~128 s at sf1x with K=256 — even
-    though the artifact on disk was already exactly right.)"""
+#: algorithm-version token folded into the PQ artifact root (ADVICE
+#: r12): bump whenever the encode SCHEME changes (_PQ_S, the residual
+#: formulation, the codebook rule) so a scheme change can never
+#: silently reuse stale codes — the fingerprint in the name covers
+#: data and K, this covers everything else. v2 = residual codes,
+#: 8-bit codebook, refine-era layout (cmeans + codes under one root).
+_PQ_ALGO_V = 2
+
+
+def _pq_artifact_root(sf: str) -> str:
+    """Fingerprint- AND version-addressed IVF-PQ artifact root (r12 +
+    ADVICE r12): the name carries the algorithm version, subspace
+    count, codebook size, and the source-data fingerprint, so a
+    pre-existing root is sufficient proof of freshness across
+    processes — the assignments the codes depend on are themselves
+    deterministic given the same embeddings. (The r11 in-process memo
+    made every NEW process pay the full encode — ~128 s at sf1x with
+    K=256 — even though the artifact on disk was already exactly
+    right.) cmeans and codes live UNDER this one root and are
+    committed together by an atomic directory rename
+    (:func:`materialize_pq_codes`), so a reader can never observe a
+    half-written pair."""
     from engine.session import scratch_dir
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     fp = data_fingerprint(sf, "embeddings")
-    return scratch_dir("pq_codes") + f"/encr{_PQ_K_R}_{tag}_{fp}"
+    return (
+        scratch_dir("pq_codes")
+        + f"/ivfpqr_v{_PQ_ALGO_V}_s{_PQ_S}_k{_PQ_K_R}_{tag}_{fp}"
+    )
+
+
+def _pq_codes_path(sf: str) -> str:
+    return _pq_artifact_root(sf) + "/codes"
 
 
 def _pq_cmeans_path(sf: str) -> str:
-    from engine.session import scratch_dir
-
-    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    fp = data_fingerprint(sf, "embeddings")
-    return scratch_dir("pq_codes") + f"/cmeans_{tag}_{fp}"
+    return _pq_artifact_root(sf) + "/cmeans"
 
 
 def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     """One-time IVF-PQ indexing pass (the production economics: encode
     once, query many): write RESIDUAL codes (vec_id, s, cid, csub)
-    PARTITIONED BY CELL and return the path; the per-cell means ride in
-    a sibling artifact (_pq_cmeans_path) the query path adds back as
-    the q·c' ADC term. The cell-partitioned layout is the 100 TB
-    contract — a probed query reads nprobe/K of the code files and
-    never an unprobed cell's bytes (dynamic partition pruning from the
-    broadcast probe join). Deterministic given the data (hash-bottom
-    codebook over residuals, exact-integer cell means, quantized
-    argmins), so the oracle recomputes the identical relation from
-    scratch in SQL rather than reading this artifact."""
-    import os
+    PARTITIONED BY CELL and return the path; the per-cell means ride
+    under the same artifact root (_pq_cmeans_path) the query path adds
+    back as the q·c' ADC term. The cell-partitioned layout is the
+    100 TB contract — a probed query reads nprobe/K of the code files
+    and never an unprobed cell's bytes (dynamic partition pruning from
+    the broadcast probe join). Deterministic given the data
+    (hash-bottom codebook over residuals, exact-integer cell means,
+    quantized argmins), so the oracle recomputes the identical relation
+    from scratch in SQL rather than reading this artifact.
 
-    path = _pq_codes_path(sf)
-    # fingerprint-addressed (see _pq_codes_path): _SUCCESS alone proves
-    # freshness, across processes — the codes' _SUCCESS is written
-    # last, after the cmeans sibling, so its presence implies both
-    if os.path.exists(path + "/_SUCCESS"):
-        return path
+    ATOMIC COMMIT (ADVICE r12): both relations build under a
+    process-private temp root, then ONE os.rename publishes them —
+    concurrent builders race the rename, the loser discards its temp;
+    a reader can never observe a half-overwritten artifact. The root's
+    existence IS the commit marker."""
+    import os
+    import shutil
+
+    root = _pq_artifact_root(sf)
+    if os.path.isdir(root):
+        return _pq_codes_path(sf)
     from engine.kmeans import materialize_assignments
 
+    tmp = f"{root}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     emb = T(spark, sf, "embeddings")
     assigned = spark.read.parquet(materialize_assignments(spark, sf)).select(
         "vec_id", F.col("cluster").alias("cell")
     )
     norm = _pq_norm(emb)
     cmeans = _pq_cell_means(norm, assigned)
-    cmeans.write.mode("overwrite").parquet(_pq_cmeans_path(sf))
-    cmeans = spark.read.parquet(_pq_cmeans_path(sf))
+    cmeans.write.mode("overwrite").parquet(tmp + "/cmeans")
+    cmeans = spark.read.parquet(tmp + "/cmeans")
     resid = _pq_residuals(norm, assigned, cmeans)
     _rsub, enc = _pq_subspace_encode(
         resid.select("vec_id", "rv"), "rv", k=_PQ_K_R
     )
     enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(path)
-    return path
+    ).parquet(tmp + "/codes")
+    try:
+        os.rename(tmp, root)  # the atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent commit won
+    return _pq_codes_path(sf)
 
 
 @register("sim_cosine_topk_ivf_pq", sql=_ivf_pq_oracle_sql)

@@ -2283,8 +2283,19 @@ def pipeline_ann_retrain_gate(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.coalesce("rn", F.lit(0)) == 0, F.lit(False))
             .when(F.coalesce("bn", F.lit(0)) == 0, F.lit(True))
             .otherwise(
-                F.col("rsdu") * F.col("bn") * _RG_DEN
-                > F.col("bsdu") * F.col("rn") * _RG_NUM
+                # widen to decimal(38,0) BEFORE multiplying (ADVICE
+                # r12): Spark LongType silently wraps on overflow
+                # (non-ANSI) while DuckDB promotes to HUGEINT — at
+                # production magnitudes (sdu ~1e13, n ~1e9) the
+                # long product overflows and the "bit-reproducible"
+                # boundary could silently flip; decimal(38,0) matches
+                # DuckDB's widened arithmetic exactly
+                F.col("rsdu").cast("decimal(38,0)")
+                * F.col("bn").cast("decimal(38,0)")
+                * _RG_DEN
+                > F.col("bsdu").cast("decimal(38,0)")
+                * F.col("rn").cast("decimal(38,0)")
+                * _RG_NUM
             )
             .alias("retrain"),
         )
