@@ -2106,14 +2106,23 @@ def _pq_norm(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_subspace_encode(
-    vecs: DataFrame, vcol: str, k: int = _PQ_K
-) -> tuple[DataFrame, DataFrame]:
-    """Codebook + encode over an arbitrary (vec_id, <vcol>: array<double>)
-    relation — shared by the global path (_pq_encode, vcol='en',
-    k=_PQ_K) and the residual path (vcol='rv', k=_PQ_K_R — the IVF+PQ
-    composite's 8-bit codes). Returns (corpus_sub, enc) with the same
-    shapes _pq_encode documents."""
+def _pq_subs(vecs: DataFrame, vcol: str) -> DataFrame:
+    """Split (vec_id, <vcol>: array<double>) into per-subspace rows
+    (vec_id, s, vsub) — the shared subspace decomposition."""
+    subs = F.expr(
+        f"explode(transform(sequence(0, {_PQ_S - 1}), g -> struct("
+        f"cast(g as int) as s, slice({vcol}, g * {_PQ_D} + 1, {_PQ_D}) as v)))"
+    )
+    return vecs.select("vec_id", subs.alias("x")).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("vsub")
+    )
+
+
+def _pq_codebook(vecs: DataFrame, vcol: str, k: int) -> DataFrame:
+    """The deterministic hash-bottom-k codebook of a vector relation,
+    per subspace → (cid, s, csub). Persisted with the codes artifact
+    (r13) so maintenance re-encodes run against the FROZEN codebook
+    instead of re-deriving it from mutated data."""
     from engine.session import hash60
 
     cb = (
@@ -2129,12 +2138,19 @@ def _pq_subspace_encode(
         f"explode(transform(sequence(0, {_PQ_S - 1}), g -> struct("
         f"cast(g as int) as s, slice({vcol}, g * {_PQ_D} + 1, {_PQ_D}) as v)))"
     )
-    cent_sub = cb.select("cid", subs.alias("x")).select(
+    return cb.select("cid", subs.alias("x")).select(
         "cid", F.col("x.s").alias("s"), F.col("x.v").alias("csub")
     )
-    corpus_sub = vecs.select("vec_id", subs.alias("x")).select(
-        "vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("vsub")
-    )
+
+
+def _pq_encode_against(
+    corpus_sub: DataFrame, cent_sub: DataFrame
+) -> DataFrame:
+    """Encode per-subspace corpus rows against a GIVEN codebook
+    (cid, s, csub) → (vec_id, s, cid, csub). The codebook rides as ONE
+    broadcast array column, all K distances evaluate inside a single
+    projection, and the argmin is an array_sort on (quantized d2, cid)
+    structs — no shuffle, no argmin window."""
     cent_arr = cent_sub.groupBy("s").agg(
         F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
     )
@@ -2144,14 +2160,28 @@ def _pq_subspace_encode(
         " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v) * 1e6) as bigint)"
         " as d2i, c.cid as cid, c.csub as csub))), 1)"
     )
-    enc = (
+    return (
         corpus_sub.join(F.broadcast(cent_arr), "s")
         .withColumn("b", best)
         .select(
             "vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.csub").alias("csub")
         )
     )
-    return corpus_sub, enc
+
+
+def _pq_subspace_encode(
+    vecs: DataFrame, vcol: str, k: int = _PQ_K
+) -> tuple[DataFrame, DataFrame]:
+    """Codebook + encode over an arbitrary (vec_id, <vcol>: array<double>)
+    relation — shared by the global path (_pq_encode, vcol='en',
+    k=_PQ_K) and the residual path (vcol='rv', k=_PQ_K_R — the IVF+PQ
+    composite's 8-bit codes). Returns (corpus_sub, enc) with the same
+    shapes _pq_encode documents. Composed from the r13 split helpers
+    (_pq_codebook / _pq_subs / _pq_encode_against) so maintenance can
+    re-encode against a frozen, persisted codebook."""
+    cent_sub = _pq_codebook(vecs, vcol, k)
+    corpus_sub = _pq_subs(vecs, vcol)
+    return corpus_sub, _pq_encode_against(corpus_sub, cent_sub)
 
 
 def _pq_cell_means(norm: DataFrame, assigned: DataFrame) -> DataFrame:
@@ -2512,8 +2542,15 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     import shutil
 
     root = _pq_artifact_root(sf)
-    if os.path.isdir(root):
+    # a complete root carries all three relations; anything else (e.g.
+    # a root written before the layout gained cb/) rebuilds in place —
+    # the rename publish means a half-layout can only come from an
+    # older code version, never a torn write
+    if all(
+        os.path.isdir(os.path.join(root, p)) for p in ("codes", "cmeans", "cb")
+    ):
         return _pq_codes_path(sf)
+    shutil.rmtree(root, ignore_errors=True)
     from engine.kmeans import materialize_assignments
 
     tmp = f"{root}.tmp.{os.getpid()}"
@@ -2527,8 +2564,16 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     cmeans.write.mode("overwrite").parquet(tmp + "/cmeans")
     cmeans = spark.read.parquet(tmp + "/cmeans")
     resid = _pq_residuals(norm, assigned, cmeans)
-    _rsub, enc = _pq_subspace_encode(
-        resid.select("vec_id", "rv"), "rv", k=_PQ_K_R
+    rvecs = resid.select("vec_id", "rv")
+    # the codebook is PART of the artifact (r13): a maintenance
+    # re-encode (reencode_cells) must quantize against the codebook
+    # the live codes were built with, not re-derive one from data
+    # that has since drifted
+    _pq_codebook(rvecs, "rv", _PQ_K_R).write.mode("overwrite").parquet(
+        tmp + "/cb"
+    )
+    enc = _pq_encode_against(
+        _pq_subs(rvecs, "rv"), spark.read.parquet(tmp + "/cb")
     )
     enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
         "cell"
@@ -2538,6 +2583,65 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent commit won
     return _pq_codes_path(sf)
+
+
+def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
+    """Maintenance half of pipeline_ann_retrain_apply (r13 — VERDICT
+    r12 task 1): produce the NEXT GENERATION of the IVF-PQ artifact in
+    which ONLY the given cells' relations are rewritten —
+      * unflagged cell code dirs are carried over byte-identical (a
+        driver-side file copy here; at 100 TB this is a metadata-only
+        manifest swap, no data movement);
+      * the codebook is carried over FROZEN (codebook retraining is a
+        separate, rarer event — standard IVF-PQ maintenance);
+      * the flagged cells' cmeans rows are REFRESHED from the cells'
+        current content (exact 1e-9-unit integer means) and their
+        residual codes re-encoded against the frozen codebook.
+    The generation publishes atomically (temp root + rename — the
+    materialize_pq_codes contract), so a reader always sees either the
+    old or the new complete artifact. Returns the new root."""
+    import os
+    import pathlib
+    import shutil
+
+    from engine.kmeans import materialize_assignments
+
+    materialize_pq_codes(spark, sf)  # ensure the base generation
+    src = _pq_artifact_root(sf)
+    dst = src + "_g1"
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/codes")
+    cellset = {f"cell={int(c)}" for c in cells}
+    for d in pathlib.Path(src, "codes").iterdir():
+        if d.is_dir() and d.name.startswith("cell=") and d.name not in cellset:
+            shutil.copytree(d, pathlib.Path(tmp, "codes", d.name))
+    shutil.copytree(src + "/cb", tmp + "/cb")  # frozen codebook
+    cl = [int(c) for c in cells]
+    emb = T(spark, sf, "embeddings")
+    flag_assigned = (
+        spark.read.parquet(materialize_assignments(spark, sf))
+        .select("vec_id", F.col("cluster").alias("cell"))
+        .filter(F.col("cell").isin(cl))  # ≤ K cells — driver-sized list
+    )
+    norm = _pq_norm(emb)
+    cm_new = _pq_cell_means(norm, flag_assigned)
+    old_cm = spark.read.parquet(src + "/cmeans")
+    old_cm.filter(~F.col("cell").isin(cl)).unionByName(cm_new).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/cmeans")
+    cmn = spark.read.parquet(tmp + "/cmeans")
+    resid = _pq_residuals(norm, flag_assigned, cmn)
+    enc = _pq_encode_against(
+        _pq_subs(resid.select("vec_id", "rv"), "rv"),
+        spark.read.parquet(tmp + "/cb"),
+    )
+    enc.join(flag_assigned, "vec_id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(tmp + "/codes")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)  # the atomic publish
+    return dst
 
 
 @register("sim_cosine_topk_ivf_pq", sql=_ivf_pq_oracle_sql)

@@ -776,6 +776,70 @@ def test_retrain_gate_edge_branches_under_trickle_replay(spark):
     assert idle_cells and not any(r["retrain"] for r in idle_cells)
 
 
+def test_retrain_apply_rewrites_only_flagged_cells(spark):
+    """r13 pipeline_ann_retrain_apply's physical ACT (VERDICT r12 task
+    1), at the oracle-contract SF (artifact-pinned key class): the new
+    IVF-PQ artifact generation must (a) carry every UNFLAGGED cell's
+    code files over byte-identical, (b) rewrite every flagged cell
+    with the same row count (membership unchanged by a centroid
+    refresh), (c) carry the codebook frozen, and (d) publish a
+    retrained means artifact whose unflagged rows equal the original
+    centroids while flagged rows moved to the cells' exact means."""
+    import hashlib
+    import pathlib
+
+    import engine.similarity as SIM
+    from engine.kmeans import materialize_means
+    import engine.streaming as S
+
+    sf = "/root/testdata/sf0.01"
+    out = {r["cell"]: r for r in QUERIES["pipeline_ann_retrain_apply"](spark, sf).collect()}
+    flagged = {c for c, r in out.items() if r["retrained"]}
+    assert flagged and len(flagged) < len(out), (
+        "fixture must exercise both branches",
+        flagged,
+    )
+    src = pathlib.Path(SIM._pq_artifact_root(sf))
+    dst = pathlib.Path(str(src) + "_g1")
+
+    def tree(p):
+        return {
+            str(f.relative_to(p)): hashlib.sha1(f.read_bytes()).hexdigest()
+            for f in sorted(p.rglob("*"))
+            if f.is_file()
+        }
+
+    # (a) unflagged cells byte-identical, (b) flagged rewritten
+    for d in (src / "codes").glob("cell=*"):
+        cell = int(d.name.split("=")[1])
+        dd = dst / "codes" / d.name
+        assert dd.is_dir(), d.name
+        if cell not in flagged:
+            assert tree(d) == tree(dd), ("unflagged cell mutated", d.name)
+        else:
+            n_src = spark.read.parquet(str(d)).count()
+            n_dst = spark.read.parquet(str(dd)).count()
+            assert n_src == n_dst, (d.name, n_src, n_dst)
+    # (c) frozen codebook
+    assert tree(src / "cb") == tree(dst / "cb")
+    # (d) the retrained means generation
+    _mp, means = materialize_means(spark, sf)
+    got = {
+        r["cell"]: list(r["mean"])
+        for r in spark.read.parquet(S._retrained_means_path(sf)).collect()
+    }
+    assert set(got) == set(range(len(means)))
+    for c, m in enumerate(means):
+        if c not in flagged:
+            assert got[c] == list(m), ("unflagged centroid moved", c)
+        else:
+            assert got[c] != list(m), ("flagged centroid did not move", c)
+    # and the report's semantics: non-retrained rows carry old == new
+    for c, r in out.items():
+        if c not in flagged:
+            assert r["new_avg"] == r["old_avg"], r
+
+
 def test_stream_dedup_cascade_ttl_matches_sequential_semantics(spark):
     """Pin the r12 TTL cascade against a from-scratch pure-Python
     SEQUENTIAL replay of its declared last-seen semantics: a doc is an
