@@ -1989,7 +1989,14 @@ _IVF_PQ_NPROBE = 5
 #: final top-_PQ_TOPK cut. Compressed codes rank the cheap longlist;
 #: full precision decides the podium — the standard recall rescue when
 #: 8-byte codes can't separate thousands of near-ties (isotropic data).
-_PQ_RERANK = 25
+#: 100 after the r13 sf1x curve (SCALE.md): 25→0.52, 50→0.68,
+#: 100→0.80, 200→0.84, 400→0.92 recall@5 at FLAT wall time (the refine
+#: join is queries×shortlist-bounded) — 0.92 is exactly the nprobe=5
+#: cell-capture ceiling (neighbors outside probed cells are invisible
+#: to ANY rerank), so past ~100 the lever buys asymptotically less;
+#: 100 = 20×topk is the sane production default, 400 would be
+#: fixture-tuned.
+_PQ_RERANK = 100
 
 #: DuckDB fragments shared across the oracle: left-fold sums so both
 #: engines add in identical order (list_sum's summation order is not
