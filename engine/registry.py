@@ -58,44 +58,104 @@ _MODULES = (
 
 #: ORDER MATTERS for driver verification: the driver's correctness sweep
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
-#: the enumeration order. ROUND-12 ROTATION (r11 delivered 50/50 green;
-#: staleness-first continues per VERDICT r11 task 2):
-#: (a) positions 1-6 — changed-code-first (the standing rule):
-#:     stream_dedup_cascade_ttl (BRAND-NEW late-r12 — the cascade with
-#:     retention-bounded state: last-seen TTL semantics, window-
-#:     filtered ledger reads, retention-applying compaction),
-#:     pipeline_ann_retrain_gate (BRAND-NEW r12 — the drift-gate consumer
-#:     of the ANN ingest funnel), stream_dedup_cascade (r12: threshold-
-#:     triggered per-bucket ledger compaction + capped dynamic IN filter
-#:     + sorted bucket files), stream_ann_ingest (r12: zero-shuffle
-#:     prebuilt argmin replaces crossJoin+window; empty-trigger guard),
-#:     sim_cosine_topk_ivf_pq (r12: 8-bit residual codes K=256, nprobe=5,
-#:     exact refine of the ADC shortlist — recall@5 0.44→0.92 at sf0.01),
-#:     sim_cosine_topk_ivf (r12: _ivf_probe refactored to take nprobe —
-#:     prove the default path unchanged under the driver).
-#: (b) positions 7-50 — the r3-stale cohort (recomputed from
-#:     CORRECTNESS_r01-r11 unions: the 45 keys whose last external green
-#:     is round 3), alphabetical; 44 of 45 fit behind the six changed
-#:     keys, the displaced win_sessionize_gap sits at position 51 and
-#:     rotates next round. A fully-green r12 still drops the median
-#:     last-green age below r8.
+#: the enumeration order. ROUND-13 ROTATION (r12 delivered 50/50 green;
+#: staleness-first continues per VERDICT r12 task 2):
+#: (a) positions 1-8 — changed-code-first (the standing rule):
+#:     pipeline_ann_retrain_apply (BRAND-NEW r13 — the ACT step:
+#:     integer-mean re-fit of drift-flagged cells, atomic artifact
+#:     generations, only flagged cells rewritten),
+#:     stream_ann_ingest_ttl (BRAND-NEW r13 — retention-bounded vector
+#:     store with live_rows observability), then the six keys the r13
+#:     shared-core/epoch/hardening work touched: stream_dedup_cascade_ttl
+#:     + stream_dedup_cascade (ONE parameterized batch body; epoch-keyed
+#:     idempotent appends; compaction folds into the epoch=-1 sentinel,
+#:     deletes after commit), stream_ann_ingest (epoch-keyed appends),
+#:     pipeline_ann_retrain_gate (decimal(38,0) drift comparison; shared
+#:     funnel/decision helpers), sim_cosine_topk_ivf_pq (rerank 25->100
+#:     after the measured capture-ceiling curve; codebook persisted with
+#:     the artifact; atomic versioned artifact root),
+#:     sim_cosine_topk_pq (encode-helper refactor donor).
+#: (b) position 9 — win_sessionize_gap, the sole remaining r3-green key
+#:     (displaced from the r12 window; VERDICT r12 task 2 orders it to
+#:     lead the stale cohort).
+#: (c) positions 10-50 — the r5-stale cohort (recomputed from the
+#:     CORRECTNESS_r01-r12 union: the 50 keys whose last external green
+#:     is round 5), alphabetical; 41 of 50 fit, the 9 displaced
+#:     (text_zipf_fit .. win_skyline_pareto_2d) sit at positions 51-59
+#:     and rotate next round. A fully-green r13 leaves zero keys older
+#:     than r5 and drops the median last-green age.
 #: FAIL-first stays the standing rule if any row comes back red.
 #: Positions 51+ keep the prior priority order (minus keys promoted
 #: above) so enumeration stays deterministic; keys not listed keep
 #: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first (r12). The late-r12 TTL cascade joins
-    # the head per the standing rule, displacing the alphabetically-
-    # last r3-cohort key (win_sessionize_gap) to position 51 — 44 of
-    # the 45 r3-stale keys stay in the window; the 45th rotates next.
+    # -- (a) changed-code-first (r13): 2 brand-new + 6 touched keys
+    "pipeline_ann_retrain_apply",
+    "stream_ann_ingest_ttl",
     "stream_dedup_cascade_ttl",
-    "pipeline_ann_retrain_gate",
     "stream_dedup_cascade",
     "stream_ann_ingest",
+    "pipeline_ann_retrain_gate",
     "sim_cosine_topk_ivf_pq",
+    "sim_cosine_topk_pq",
+    # -- (b) the last r3-green key leads the stale cohort
+    "win_sessionize_gap",
+    # -- (c) the r5-stale cohort, alphabetical (41 of 50 fit)
+    "agg_approx_quantiles",
+    "agg_bitmap_distinct",
+    "agg_bloom_filter_report",
+    "agg_bootstrap_mean_ci",
+    "agg_collect_sorted",
+    "agg_corr_matrix",
+    "agg_count_distinct_multi",
+    "agg_countmin_heavy",
+    "agg_dup_profile",
+    "agg_filter_clause",
+    "agg_frequent_pairs",
+    "agg_grouping_flags",
+    "agg_join_size_estimate",
+    "agg_kmv_set_sketch",
+    "dedup_near_minhash",
+    "fn_array_lambda",
+    "fn_map",
+    "graph_clustering_coefficient",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_modularity_lp",
+    "graph_sssp_bellman_ford",
+    "join_aqe_skew",
+    "join_interval_overlap",
+    "pipeline_dedup_cascade_report",
+    "pipeline_domain_mix_weights",
+    "pipeline_pretrain_filter",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "sample_weighted_priority",
+    "scan_compaction_plan",
+    "scan_manifest_snapshot",
+    "scan_manifest_time_travel",
+    "scan_profile_columns",
+    "sim_centroid_drift",
+    "sim_mmr_rerank",
+    "sim_simhash_radius",
+    "text_keyword_rake",
+    "text_ngram_novelty",
+    "text_readability",
+    # ---- window cutoff (50) ----
+    # the 9 displaced r5-cohort keys rotate first next round:
+    "text_zipf_fit",
+    "ts_burstiness_fano",
+    "ts_forecast_snaive",
+    "ts_seasonal_decompose",
+    "win_drawdown_max",
+    "win_hll_sliding_distinct",
+    "win_moving_median",
+    "win_rolling_slope",
+    "win_skyline_pareto_2d",
+    # prior priority order, minus promotions:
     "sim_cosine_topk_ivf",
-    # -- (b) the full r3-stale cohort, alphabetical
     "agg_salted_skew",
     "agg_string_concat",
     "agg_unpivot",
@@ -140,10 +200,6 @@ _PRIORITY = (
     "win_funnel_sequence",
     "win_latest_per_key",
     "win_pctrank_bucketed",
-    # ---- window cutoff (50) ----
-    # prior priority order, minus promotions:
-    "win_sessionize_gap",
-    "sim_cosine_topk_pq",
     "text_bpe_train",
     "join_right",
     "dedup_exact",

@@ -1909,7 +1909,12 @@ def _manifest_fixture(sf: str) -> str:
 
 
 def _manifest_oracle_sql() -> str:
-    path = _manifest_fixture("/root/testdata/sf0.01")
+    # fixture SF from SPARK_GRAFT_ORACLE_SF (the r9 scan-oracle
+    # convention, applied r13): 3-SF sims compare the same fixture the
+    # Spark side plants; the driver's sweep resolves to sf0.01
+    from engine.session import oracle_sf
+
+    path = _manifest_fixture(oracle_sf())
     return f"""
     WITH log AS (
       SELECT version, seq, op, file
@@ -1990,7 +1995,9 @@ _TRAVEL_VERSION = 1
 
 
 def _time_travel_oracle_sql() -> str:
-    path = _manifest_fixture("/root/testdata/sf0.01")
+    from engine.session import oracle_sf
+
+    path = _manifest_fixture(oracle_sf())  # see _manifest_oracle_sql
     return f"""
     WITH log AS (
       SELECT version, seq, op, file
