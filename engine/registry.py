@@ -60,7 +60,9 @@ _MODULES = (
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
 #: the enumeration order. ROUND-13 ROTATION (r12 delivered 50/50 green;
 #: staleness-first continues per VERDICT r12 task 2):
-#: (a) positions 1-8 — changed-code-first (the standing rule):
+#: (a) positions 1-9 — changed-code-first (the standing rule; the
+#:     late-r13 pipeline_ann_reassign joined at position 3, moving the
+#:     alphabetically-last in-window r5 key text_readability to 51):
 #:     pipeline_ann_retrain_apply (BRAND-NEW r13 — the ACT step:
 #:     integer-mean re-fit of drift-flagged cells, atomic artifact
 #:     generations, only flagged cells rewritten),
@@ -80,8 +82,9 @@ _MODULES = (
 #:     lead the stale cohort).
 #: (c) positions 10-50 — the r5-stale cohort (recomputed from the
 #:     CORRECTNESS_r01-r12 union: the 50 keys whose last external green
-#:     is round 5), alphabetical; 41 of 50 fit, the 9 displaced
-#:     (text_zipf_fit .. win_skyline_pareto_2d) sit at positions 51-59
+#:     is round 5), alphabetical; 40 of 50 fit, the 10 displaced
+#:     (text_readability, text_zipf_fit .. win_skyline_pareto_2d) sit
+#:     at positions 51-60
 #:     and rotate next round. A fully-green r13 leaves zero keys older
 #:     than r5 and drops the median last-green age.
 #: FAIL-first stays the standing rule if any row comes back red.
@@ -93,6 +96,7 @@ _PRIORITY = (
     # -- (a) changed-code-first (r13): 2 brand-new + 6 touched keys
     "pipeline_ann_retrain_apply",
     "stream_ann_ingest_ttl",
+    "pipeline_ann_reassign",
     "stream_dedup_cascade_ttl",
     "stream_dedup_cascade",
     "stream_ann_ingest",
@@ -142,9 +146,9 @@ _PRIORITY = (
     "sim_simhash_radius",
     "text_keyword_rake",
     "text_ngram_novelty",
-    "text_readability",
     # ---- window cutoff (50) ----
-    # the 9 displaced r5-cohort keys rotate first next round:
+    # the 10 displaced r5-cohort keys rotate first next round:
+    "text_readability",
     "text_zipf_fit",
     "ts_burstiness_fano",
     "ts_forecast_snaive",

@@ -2332,6 +2332,179 @@ def _drift_decisions(funnel: DataFrame, num: int, den: int) -> DataFrame:
     )
 
 
+#: the reassignment step unrolled in SQL: decisions + integer re-fit
+#: as _RAP_SQL, then EVERY vector re-assigned under the merged centroid
+#: set (flagged → re-fit mean, unflagged → artifact mean) and the
+#: movement matrix aggregated. Ties → lower cell id, the
+#: _argmin_cell_sql contract.
+_RAS_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM base
+    ),
+    m AS (SELECT cluster, mean FROM read_parquet('{means}/*.parquet')),
+    d AS (
+      SELECT b.batch_id, b.vec_id, m.cluster,
+             CAST(FLOOR(SQRT(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (b.e[i] - m.mean[i]) * (b.e[i] - m.mean[i])),
+                  (x, y) -> x + y)) * 1e6 + 0.5) AS BIGINT) AS du
+      FROM b CROSS JOIN m
+    ),
+    a AS (
+      SELECT batch_id, vec_id, cluster, du,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn
+      FROM d
+    ),
+    funnel AS (
+      SELECT batch_id, cluster AS cell, COUNT(*) AS n, SUM(du) AS sdu
+      FROM a WHERE rn = 1 GROUP BY 1, 2
+    ),
+    base0 AS (SELECT cell, n, sdu FROM funnel WHERE batch_id = 0),
+    rec AS (
+      SELECT cell, n, sdu FROM funnel
+      WHERE batch_id = (SELECT MAX(batch_id) FROM funnel)
+    ),
+    decs AS (
+      SELECT COALESCE(bb.cell, r.cell) AS cell,
+             CASE WHEN COALESCE(r.n, 0) = 0 THEN false
+                  WHEN COALESCE(bb.n, 0) = 0 THEN true
+                  ELSE r.sdu * bb.n * {den} > bb.sdu * r.n * {num} END
+               AS retrain
+      FROM base0 bb FULL OUTER JOIN rec r ON bb.cell = r.cell
+    ),
+    fl AS (SELECT cell FROM decs WHERE retrain),
+    dims AS (
+      SELECT a.cluster AS cell, j.j,
+             SUM(CAST(ROUND(b.e[j.j] * 1e9) AS BIGINT)) AS sm,
+             COUNT(*) AS cnt
+      FROM a JOIN b ON b.vec_id = a.vec_id
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS j) j
+      WHERE a.rn = 1 AND a.cluster IN (SELECT cell FROM fl)
+      GROUP BY 1, 2
+    ),
+    newm AS (SELECT cell, list(sm / (1e9 * cnt) ORDER BY j) AS nm
+             FROM dims GROUP BY cell),
+    m2 AS (
+      SELECT m.cluster, COALESCE(nm.nm, m.mean) AS mean
+      FROM m LEFT JOIN newm nm ON nm.cell = m.cluster
+    ),
+    d2 AS (
+      SELECT a.vec_id, a.cluster AS cell_from, m2.cluster AS c2,
+             CAST(FLOOR(SQRT(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (b.e[i] - m2.mean[i]) * (b.e[i] - m2.mean[i])),
+                  (x, y) -> x + y)) * 1e6 + 0.5) AS BIGINT) AS du2
+      FROM a JOIN b ON b.vec_id = a.vec_id CROSS JOIN m2
+      WHERE a.rn = 1
+    ),
+    a2 AS (
+      SELECT vec_id, cell_from, c2 AS cell_to,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY du2, c2) AS rn2
+      FROM d2
+    )
+    SELECT cell_from, cell_to, COUNT(*) AS n,
+           (cell_from != cell_to) AS moved
+    FROM a2 WHERE rn2 = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _ras_oracle_sql() -> str:
+    from engine.kmeans import _means_path, _sf_tag
+    from engine.session import oracle_sf
+
+    return _RAS_SQL.format(
+        files=_AI_FILES,
+        means=_means_path(_sf_tag(oracle_sf())),
+        num=_RA_NUM,
+        den=_RA_DEN,
+    )
+
+
+@register("pipeline_ann_reassign", sql=_ras_oracle_sql)
+def pipeline_ann_reassign(spark: SparkSession, sf: str) -> DataFrame:
+    """The CONVERGENCE step after the retrain apply (r13): re-assign
+    every vector under the RETRAINED quantizer (flagged cells carry
+    their re-fit centroids, unflagged keep the artifact's) and emit the
+    movement matrix — (cell_from, cell_to, n, moved) — the relation a
+    re-index job uses to plan which cell partitions to rewrite and the
+    observability a maintenance dashboard charts (diagonal = stable
+    mass, off-diagonal = churn). The drift A/B (SCALE.md r13) measured
+    why this step exists: re-fit alone recovers part of the recall
+    loss; re-assignment under the retrained centroids completes it
+    (0.74 → 1.00 at sf0.1 on the drifted corpus).
+
+    Plan shape: decisions + re-fit reuse the apply's exact-integer
+    arithmetic (the re-fit means collect as K×64 doubles — the argmin-
+    literal class — and re-enter the plan as a prebuilt zero-shuffle
+    expression); re-assignment is ONE narrow pass over the vectors (no
+    join, no shuffle before the cells²-bounded movement aggregate). At
+    100 TB the pass is the unavoidable cost of re-assignment and
+    parallelizes embarrassingly; nothing driver-sized grows with the
+    data.
+
+    FULLY VALUE-ORACLED (_RAS_SQL): the re-fit is exact-integer and the
+    merged centroid set therefore bit-reproducible, so the whole
+    reassignment unrolls in flat SQL; ties break to the lower cell id
+    on both engines."""
+    from engine.kmeans import materialize_means
+    from engine.session import tune
+
+    tune(spark)
+    emb, funnel = _replay_funnel(spark, sf)
+    decs = _drift_decisions(funnel, _RA_NUM, _RA_DEN).select(
+        "cell", "retrain"
+    )
+    flagged = sorted(
+        r["cell"] for r in decs.filter(F.col("retrain")).collect()
+    )
+    _mp, means = materialize_means(spark, sf)
+    merged = [list(m) for m in means]
+    if flagged:
+        argmin_old = _argmin_cell_sql(means)
+        sums = (
+            emb.select(
+                "embedding", F.expr(argmin_old)["cell"].alias("cell")
+            )
+            .filter(_sql_in("cell", flagged))
+            .select("cell", F.posexplode("embedding").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(
+                F.sum(F.expr("cast(round(v * 1e9) as bigint)")).alias("sm"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()  # ≤ K×64 rows — the argmin-literal class
+        )
+        for r in sums:
+            # sm/(1e9·cnt): the same IEEE division DuckDB performs on
+            # the identical integer pair — bit-reproducible
+            merged[r["cell"]][r["i"]] = r["sm"] / (1e9 * r["cnt"])
+    argmin_new = _argmin_cell_sql(merged)
+    argmin_old = _argmin_cell_sql(means)
+    return (
+        emb.select(
+            F.expr(argmin_old)["cell"].alias("cell_from"),
+            F.expr(argmin_new)["cell"].alias("cell_to"),
+        )
+        .groupBy("cell_from", "cell_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell_from",
+            "cell_to",
+            "n",
+            (F.col("cell_from") != F.col("cell_to")).alias("moved"),
+        )
+        .orderBy("cell_from", "cell_to")
+    )
+
+
 #: maintenance threshold of the retrain APPLY step, as an exact integer
 #: ratio — DISTINCT from the gate's +5% alert threshold (_RG_NUM/
 #: _RG_DEN): the apply refreshes any cell whose recent mean distance
