@@ -840,6 +840,53 @@ def test_retrain_apply_rewrites_only_flagged_cells(spark):
             assert r["new_avg"] == r["old_avg"], r
 
 
+def test_ann_reassign_mass_conservation_and_plan_shape(spark):
+    """r13 pipeline_ann_reassign (the CONVERGENCE step): the movement
+    matrix must (a) conserve mass — sum(n) equals the vector count, so
+    a re-index job planning partition rewrites from it never loses or
+    invents rows; (b) mark moved ⇔ cell_from != cell_to; (c) agree
+    with the retrain APPLY's decisions — with no flagged cell the
+    merged quantizer equals the old one and the matrix must be purely
+    diagonal, and at the contract SF (where the apply test proves both
+    branches fire) off-diagonal churn must touch a flagged endpoint;
+    (d) keep the declared plan shape: the re-assignment pass is a
+    literal-folded double argmin over ONE scan — no Join anywhere and
+    no Exchange before the movement aggregate (exactly the partial/
+    final agg exchange plus the presentation sort's range exchange)."""
+    sf = "/root/testdata/sf0.01"
+    df = QUERIES["pipeline_ann_reassign"](spark, sf)
+    rows = df.collect()
+    total = T(spark, sf, "embeddings").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(r["moved"] == (r["cell_from"] != r["cell_to"]) for r in rows)
+
+    flagged = {
+        r["cell"]
+        for r in QUERIES["pipeline_ann_retrain_apply"](spark, sf).collect()
+        if r["retrained"]
+    }
+    off_diag = [r for r in rows if r["moved"]]
+    if not flagged:
+        assert not off_diag
+    else:
+        # churn is CAUSED by re-fit centroids: each move involves one
+        assert all(
+            r["cell_from"] in flagged or r["cell_to"] in flagged
+            for r in off_diag
+        ), off_diag
+
+    # AQE's toString appends an "== Initial Plan ==" copy; gate on the
+    # executed final section only
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("+- Exchange") <= 2, plan
+
+
 def test_stream_dedup_cascade_ttl_matches_sequential_semantics(spark):
     """Pin the r12 TTL cascade against a from-scratch pure-Python
     SEQUENTIAL replay of its declared last-seen semantics: a doc is an
