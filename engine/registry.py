@@ -60,9 +60,11 @@ _MODULES = (
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
 #: the enumeration order. ROUND-13 ROTATION (r12 delivered 50/50 green;
 #: staleness-first continues per VERDICT r12 task 2):
-#: (a) positions 1-9 — changed-code-first (the standing rule; the
-#:     late-r13 pipeline_ann_reassign joined at position 3, moving the
-#:     alphabetically-last in-window r5 key text_readability to 51):
+#: (a) positions 1-10 — changed-code-first (the standing rule; the
+#:     late-r13 pipeline_ann_reassign and pipeline_ann_reindex joined at
+#:     positions 3-4, each moving the alphabetically-last in-window r5
+#:     key — text_readability, then text_ngram_novelty — past the
+#:     cutoff):
 #:     pipeline_ann_retrain_apply (BRAND-NEW r13 — the ACT step:
 #:     integer-mean re-fit of drift-flagged cells, atomic artifact
 #:     generations, only flagged cells rewritten),
@@ -77,26 +79,27 @@ _MODULES = (
 #:     after the measured capture-ceiling curve; codebook persisted with
 #:     the artifact; atomic versioned artifact root),
 #:     sim_cosine_topk_pq (encode-helper refactor donor).
-#: (b) position 9 — win_sessionize_gap, the sole remaining r3-green key
-#:     (displaced from the r12 window; VERDICT r12 task 2 orders it to
-#:     lead the stale cohort).
-#: (c) positions 10-50 — the r5-stale cohort (recomputed from the
+#: (b) position 11 — win_sessionize_gap, the sole remaining r3-green
+#:     key (displaced from the r12 window; VERDICT r12 task 2 orders it
+#:     to lead the stale cohort).
+#: (c) positions 12-50 — the r5-stale cohort (recomputed from the
 #:     CORRECTNESS_r01-r12 union: the 50 keys whose last external green
-#:     is round 5), alphabetical; 40 of 50 fit, the 10 displaced
-#:     (text_readability, text_zipf_fit .. win_skyline_pareto_2d) sit
-#:     at positions 51-60
-#:     and rotate next round. A fully-green r13 leaves zero keys older
-#:     than r5 and drops the median last-green age.
+#:     is round 5), alphabetical; 39 of 50 fit, the 11 displaced
+#:     (text_ngram_novelty, text_readability .. win_skyline_pareto_2d)
+#:     sit at positions 51-61 and rotate next round. A fully-green r13
+#:     leaves zero keys older than r5 and drops the median last-green
+#:     age.
 #: FAIL-first stays the standing rule if any row comes back red.
 #: Positions 51+ keep the prior priority order (minus keys promoted
 #: above) so enumeration stays deterministic; keys not listed keep
 #: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first (r13): 2 brand-new + 6 touched keys
+    # -- (a) changed-code-first (r13): 4 brand-new + 6 touched keys
     "pipeline_ann_retrain_apply",
     "stream_ann_ingest_ttl",
     "pipeline_ann_reassign",
+    "pipeline_ann_reindex",
     "stream_dedup_cascade_ttl",
     "stream_dedup_cascade",
     "stream_ann_ingest",
@@ -105,7 +108,7 @@ _PRIORITY = (
     "sim_cosine_topk_pq",
     # -- (b) the last r3-green key leads the stale cohort
     "win_sessionize_gap",
-    # -- (c) the r5-stale cohort, alphabetical (41 of 50 fit)
+    # -- (c) the r5-stale cohort, alphabetical (39 of 50 fit)
     "agg_approx_quantiles",
     "agg_bitmap_distinct",
     "agg_bloom_filter_report",
@@ -145,9 +148,9 @@ _PRIORITY = (
     "sim_mmr_rerank",
     "sim_simhash_radius",
     "text_keyword_rake",
-    "text_ngram_novelty",
     # ---- window cutoff (50) ----
-    # the 10 displaced r5-cohort keys rotate first next round:
+    # the 11 displaced r5-cohort keys rotate first next round:
+    "text_ngram_novelty",
     "text_readability",
     "text_zipf_fit",
     "ts_burstiness_fano",

@@ -2651,6 +2651,79 @@ def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
     return dst
 
 
+def reindex_cells(
+    spark: SparkSession, sf: str, moved: DataFrame, flagged: list[int]
+) -> tuple[str, str]:
+    """Physical half of pipeline_ann_reindex (late r13): advance the
+    IVF-PQ artifact to generation g2 in which the given movers —
+    (vec_id, cell_from, cell_to), churn-bounded — live in the cell
+    partitions the retrained quantizer assigns:
+      * source generation: the retrain apply's g1 when cells were
+        flagged (reencode_cells — re-fit cmeans, re-encoded flagged
+        codes), else the base artifact;
+      * cells with NO movement carry over byte-identical (driver-side
+        copy here; a metadata-only manifest swap at 100 TB);
+      * DIRTY cells rebuild as (surviving g1 rows — an anti-join
+        against the broadcast mover set, read partition-pruned to the
+        dirty cells) ∪ (movers re-encoded: residual vs cell_to's
+        CARRIED mean, FROZEN codebook);
+      * cmeans + codebook carry frozen — the reindex moves rows, the
+        next retrain cycle refreshes statistics;
+      * atomic publish: temp root + rename, the materialize_pq_codes
+        contract.
+    Returns (src_root, dst_root) so the caller can read back both
+    generations' per-cell counts for the oracle-pinned report."""
+    import os
+    import pathlib
+    import shutil
+
+    if flagged:
+        src = reencode_cells(spark, sf, flagged)
+    else:
+        materialize_pq_codes(spark, sf)
+        src = _pq_artifact_root(sf)
+    dst = _pq_artifact_root(sf) + "_g2"
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp + "/codes")
+    dirty = {
+        int(r[0])
+        for r in moved.select(
+            F.explode(F.array("cell_from", "cell_to"))
+        )
+        .distinct()
+        .collect()  # ≤ K cells — driver-sized
+    }
+    for d in pathlib.Path(src, "codes").iterdir():
+        if d.is_dir() and d.name.startswith("cell="):
+            if int(d.name.split("=", 1)[1]) not in dirty:
+                shutil.copytree(d, pathlib.Path(tmp, "codes", d.name))
+    shutil.copytree(src + "/cb", tmp + "/cb")  # frozen codebook
+    shutil.copytree(src + "/cmeans", tmp + "/cmeans")  # frozen cmeans
+    if dirty:
+        dl = sorted(dirty)
+        surv = (
+            spark.read.parquet(src + "/codes")
+            .filter(F.col("cell").isin(dl))  # partition-pruned read
+            .join(F.broadcast(moved.select("vec_id")), "vec_id", "left_anti")
+        )
+        new_assigned = moved.select("vec_id", F.col("cell_to").alias("cell"))
+        norm = _pq_norm(T(spark, sf, "embeddings"))
+        cmn = spark.read.parquet(src + "/cmeans")
+        resid = _pq_residuals(norm, new_assigned, cmn)
+        enc = _pq_encode_against(
+            _pq_subs(resid.select("vec_id", "rv"), "rv"),
+            spark.read.parquet(src + "/cb"),
+        )
+        moved_rows = enc.join(new_assigned, "vec_id").select(surv.columns)
+        surv.unionByName(moved_rows).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(tmp + "/codes")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)  # the atomic publish
+    return src, dst
+
+
 @register("sim_cosine_topk_ivf_pq", sql=_ivf_pq_oracle_sql)
 def sim_cosine_topk_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """The production ANN composite (VERDICT r9 task 3): IVF coarse

@@ -2334,10 +2334,11 @@ def _drift_decisions(funnel: DataFrame, num: int, den: int) -> DataFrame:
 
 #: the reassignment step unrolled in SQL: decisions + integer re-fit
 #: as _RAP_SQL, then EVERY vector re-assigned under the merged centroid
-#: set (flagged → re-fit mean, unflagged → artifact mean) and the
-#: movement matrix aggregated. Ties → lower cell id, the
-#: _argmin_cell_sql contract.
-_RAS_SQL = """
+#: set (flagged → re-fit mean, unflagged → artifact mean). Shared CTE
+#: prefix of the movement matrix (_RAS_SQL) and the reindex report
+#: (_RIX_SQL); a2 rn2=1 is the per-vector (cell_from, cell_to) move.
+#: Ties → lower cell id, the _argmin_cell_sql contract.
+_RAS_PREFIX = """
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
@@ -2409,11 +2410,44 @@ _RAS_SQL = """
                                 ORDER BY du2, c2) AS rn2
       FROM d2
     )
+"""
+
+_RAS_SQL = (
+    _RAS_PREFIX
+    + """
     SELECT cell_from, cell_to, COUNT(*) AS n,
            (cell_from != cell_to) AS moved
     FROM a2 WHERE rn2 = 1
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+)
+
+#: the reindex REPORT unrolled in SQL: the movement relation folded to
+#: the per-cell rewrite plan every K cell appears in — n_before from
+#: the pre-move assignment, in/out from the movers, n_after the
+#: conserved balance, rewritten ⇔ the cell's partition was touched.
+_RIX_SQL = (
+    _RAS_PREFIX
+    + """
+    , mv AS (SELECT vec_id, cell_from, cell_to FROM a2 WHERE rn2 = 1),
+    bf AS (SELECT cell_from AS cell, COUNT(*) AS n FROM mv GROUP BY 1),
+    mvd AS (SELECT * FROM mv WHERE cell_from != cell_to),
+    ins AS (SELECT cell_to AS cell, COUNT(*) AS n FROM mvd GROUP BY 1),
+    outs AS (SELECT cell_from AS cell, COUNT(*) AS n FROM mvd GROUP BY 1)
+    SELECT m.cluster AS cell,
+           COALESCE(bf.n, 0) AS n_before,
+           COALESCE(ins.n, 0) AS n_in,
+           COALESCE(outs.n, 0) AS n_out,
+           COALESCE(bf.n, 0) - COALESCE(outs.n, 0) + COALESCE(ins.n, 0)
+             AS n_after,
+           (COALESCE(ins.n, 0) + COALESCE(outs.n, 0)) > 0 AS rewritten
+    FROM m
+    LEFT JOIN bf ON bf.cell = m.cluster
+    LEFT JOIN ins ON ins.cell = m.cluster
+    LEFT JOIN outs ON outs.cell = m.cluster
+    ORDER BY 1
+"""
+)
 
 
 def _ras_oracle_sql() -> str:
@@ -2428,36 +2462,16 @@ def _ras_oracle_sql() -> str:
     )
 
 
-@register("pipeline_ann_reassign", sql=_ras_oracle_sql)
-def pipeline_ann_reassign(spark: SparkSession, sf: str) -> DataFrame:
-    """The CONVERGENCE step after the retrain apply (r13): re-assign
-    every vector under the RETRAINED quantizer (flagged cells carry
-    their re-fit centroids, unflagged keep the artifact's) and emit the
-    movement matrix — (cell_from, cell_to, n, moved) — the relation a
-    re-index job uses to plan which cell partitions to rewrite and the
-    observability a maintenance dashboard charts (diagonal = stable
-    mass, off-diagonal = churn). The drift A/B (SCALE.md r13) measured
-    why this step exists: re-fit alone recovers part of the recall
-    loss; re-assignment under the retrained centroids completes it
-    (0.74 → 1.00 at sf0.1 on the drifted corpus).
-
-    Plan shape: decisions + re-fit reuse the apply's exact-integer
-    arithmetic (the re-fit means collect as K×64 doubles — the argmin-
-    literal class — and re-enter the plan as a prebuilt zero-shuffle
-    expression); re-assignment is ONE narrow pass over the vectors (no
-    join, no shuffle before the cells²-bounded movement aggregate). At
-    100 TB the pass is the unavoidable cost of re-assignment and
-    parallelizes embarrassingly; nothing driver-sized grows with the
-    data.
-
-    FULLY VALUE-ORACLED (_RAS_SQL): the re-fit is exact-integer and the
-    merged centroid set therefore bit-reproducible, so the whole
-    reassignment unrolls in flat SQL; ties break to the lower cell id
-    on both engines."""
+def _merged_quantizer(spark: SparkSession, sf: str):
+    """Shared core of the reassign and reindex steps: drift decisions
+    at the apply threshold over the replay funnel, then the EXACT
+    integer re-fit of every flagged cell (1e-9-unit int64 coordinate
+    sums divided once — bit-reproducible on both engines). Returns
+    (emb, means, merged, flagged): the vector relation, the artifact
+    centroids, the merged centroid set (flagged → re-fit mean,
+    unflagged → artifact mean), and the sorted flagged cell ids."""
     from engine.kmeans import materialize_means
-    from engine.session import tune
 
-    tune(spark)
     emb, funnel = _replay_funnel(spark, sf)
     decs = _drift_decisions(funnel, _RA_NUM, _RA_DEN).select(
         "cell", "retrain"
@@ -2486,6 +2500,39 @@ def pipeline_ann_reassign(spark: SparkSession, sf: str) -> DataFrame:
             # sm/(1e9·cnt): the same IEEE division DuckDB performs on
             # the identical integer pair — bit-reproducible
             merged[r["cell"]][r["i"]] = r["sm"] / (1e9 * r["cnt"])
+    return emb, means, merged, flagged
+
+
+@register("pipeline_ann_reassign", sql=_ras_oracle_sql)
+def pipeline_ann_reassign(spark: SparkSession, sf: str) -> DataFrame:
+    """The CONVERGENCE step after the retrain apply (r13): re-assign
+    every vector under the RETRAINED quantizer (flagged cells carry
+    their re-fit centroids, unflagged keep the artifact's) and emit the
+    movement matrix — (cell_from, cell_to, n, moved) — the relation a
+    re-index job uses to plan which cell partitions to rewrite and the
+    observability a maintenance dashboard charts (diagonal = stable
+    mass, off-diagonal = churn). The drift A/B (SCALE.md r13) measured
+    why this step exists: re-fit alone recovers part of the recall
+    loss; re-assignment under the retrained centroids completes it
+    (0.74 → 1.00 at sf0.1 on the drifted corpus).
+
+    Plan shape: decisions + re-fit reuse the apply's exact-integer
+    arithmetic (the re-fit means collect as K×64 doubles — the argmin-
+    literal class — and re-enter the plan as a prebuilt zero-shuffle
+    expression); re-assignment is ONE narrow pass over the vectors (no
+    join, no shuffle before the cells²-bounded movement aggregate). At
+    100 TB the pass is the unavoidable cost of re-assignment and
+    parallelizes embarrassingly; nothing driver-sized grows with the
+    data.
+
+    FULLY VALUE-ORACLED (_RAS_SQL): the re-fit is exact-integer and the
+    merged centroid set therefore bit-reproducible, so the whole
+    reassignment unrolls in flat SQL; ties break to the lower cell id
+    on both engines."""
+    from engine.session import tune
+
+    tune(spark)
+    emb, means, merged, _flagged = _merged_quantizer(spark, sf)
     argmin_new = _argmin_cell_sql(merged)
     argmin_old = _argmin_cell_sql(means)
     return (
@@ -2502,6 +2549,110 @@ def pipeline_ann_reassign(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("cell_from") != F.col("cell_to")).alias("moved"),
         )
         .orderBy("cell_from", "cell_to")
+    )
+
+
+def _rix_oracle_sql() -> str:
+    from engine.kmeans import _means_path, _sf_tag
+    from engine.session import oracle_sf
+
+    return _RIX_SQL.format(
+        files=_AI_FILES,
+        means=_means_path(_sf_tag(oracle_sf())),
+        num=_RA_NUM,
+        den=_RA_DEN,
+    )
+
+
+@register("pipeline_ann_reindex", sql=_rix_oracle_sql)
+def pipeline_ann_reindex(spark: SparkSession, sf: str) -> DataFrame:
+    """The PHYSICAL half of the convergence step (late r13):
+    pipeline_ann_reassign computes the movement matrix; this operator
+    EXECUTES it — the IVF-PQ artifact advances to generation g2 in
+    which every vector lives in the cell partition the RETRAINED
+    quantizer assigns it to:
+      * movers' old code rows drop from their cell_from partition and
+        re-enter cell_to re-encoded (residual vs cell_to's carried
+        mean, FROZEN codebook — engine.similarity.reindex_cells);
+      * only DIRTY cells (movement in or out) are rewritten; every
+        untouched cell's files carry over byte-identical (pinned by
+        test) — at 100 TB a metadata-only manifest swap;
+      * cmeans and codebook carry FROZEN from g1: the reindex moves
+        rows, the NEXT retrain cycle refreshes statistics — standard
+        incremental index maintenance, one concern per step;
+      * the generation publishes atomically (temp root + rename), so
+        a reader sees the old or the new complete artifact, never a
+        mix.
+
+    Report: (cell, n_before, n_in, n_out, n_after, rewritten) — the
+    rewrite plan and its balance. n_before and n_after are READ BACK
+    from the published g1/g2 code partitions (count of code rows per
+    cell ÷ the S subspaces; at 100 TB these come from manifest
+    row-count stats, no data read), so the oracle compare pins what
+    was PERSISTED against the pure-SQL recomputation — a reindex that
+    lost or invented a row hash-mismatches.
+
+    Plan shape: ONE narrow literal-folded double-argmin pass finds the
+    movers (no join/shuffle); the mover relation is churn-bounded and
+    broadcast into the dirty-cell anti-join, whose read is partition-
+    pruned to the dirty cells; the report aggregates are cells²-
+    bounded. Nothing driver-sized grows with the corpus — the flagged/
+    dirty cell lists are ≤ K (the argmin-literal class).
+
+    FULLY VALUE-ORACLED (_RIX_SQL): the movement relation unrolls in
+    flat SQL (the _RAS_PREFIX chain) and the report is its per-cell
+    fold over the full K-cell spine."""
+    from engine.session import tune
+    from engine.similarity import _PQ_S, reindex_cells
+
+    tune(spark)
+    emb, means, merged, flagged = _merged_quantizer(spark, sf)
+    argmin_new = _argmin_cell_sql(merged)
+    argmin_old = _argmin_cell_sql(means)
+    moved = (
+        emb.select(
+            "vec_id",
+            F.expr(argmin_old)["cell"].alias("cell_from"),
+            F.expr(argmin_new)["cell"].alias("cell_to"),
+        )
+        .filter(F.col("cell_from") != F.col("cell_to"))
+        .localCheckpoint()  # churn-bounded; consumed by the rewrite + report
+    )
+    src_root, dst_root = reindex_cells(spark, sf, moved, flagged)
+
+    def _cell_counts(root: str, name: str) -> DataFrame:
+        return (
+            spark.read.parquet(root + "/codes")
+            .groupBy("cell")
+            .agg(F.expr(f"count(1) div {_PQ_S}").alias(name))
+        )
+
+    spine = spark.createDataFrame(
+        [(c,) for c in range(len(means))], "cell int"
+    )
+    ins = moved.groupBy(F.col("cell_to").alias("cell")).agg(
+        F.count(F.lit(1)).alias("ins")
+    )
+    outs = moved.groupBy(F.col("cell_from").alias("cell")).agg(
+        F.count(F.lit(1)).alias("outs")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        spine.join(_cell_counts(src_root, "bf"), "cell", "left")
+        .join(ins, "cell", "left")
+        .join(outs, "cell", "left")
+        .join(_cell_counts(dst_root, "af"), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("bf", z).alias("n_before"),
+            F.coalesce("ins", z).alias("n_in"),
+            F.coalesce("outs", z).alias("n_out"),
+            F.coalesce("af", z).alias("n_after"),
+            (F.coalesce("ins", z) + F.coalesce("outs", z) > 0).alias(
+                "rewritten"
+            ),
+        )
+        .orderBy("cell")
     )
 
 

@@ -840,6 +840,105 @@ def test_retrain_apply_rewrites_only_flagged_cells(spark):
             assert r["new_avg"] == r["old_avg"], r
 
 
+def test_ann_reindex_moves_rows_and_carries_clean_cells(spark):
+    """r13 pipeline_ann_reindex's physical ACT, at the oracle-contract
+    SF: generation g2 must (a) carry every cell WITHOUT movement over
+    byte-identical from its source generation, (b) place every mover's
+    code rows in its cell_to partition and drop them from cell_from,
+    (c) carry cmeans and codebook frozen, and (d) balance — per-cell
+    g2 counts equal the report's n_after, which the DuckDB oracle
+    independently recomputes from the movement relation."""
+    import hashlib
+    import pathlib
+
+    import engine.similarity as SIM
+
+    sf = "/root/testdata/sf0.01"
+    report = {
+        r["cell"]: r
+        for r in QUERIES["pipeline_ann_reindex"](spark, sf).collect()
+    }
+    dirty = {c for c, r in report.items() if r["rewritten"]}
+    assert dirty, "contract fixture must produce churn"
+    base = pathlib.Path(SIM._pq_artifact_root(sf))
+    src = base.parent / (base.name + "_g1")
+    if not src.is_dir():  # no flagged cells → source is the base artifact
+        src = base
+    dst = base.parent / (base.name + "_g2")
+
+    def tree(p):
+        return {
+            str(f.relative_to(p)): hashlib.sha1(f.read_bytes()).hexdigest()
+            for f in sorted(p.rglob("*"))
+            if f.is_file()
+        }
+
+    # (a) clean cells byte-identical, (d) dirty cells balance
+    for d in (src / "codes").glob("cell=*"):
+        cell = int(d.name.split("=")[1])
+        dd = dst / "codes" / d.name
+        if cell not in dirty:
+            assert tree(d) == tree(dd), ("clean cell mutated", d.name)
+        else:
+            n_rows = spark.read.parquet(str(dd)).count()
+            assert n_rows == report[cell]["n_after"] * SIM._PQ_S, (
+                d.name,
+                n_rows,
+                report[cell]["n_after"],
+            )
+    # (b) each mover's rows live in cell_to, none remain in cell_from
+    import engine.streaming as S
+
+    emb, means, merged, _fl = S._merged_quantizer(spark, sf)
+    movers = (
+        emb.select(
+            "vec_id",
+            F.expr(S._argmin_cell_sql(means))["cell"].alias("cf"),
+            F.expr(S._argmin_cell_sql(merged))["cell"].alias("ct"),
+        )
+        .filter("cf != ct")
+        .collect()
+    )
+    assert movers, "contract fixture must produce churn"
+    g2 = (
+        spark.read.parquet(str(dst / "codes"))
+        .groupBy("vec_id", "cell")
+        .count()
+        .collect()
+    )
+    loc = {(r["vec_id"], r["cell"]): r["count"] for r in g2}
+    for m in movers:
+        assert loc.get((m["vec_id"], m["ct"])) == SIM._PQ_S, m
+        assert (m["vec_id"], m["cf"]) not in loc, m
+    # (c) frozen cmeans + codebook
+    assert tree(src / "cb") == tree(dst / "cb")
+    assert tree(src / "cmeans") == tree(dst / "cmeans")
+
+    # (a') the carry-over branch: at sf0.01 every cell churns under the
+    # full movement matrix, so drive the physical helper directly with
+    # the movers of ONE (from→to) pair — every other cell must carry
+    # over byte-identical from the base generation
+    cf, ct = movers[0]["cf"], movers[0]["ct"]
+    pair = [m for m in movers if m["cf"] == cf and m["ct"] == ct]
+    one = spark.createDataFrame(
+        [(m["vec_id"], m["cf"], m["ct"]) for m in pair],
+        "vec_id long, cell_from int, cell_to int",
+    )
+    src2, dst2 = SIM.reindex_cells(spark, sf, one, [])
+    src2, dst2 = pathlib.Path(src2), pathlib.Path(dst2)
+    assert src2 == base  # no flagged cells → base generation is source
+    for d in (src2 / "codes").glob("cell=*"):
+        cell = int(d.name.split("=")[1])
+        dd = dst2 / "codes" / d.name
+        if cell not in (cf, ct):
+            assert tree(d) == tree(dd), ("clean cell mutated", d.name)
+    n = lambda root, c: spark.read.parquet(  # noqa: E731
+        str(root / "codes" / f"cell={c}")
+    ).count()
+    assert n(dst2, cf) == n(src2, cf) - len(pair) * SIM._PQ_S
+    assert n(dst2, ct) == n(src2, ct) + len(pair) * SIM._PQ_S
+
+
 def test_ann_reassign_mass_conservation_and_plan_shape(spark):
     """r13 pipeline_ann_reassign (the CONVERGENCE step): the movement
     matrix must (a) conserve mass — sum(n) equals the vector count, so
