@@ -939,6 +939,60 @@ def test_ann_reindex_moves_rows_and_carries_clean_cells(spark):
     assert n(dst2, ct) == n(src2, ct) + len(pair) * SIM._PQ_S
 
 
+def test_generation_publish_memo_and_crash_recovery(spark):
+    """The r13 generation-memo contract (reencode_cells /
+    _generation_fresh): (a) a second derivation with the same inputs is
+    a pure READ — every published file byte-identical, nothing
+    rewritten; (b) a stale identity marker forces a full rebuild whose
+    RELATION equals the original (parquet file names carry job UUIDs,
+    so equality is row-level, not byte-level) and restores the marker;
+    (c) a crashed builder's leftover temp root is never adopted — the
+    publish is rename-only, so a reader can see only complete
+    generations."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    import engine.similarity as SIM
+    import engine.streaming as S
+
+    sf = "/root/testdata/sf0.01"
+    _emb, _means, _merged, flagged = S._merged_quantizer(spark, sf)
+    assert flagged, "contract fixture must flag cells"
+    g1 = SIM.reencode_cells(spark, sf, flagged)
+
+    def tree(p):
+        return {
+            str(f.relative_to(p)): hashlib.sha1(f.read_bytes()).hexdigest()
+            for f in sorted(pathlib.Path(p).rglob("*"))
+            if f.is_file()
+        }
+
+    def rows(p):
+        return sorted(
+            map(tuple, spark.read.parquet(p + "/codes").collect())
+        )
+
+    tree1, rows1 = tree(g1), rows(g1)
+    # (a) memo hit: same inputs → pure read, bytes untouched
+    assert SIM.reencode_cells(spark, sf, flagged) == g1
+    assert tree(g1) == tree1, "memo hit must not rewrite any file"
+    # (c) a crashed builder's stale temp root is inert
+    junk = pathlib.Path(g1 + ".tmp.999999")
+    (junk / "codes").mkdir(parents=True)
+    (junk / "codes" / "garbage").write_text("partial build")
+    # (b) stale marker → deterministic rebuild, marker restored
+    marker = pathlib.Path(g1, "_cells")
+    saved = marker.read_text()
+    marker.write_text("[999]")
+    g1b = SIM.reencode_cells(spark, sf, flagged)
+    assert g1b == g1
+    assert pathlib.Path(g1b, "_cells").read_text() == saved
+    assert rows(g1b) == rows1, "rebuild must reproduce the relation"
+    assert junk.is_dir(), "stale temp must never be adopted or renamed"
+    shutil.rmtree(junk)
+
+
 def test_ann_reassign_mass_conservation_and_plan_shape(spark):
     """r13 pipeline_ann_reassign (the CONVERGENCE step): the movement
     matrix must (a) conserve mass — sum(n) equals the vector count, so
