@@ -40,32 +40,60 @@ _CANARY_REF: dict[str, float] = {
     "sort_multi_nulls": 0.589,
 }
 
+#: STREAMING drift canary (late r13): the five batch canaries price
+#: CPU/shuffle drift but not the trigger/checkpoint I/O floor that
+#: dominates replay-fixture streaming keys — the r13 sweep measured
+#: unchanged streaming keys swinging >2x in both directions while the
+#: batch factor read 1.096 (BASELINE.md r13 variance exhibit). Two
+#: code-frozen keys cover the two streaming I/O paths: the state-store
+#: checkpoint path (stateful_count) and the foreachBatch ledger path
+#: (foreachbatch_upsert). Reported separately as
+#: drift_factor_streaming — cross-round STREAMING deltas divide by
+#: this, batch deltas keep using drift_factor. Reference = min of 3-4
+#: isolated same-protocol samples, r13 session of 2026-08-17 (batch
+#: canaries read ~1.1 at pin time, so streaming readings mildly below
+#: 1.0 on a quiet host are expected); re-pin ONLY when a canary key's
+#: code changes.
+_CANARY_STREAM_REF: dict[str, float] = {
+    "stream_stateful_count": 2.953,
+    "stream_foreachbatch_upsert": 1.608,
+}
+
 
 def run_canary(spark, queries, sf_dir) -> dict:
     import math
 
-    times: dict[str, float] = {}
-    for key, ref in _CANARY_REF.items():
-        if key not in queries:
-            continue
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(queries[key](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        times[key] = round(min(samples), 3)
-    ratios = [times[k] / _CANARY_REF[k] for k in times if _CANARY_REF[k] > 0]
-    factor = (
-        round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
-        if ratios
-        else None
-    )
+    def _measure(refs: dict[str, float]) -> tuple[dict, float | None]:
+        times: dict[str, float] = {}
+        for key in refs:
+            if key not in queries:
+                continue
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(queries[key](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            times[key] = round(min(samples), 3)
+        ratios = [times[k] / refs[k] for k in times if refs[k] > 0]
+        factor = (
+            round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+            if ratios
+            else None
+        )
+        return times, factor
+
+    times, factor = _measure(_CANARY_REF)
+    stimes, sfactor = _measure(_CANARY_STREAM_REF)
     return {
         "keys": times,
         "reference": _CANARY_REF,
         "reference_round": "r12",
         "drift_factor": factor,
+        "streaming_keys": stimes,
+        "streaming_reference": _CANARY_STREAM_REF,
+        "streaming_reference_round": "r13",
+        "drift_factor_streaming": sfactor,
     }
 
 
