@@ -3059,3 +3059,170 @@ def stream_dedup_cascade_ttl(spark: SparkSession, sf: str) -> DataFrame:
     return _run_dedup_cascade(
         spark, sf, "dedup_cascade_ttl_state", ttl=_DC_TTL
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming decontamination: the ingestion loop's benchmark gate
+# --------------------------------------------------------------------------
+
+#: the streaming gate replayed in pure SQL: batch = contiguous doc_id
+#: chunk (the _doc_replay_dir slicing rule), the benchmark gram set is
+#: STATIC (all doc_id % 97 == 0 docs' distinct 8-grams — the
+#: pipeline_decontaminate rule), and a non-member arrival is
+#: contaminated iff it shares ANY 8-gram with that set.
+_SDX_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM d
+    ),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(t) - 7),
+               i -> ARRAY_TO_STRING(t[i:i+7], ' ')))) AS s
+      FROM toks WHERE LEN(t) >= 8
+    ),
+    eval_grams AS (
+      SELECT DISTINCT s FROM grams WHERE doc_id % 97 = 0
+    ),
+    contam AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN eval_grams e USING (s)
+      WHERE g.doc_id % 97 != 0
+    )
+    SELECT db.batch_id,
+           COUNT(*) AS arrived,
+           COUNT(*) FILTER (WHERE db.doc_id % 97 = 0) AS eval_members,
+           COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL) AS contaminated,
+           COUNT(*) FILTER (WHERE db.doc_id % 97 != 0 AND c.doc_id IS NULL)
+             AS kept
+    FROM db LEFT JOIN contam c ON c.doc_id = db.doc_id
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _sdx_oracle_sql() -> str:
+    return _SDX_SQL.format(files=_DC_FILES)
+
+
+@register("stream_decontaminate", sql=_sdx_oracle_sql)
+def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of pipeline_decontaminate — the benchmark gate of
+    the ingestion loop (late r13; alongside the dedup cascades, the
+    other filter a 100 TB continuous-ingest pipeline must apply BEFORE
+    a document reaches the training store): documents arrive as
+    micro-batches and each batch is screened against the STATIC
+    benchmark 8-gram claim set; output = the per-batch funnel
+    (batch_id, arrived, eval_members, contaminated, kept).
+
+    Plan shape per batch — the stream-static broadcast join pattern:
+      * the benchmark gram set is built ONCE before the stream starts
+        (benchmarks are small by construction — the eval side's
+        distinct 8-grams materialize to a scratch relation the way a
+        production gate would pin a benchmark snapshot) and enters
+        every batch as a BROADCAST hash join: the arriving batch never
+        shuffles, and state is benchmark-sized, not corpus-sized;
+      * per batch: tokenize → distinct 8-grams (the
+        pipeline_decontaminate expressions verbatim) → broadcast join →
+        distinct hit doc_ids → ONE labeled aggregate for the funnel
+        row. No persisted state, no ledger — the gate is stateless per
+        document, which is exactly why it belongs in the ingest path
+        (a contaminated doc is dropped before it costs storage or
+        dedup work downstream).
+
+    FULLY VALUE-ORACLED (_SDX_SQL): stateless semantics + the
+    deterministic replay slicing make the whole funnel a flat SQL
+    fold; the gram rule and the doc_id % 97 benchmark stand-in are
+    pipeline_decontaminate's, so batch and streaming gates provably
+    agree."""
+    from engine.session import tune
+
+    tune(spark)
+    path = _doc_replay_dir(spark, sf)
+    tag = os.path.basename(sf.rstrip("/"))
+
+    def _grams(docs: DataFrame) -> DataFrame:
+        d = docs.select("doc_id", F.split("text", " ").alias("t"))
+        return d.filter(F.size("t") >= 8).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 8),
+                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+                    )
+                )
+            ).alias("s"),
+        )
+
+    # the pinned benchmark snapshot: distinct eval grams, materialized
+    # once (a production gate reads the benchmark store, not the stream)
+    ev_path = scratch_dir(f"decontam_gate/{tag}") + "/eval_grams"
+    _grams(
+        T(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+    ).select("s").distinct().write.mode("overwrite").parquet(ev_path)
+
+    funnel: list[tuple] = []
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        k = len(funnel)
+        ev = F.broadcast(sp.read.parquet(ev_path))
+        hits = (
+            _grams(batch_df.filter(F.col("doc_id") % 97 != 0))
+            .join(ev, "s")
+            .select("doc_id")
+            .distinct()
+            .withColumn("c", F.lit(True))
+        )
+        row = (
+            batch_df.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .agg(
+                F.count(F.lit(1)).alias("arrived"),
+                F.count(
+                    F.when(F.col("doc_id") % 97 == 0, 1)
+                ).alias("eval_members"),
+                F.count("c").alias("contaminated"),
+                F.count(
+                    F.when(
+                        (F.col("doc_id") % 97 != 0) & F.col("c").isNull(), 1
+                    )
+                ).alias("kept"),
+            )
+            .first()
+        )
+        funnel.append(
+            (k, row["arrived"], row["eval_members"], row["contaminated"],
+             row["kept"])
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        funnel,
+        "batch_id int, arrived long, eval_members long, contaminated long,"
+        " kept long",
+    ).orderBy("batch_id")

@@ -939,6 +939,26 @@ def test_ann_reindex_moves_rows_and_carries_clean_cells(spark):
     assert n(dst2, ct) == n(src2, ct) + len(pair) * SIM._PQ_S
 
 
+def test_stream_decontaminate_agrees_with_batch_gate(spark):
+    """The streaming benchmark gate (late r13) must (a) balance —
+    every arrival is exactly one of eval_member / contaminated / kept —
+    and (b) agree with its batch twin: total contaminated docs equals
+    pipeline_decontaminate's removal-list size, at an SF whose fixture
+    actually fires the gate (sf0.001 carries 2 cross-doc 8-gram
+    collisions; the sf0.01 fixture has none, which the oracle's zero
+    columns pin there)."""
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["stream_decontaminate"](spark, sf).collect()
+    assert rows, "funnel must emit one row per replay batch"
+    for r in rows:
+        assert (
+            r["arrived"]
+            == r["eval_members"] + r["contaminated"] + r["kept"]
+        ), r
+    removal = QUERIES["pipeline_decontaminate"](spark, sf).collect()
+    assert sum(r["contaminated"] for r in rows) == len(removal) > 0
+
+
 def test_generation_publish_memo_and_crash_recovery(spark):
     """The r13 generation-memo contract (reencode_cells /
     _generation_fresh): (a) a second derivation with the same inputs is
