@@ -60,11 +60,12 @@ _MODULES = (
 #: checks a fixed-size PREFIX (exactly 50 keys every delivered round) of
 #: the enumeration order. ROUND-13 ROTATION (r12 delivered 50/50 green;
 #: staleness-first continues per VERDICT r12 task 2):
-#: (a) positions 1-11 — changed-code-first (the standing rule; the
-#:     late-r13 pipeline_ann_reassign, pipeline_ann_reindex, and
-#:     stream_decontaminate joined at positions 3-5, each moving the
-#:     alphabetically-last in-window r5 key — text_readability,
-#:     text_ngram_novelty, then text_keyword_rake — past the cutoff):
+#: (a) positions 1-12 — changed-code-first (the standing rule; the
+#:     late-r13 pipeline_ann_reassign, pipeline_ann_reindex,
+#:     stream_decontaminate, and stream_ingest_e2e joined at positions
+#:     3-6, each moving the alphabetically-last in-window r5 key —
+#:     text_readability, text_ngram_novelty, text_keyword_rake, then
+#:     sim_simhash_radius — past the cutoff):
 #:     pipeline_ann_retrain_apply (BRAND-NEW r13 — the ACT step:
 #:     integer-mean re-fit of drift-flagged cells, atomic artifact
 #:     generations, only flagged cells rewritten),
@@ -79,14 +80,14 @@ _MODULES = (
 #:     after the measured capture-ceiling curve; codebook persisted with
 #:     the artifact; atomic versioned artifact root),
 #:     sim_cosine_topk_pq (encode-helper refactor donor).
-#: (b) position 12 — win_sessionize_gap, the sole remaining r3-green
+#: (b) position 13 — win_sessionize_gap, the sole remaining r3-green
 #:     key (displaced from the r12 window; VERDICT r12 task 2 orders it
 #:     to lead the stale cohort).
-#: (c) positions 13-50 — the r5-stale cohort (recomputed from the
+#: (c) positions 14-50 — the r5-stale cohort (recomputed from the
 #:     CORRECTNESS_r01-r12 union: the 50 keys whose last external green
-#:     is round 5), alphabetical; 38 of 50 fit, the 12 displaced
-#:     (text_keyword_rake, text_ngram_novelty .. win_skyline_pareto_2d)
-#:     sit at positions 51-62 and rotate next round. A fully-green r13
+#:     is round 5), alphabetical; 37 of 50 fit, the 13 displaced
+#:     (sim_simhash_radius, text_keyword_rake .. win_skyline_pareto_2d)
+#:     sit at positions 51-63 and rotate next round. A fully-green r13
 #:     leaves zero keys older than r5 and drops the median last-green
 #:     age.
 #: FAIL-first stays the standing rule if any row comes back red.
@@ -95,12 +96,13 @@ _MODULES = (
 #: registration order behind the prefix (guarded by
 #: tests/test_oracle.py every pytest run).
 _PRIORITY = (
-    # -- (a) changed-code-first (r13): 5 brand-new + 6 touched keys
+    # -- (a) changed-code-first (r13): 6 brand-new + 6 touched keys
     "pipeline_ann_retrain_apply",
     "stream_ann_ingest_ttl",
     "pipeline_ann_reassign",
     "pipeline_ann_reindex",
     "stream_decontaminate",
+    "stream_ingest_e2e",
     "stream_dedup_cascade_ttl",
     "stream_dedup_cascade",
     "stream_ann_ingest",
@@ -109,7 +111,7 @@ _PRIORITY = (
     "sim_cosine_topk_pq",
     # -- (b) the last r3-green key leads the stale cohort
     "win_sessionize_gap",
-    # -- (c) the r5-stale cohort, alphabetical (38 of 50 fit)
+    # -- (c) the r5-stale cohort, alphabetical (37 of 50 fit)
     "agg_approx_quantiles",
     "agg_bitmap_distinct",
     "agg_bloom_filter_report",
@@ -147,9 +149,9 @@ _PRIORITY = (
     "scan_profile_columns",
     "sim_centroid_drift",
     "sim_mmr_rerank",
-    "sim_simhash_radius",
     # ---- window cutoff (50) ----
-    # the 12 displaced r5-cohort keys rotate first next round:
+    # the 13 displaced r5-cohort keys rotate first next round:
+    "sim_simhash_radius",
     "text_keyword_rake",
     "text_ngram_novelty",
     "text_readability",

@@ -1330,7 +1330,11 @@ def _clear_epoch_leftovers(roots: list[str], epoch_id: int) -> None:
 
 
 def _run_dedup_cascade(
-    spark: SparkSession, sf: str, state_name: str, ttl: int | None
+    spark: SparkSession,
+    sf: str,
+    state_name: str,
+    ttl: int | None,
+    prefilter=None,
 ) -> DataFrame:
     """The ONE batch body behind stream_dedup_cascade (ttl=None,
     unbounded set-semantics ledgers) and stream_dedup_cascade_ttl
@@ -1351,7 +1355,15 @@ def _run_dedup_cascade(
     epoch on restart-after-failure) is either (a) marked → full no-op,
     or (b) unmarked → its partial epoch-keyed dirs are deleted and the
     batch redone from clean. Funnel rows and ledger bytes are identical
-    under duplicate delivery (pinned by test at 3 SFs)."""
+    under duplicate delivery (pinned by test at 3 SFs).
+
+    ``prefilter`` (late r13 — the fused ingest pipeline): an optional
+    per-batch gate, called as prefilter(batch_df, k) AFTER the epoch
+    no-op/empty checks and BEFORE any hashing; rows it removes never
+    touch the ledgers (the state-size win fusion exists for). A batch
+    the gate empties still flows through — zero funnel row, epoch
+    committed — so idempotency is unchanged (_sql_in treats empty key
+    sets as match-nothing)."""
     import pathlib
     import shutil
 
@@ -1387,6 +1399,8 @@ def _run_dedup_cascade(
         _clear_epoch_leftovers([hroot, broot], epoch_id)
         if batch_df.isEmpty():  # defensive: empty trigger, no funnel row
             return
+        if prefilter is not None:
+            batch_df = prefilter(batch_df, k)
         # COALESCE before hashing: md5(NULL) is NULL, and a NULL hh
         # never equi-matches the ledger — NULL-text docs hash as ''
         # so they dedupe as ONE group on both engines (review r10).
@@ -3115,6 +3129,37 @@ def _sdx_oracle_sql() -> str:
     return _SDX_SQL.format(files=_DC_FILES)
 
 
+def _doc_8grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): each document's DISTINCT whitespace-token 8-grams —
+    the pipeline_decontaminate expressions verbatim, shared by the
+    streaming gate and the fused ingest pipeline."""
+    d = docs.select("doc_id", F.split("text", " ").alias("t"))
+    return d.filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 8),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+                )
+            )
+        ).alias("s"),
+    )
+
+
+def _eval_grams_snapshot(spark: SparkSession, sf: str) -> str:
+    """Materialize the pinned benchmark claim set — the distinct
+    8-grams of the eval docs (doc_id % 97 == 0) — once per run
+    (benchmark-sized by construction; a production gate reads the
+    benchmark store, not the stream). Returns the parquet path."""
+    tag = os.path.basename(sf.rstrip("/"))
+    ev_path = scratch_dir(f"decontam_gate/{tag}") + "/eval_grams"
+    _doc_8grams(
+        T(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+    ).select("s").distinct().write.mode("overwrite").parquet(ev_path)
+    return ev_path
+
+
 @register("stream_decontaminate", sql=_sdx_oracle_sql)
 def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming twin of pipeline_decontaminate — the benchmark gate of
@@ -3149,28 +3194,7 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
     tune(spark)
     path = _doc_replay_dir(spark, sf)
-    tag = os.path.basename(sf.rstrip("/"))
-
-    def _grams(docs: DataFrame) -> DataFrame:
-        d = docs.select("doc_id", F.split("text", " ").alias("t"))
-        return d.filter(F.size("t") >= 8).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - 8),
-                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
-                    )
-                )
-            ).alias("s"),
-        )
-
-    # the pinned benchmark snapshot: distinct eval grams, materialized
-    # once (a production gate reads the benchmark store, not the stream)
-    ev_path = scratch_dir(f"decontam_gate/{tag}") + "/eval_grams"
-    _grams(
-        T(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
-    ).select("s").distinct().write.mode("overwrite").parquet(ev_path)
+    ev_path = _eval_grams_snapshot(spark, sf)
 
     funnel: list[tuple] = []
 
@@ -3179,7 +3203,7 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         k = len(funnel)
         ev = F.broadcast(sp.read.parquet(ev_path))
         hits = (
-            _grams(batch_df.filter(F.col("doc_id") % 97 != 0))
+            _doc_8grams(batch_df.filter(F.col("doc_id") % 97 != 0))
             .join(ev, "s")
             .select("doc_id")
             .distinct()
@@ -3226,3 +3250,188 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "batch_id int, arrived long, eval_members long, contaminated long,"
         " kept long",
     ).orderBy("batch_id")
+
+
+#: the fused ingest pipeline replayed in pure SQL: the gate CTEs
+#: (_SDX_SQL's gram/contamination logic) compose with the cascade CTEs
+#: (_DC_SQL's exact/near machinery) by ONE change — the cascade's `h`
+#: relation excludes gated docs — exactly mirroring the Spark-side
+#: fusion where the prefilter runs before any hashing.
+_SIE_SQL = """
+    WITH d AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, text,
+             CAST(r // CAST(CEIL(n / {files}.0) AS BIGINT) AS INT) AS batch_id
+      FROM d
+    ),
+    toks0 AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(t) - 7),
+               i -> ARRAY_TO_STRING(t[i:i+7], ' ')))) AS s
+      FROM toks0 WHERE LEN(t) >= 8
+    ),
+    eval_grams AS (
+      SELECT DISTINCT s FROM grams WHERE doc_id % 97 = 0
+    ),
+    contam AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN eval_grams e USING (s)
+      WHERE g.doc_id % 97 != 0
+    ),
+    h AS (
+      SELECT doc_id, batch_id, text,
+             ('0x' || SUBSTR(MD5(COALESCE(text, '')), 1, 15))::BIGINT AS hh
+      FROM db
+      WHERE doc_id % 97 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    ex AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+      FROM h
+    ),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM ex WHERE rn = 1
+    ),
+    shing AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 4),
+               i -> ARRAY_TO_STRING(t[i:i+4], ' '))) AS sh
+      FROM toks WHERE LEN(t) >= 5
+    ),
+    ds AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(sh,
+                    s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT
+                         % {p})) AS x
+           FROM shing WHERE LEN(sh) > 0),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(((2 * band + 1) * x + 12345 * band) % {p}) AS h
+      FROM ds CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band)
+      GROUP BY doc_id, band
+    ),
+    nd AS (
+      SELECT DISTINCT sb.doc_id
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.h = sb.h AND sa.doc_id < sb.doc_id
+    ),
+    verdict AS (
+      SELECT ex.batch_id,
+             CASE WHEN ex.rn > 1 THEN 'exact'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near'
+                  ELSE 'keep' END AS v
+      FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id AND ex.rn = 1
+    ),
+    arr AS (
+      SELECT db.batch_id,
+             COUNT(*) AS arrived,
+             COUNT(*) FILTER (WHERE db.doc_id % 97 = 0
+                                 OR c.doc_id IS NOT NULL) AS gated_out
+      FROM db LEFT JOIN contam c ON c.doc_id = db.doc_id
+      GROUP BY 1
+    ),
+    casc AS (
+      SELECT batch_id,
+             COUNT(*) FILTER (WHERE v = 'exact') AS exact_dups,
+             COUNT(*) FILTER (WHERE v = 'near') AS near_dups,
+             COUNT(*) FILTER (WHERE v = 'keep') AS stored
+      FROM verdict GROUP BY 1
+    )
+    SELECT arr.batch_id, arr.arrived, arr.gated_out,
+           COALESCE(casc.exact_dups, 0) AS exact_dups,
+           COALESCE(casc.near_dups, 0) AS near_dups,
+           COALESCE(casc.stored, 0) AS stored
+    FROM arr LEFT JOIN casc USING (batch_id)
+    ORDER BY 1
+"""
+
+
+def _sie_oracle_sql() -> str:
+    from engine.similarity import _MINHASH_P
+
+    return _SIE_SQL.format(files=_DC_FILES, p=_MINHASH_P)
+
+
+@register("stream_ingest_e2e", sql=_sie_oracle_sql)
+def stream_ingest_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The FUSED ingestion pipeline (late r13): decontamination gate +
+    dedup cascade composed inside ONE foreachBatch pass — the shape a
+    100 TB continuous-ingest pipeline actually runs, because ordering
+    the gate FIRST means contaminated and benchmark documents never
+    cost hashing, ledger appends, or dedup state: the gate is
+    stateless and benchmark-sized, the cascade's ledgers then track
+    only admissible documents (state-size win, not just a fused plan).
+    Output = the per-batch funnel (batch_id, arrived, gated_out,
+    exact_dups, near_dups, stored).
+
+    Composition mechanics: the benchmark 8-gram snapshot materializes
+    once (_eval_grams_snapshot — the stream_decontaminate relation)
+    and enters each batch as a broadcast anti-join BEFORE any hashing,
+    via the shared cascade core's ``prefilter`` hook
+    (:func:`_run_dedup_cascade` — the gate slots into the SAME
+    epoch-keyed idempotent batch body both dedup cascades run, so
+    compaction, dynamic IN pruning, and duplicate-epoch no-op
+    semantics are inherited unchanged). The fused funnel joins the
+    gate's per-batch removal counts with the cascade's funnel.
+
+    FULLY VALUE-ORACLED (_SIE_SQL): the gate CTEs and the cascade CTEs
+    compose with ONE change — the cascade's arrival relation excludes
+    gated docs — exactly mirroring the Spark-side fusion point."""
+    from engine.session import tune
+
+    tune(spark)
+    ev_path = _eval_grams_snapshot(spark, sf)
+    removed: list[tuple[int, int, int]] = []
+
+    def gate(batch_df: DataFrame, k: int) -> DataFrame:
+        sp = batch_df.sparkSession
+        ev = F.broadcast(sp.read.parquet(ev_path))
+        hits = (
+            _doc_8grams(batch_df.filter(F.col("doc_id") % 97 != 0))
+            .join(ev, "s")
+            .select("doc_id")
+            .distinct()
+        )
+        keep = (
+            batch_df.filter(F.col("doc_id") % 97 != 0)
+            .join(hits, "doc_id", "left_anti")
+            .localCheckpoint()  # the cascade body consumes it repeatedly
+        )
+        n_raw = batch_df.count()
+        removed.append((k, n_raw, n_raw - keep.count()))
+        return keep
+
+    fun = _run_dedup_cascade(
+        spark, sf, "ingest_e2e_state", ttl=None, prefilter=gate
+    )
+    z = F.lit(0).cast("long")
+    rem = spark.createDataFrame(
+        removed, "batch_id int, arrived long, gated_out long"
+    )
+    return (
+        rem.join(
+            fun.select(
+                "batch_id", "exact_dups", "near_dups",
+                F.col("survivors").alias("stored"),
+            ),
+            "batch_id",
+            "left",
+        )
+        .select(
+            "batch_id",
+            "arrived",
+            "gated_out",
+            F.coalesce("exact_dups", z).alias("exact_dups"),
+            F.coalesce("near_dups", z).alias("near_dups"),
+            F.coalesce("stored", z).alias("stored"),
+        )
+        .orderBy("batch_id")
+    )

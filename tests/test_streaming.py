@@ -959,6 +959,42 @@ def test_stream_decontaminate_agrees_with_batch_gate(spark):
     assert sum(r["contaminated"] for r in rows) == len(removal) > 0
 
 
+def test_stream_ingest_e2e_fuses_gate_and_cascade(spark):
+    """The fused ingest pipeline (late r13) must (a) balance per batch
+    — arrived = gated_out + exact_dups + near_dups + stored; (b) agree
+    with the standalone gate: arrived − gated_out equals
+    stream_decontaminate's kept column batch-for-batch (same slicing,
+    same gram rule — the fusion point changes WHERE the gate runs, not
+    what it removes), at an SF whose fixture fires the contamination
+    branch (sf0.001); and (c) differ from the UNGATED cascade only
+    through the gated docs — its stored count can never exceed the
+    ungated cascade's survivors."""
+    sf = "/root/testdata/sf0.001"
+    fused = QUERIES["stream_ingest_e2e"](spark, sf).collect()
+    assert fused
+    for r in fused:
+        assert (
+            r["arrived"]
+            == r["gated_out"] + r["exact_dups"] + r["near_dups"] + r["stored"]
+        ), r
+    gate = {
+        r["batch_id"]: r
+        for r in QUERIES["stream_decontaminate"](spark, sf).collect()
+    }
+    assert sum(r["gated_out"] for r in fused) > sum(
+        r["eval_members"] for r in gate.values()
+    ), "contamination branch must fire at sf0.001"
+    for r in fused:
+        g = gate[r["batch_id"]]
+        assert r["arrived"] - r["gated_out"] == g["kept"], (r, g)
+    ungated = {
+        r["batch_id"]: r
+        for r in QUERIES["stream_dedup_cascade"](spark, sf).collect()
+    }
+    for r in fused:
+        assert r["stored"] <= ungated[r["batch_id"]]["survivors"], r
+
+
 def test_generation_publish_memo_and_crash_recovery(spark):
     """The r13 generation-memo contract (reencode_cells /
     _generation_fresh): (a) a second derivation with the same inputs is
