@@ -1181,6 +1181,11 @@ def _state_tree_hashes(base: str) -> dict[str, str]:
         ("stream_dedup_cascade_ttl", "dedup_cascade_ttl_state"),
         ("stream_ann_ingest", "ann_ingest_store"),
         ("stream_ann_ingest_ttl", "ann_ingest_ttl_store"),
+        # the fused gate+cascade inherits the shared body's idempotency;
+        # the marker short-circuit must also keep the gate's removal
+        # bookkeeping single-entry (prefilter never reruns a committed
+        # epoch)
+        ("stream_ingest_e2e", "ingest_e2e_state"),
     ],
 )
 def test_duplicate_epoch_delivery_is_noop(spark, key, state_name):
