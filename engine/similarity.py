@@ -2611,8 +2611,8 @@ def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
     GENERATION MEMO (late r13 — the r12 fingerprint-addressing
     precedent): the root is data-fingerprint-addressed and its content
     is a pure function of (base artifact, cells), so a complete root
-    whose `_cells` marker matches the requested cell list IS the
-    artifact — a rerun (bench repeat, fresh process, the reindex step
+    whose `_cells` marker matches the requested cell list AND the base
+    generation's tree token IS the artifact — a rerun (bench repeat, fresh process, the reindex step
     calling through) reads instead of re-encoding. The marker is
     written inside the temp root, atomic with the publish."""
     import json
@@ -2625,7 +2625,9 @@ def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
     materialize_pq_codes(spark, sf)  # ensure the base generation
     src = _pq_artifact_root(sf)
     dst = src + "_g1"
-    marker = json.dumps(sorted(int(c) for c in cells))
+    marker = json.dumps(
+        {"cells": sorted(int(c) for c in cells), "src": _tree_token(src)}
+    )
     if _generation_fresh(dst, "_cells", marker):
         return dst
     tmp = f"{dst}.tmp.{os.getpid()}"
@@ -2663,6 +2665,25 @@ def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
     shutil.rmtree(dst, ignore_errors=True)
     os.rename(tmp, dst)  # the atomic publish
     return dst
+
+
+def _tree_token(root: str) -> str:
+    """Cheap content-identity token of an artifact root: sha1 over the
+    sorted (relative path, size) listing. Parquet rebuilds of the SAME
+    relation change file names (job UUIDs) and layout, so a derived
+    generation whose memo carries its source's tree token rebuilds —
+    instead of serving byte-stale copies — whenever the source was
+    physically rewritten (the byte-carry contract the physical-pin
+    tests assert)."""
+    import hashlib
+    import pathlib
+
+    h = hashlib.sha1()
+    base = pathlib.Path(root)
+    for f in sorted(base.rglob("*")):
+        if f.is_file():
+            h.update(f"{f.relative_to(base)}:{f.stat().st_size}\n".encode())
+    return h.hexdigest()
 
 
 def _generation_fresh(root: str, marker_name: str, marker: str) -> bool:
@@ -2714,8 +2735,10 @@ def reindex_cells(
     order-free digest of the mover relation (commutative
     bit_xor(xxhash64) + count — ONE aggregate over the churn-bounded,
     already-checkpointed movers; XOR cannot overflow under ANSI
-    arithmetic) plus the source root, so a rerun reads the published
-    generation instead of rebuilding it."""
+    arithmetic) plus the SOURCE GENERATION'S TREE TOKEN — a physical
+    rebuild of g1 (same relation, new file layout) therefore rebuilds
+    g2 too, preserving the byte-carry contract — so a rerun reads the
+    published generation instead of rebuilding it."""
     import json
     import os
     import pathlib
@@ -2732,7 +2755,7 @@ def reindex_cells(
         F.count(F.lit(1)).alias("n"),
     ).first()
     marker = json.dumps(
-        {"src": os.path.basename(src), "xor": dig["s"], "n": dig["n"]}
+        {"src": _tree_token(src), "xor": dig["s"], "n": dig["n"]}
     )
     if _generation_fresh(dst, "_moved", marker):
         return src, dst
