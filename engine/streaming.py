@@ -45,6 +45,18 @@ from engine.canon import dround
 from engine.registry import register
 from engine.session import EVENTS_US_SQL, T, scratch_dir
 
+
+def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-local rows (streaming funnels: one row per micro-batch)
+    as a ONE-partition DataFrame. ``spark.createDataFrame(list)`` slices
+    the list across defaultParallelism (32 local) partitions, so the
+    funnel's final sort+materialize paid ~64 task launches for a
+    handful of rows (~1.5 s/key measured, guide §1 timeline); one
+    partition is one task. Column values and types are unchanged."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
 # --------------------------------------------------------------------------
 # Batch-window forms (SQL-oracled)
 # --------------------------------------------------------------------------
@@ -1387,6 +1399,16 @@ def _run_dedup_cascade(
 
     bands_of = _dc_bands_of()
 
+    # explicit ledger read schemas (guide §6): without a user schema
+    # every per-batch `read.parquet(root)` runs a one-task footer-
+    # inference JOB before the real scan — 2 extra sequential jobs per
+    # batch, pure driver latency. The schemas are fixed by the append
+    # code below; partition columns (pb/pbb, epoch) are declared too so
+    # discovery only parses dir names.
+    ttl_extra = ", batch_id int" if ttl is not None else ""
+    h_schema = f"hh long{ttl_extra}, pb int, epoch int"
+    b_schema = f"band int, h long{ttl_extra}, pbb int, epoch int"
+
     def cascade(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
         k = len(funnel)
@@ -1442,7 +1464,7 @@ def _run_dedup_cascade(
                 .limit(_DC_DYNFILTER_CAP + 1)
                 .collect()
             )
-            prev_h = sp.read.parquet(hroot)
+            prev_h = sp.read.schema(h_schema).parquet(hroot)
             if live is not None:
                 prev_h = prev_h.filter(live)
             if len(keys) <= _DC_DYNFILTER_CAP:
@@ -1480,8 +1502,16 @@ def _run_dedup_cascade(
         surv_e = lab.filter(
             (F.col("rn") == 1) & F.col("seen").isNull()
         ).select("doc_id", "text", "hh", "pb")
+        # repartition BEFORE the MinHash signature expression (guide
+        # §2.5 input skew / §4 per-task work): lab is AQE-coalesced to
+        # 1-2 partitions, so without this the shingle+hash pipeline —
+        # the batch's single most expensive expression — ran in ONE
+        # task (~1 s/batch measured, 4-5× the rest of the batch's
+        # stages combined). The shuffle moves only the survivors' (id,
+        # text) once; signature results are set-semantics downstream,
+        # so row placement cannot affect any output.
         bands_b = (
-            bands_of(surv_e)
+            bands_of(surv_e.select("doc_id", "text").repartition(parts))
             .withColumn("pbb", F.pmod("h", bcol).cast("int"))
             .localCheckpoint()  # consumed 4×: self-join ×2, semi, append
         )
@@ -1507,7 +1537,7 @@ def _run_dedup_cascade(
                 .limit(_DC_DYNFILTER_CAP + 1)
                 .collect()
             )
-            prev_b = sp.read.parquet(broot)
+            prev_b = sp.read.schema(b_schema).parquet(broot)
             if live is not None:
                 prev_b = prev_b.filter(live)
             if len(bkeys) <= _DC_DYNFILTER_CAP:
@@ -1534,23 +1564,15 @@ def _run_dedup_cascade(
         # ONE funnel action: near_ids ⊆ exact-survivors and exact-drops
         # have rn>1 or seen, so the three labels are disjoint and
         # survivors fall out by difference
-        row = (
-            lab.join(
-                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("arrived"),
-                F.count(
-                    F.when(
-                        (F.col("rn") > 1) | F.col("seen").isNotNull(), 1
-                    )
-                ).alias("ex"),
-                F.count("isnear").alias("nr"),
-            )
-            .first()
+        funnel_df = lab.join(
+            near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
+        ).agg(
+            F.count(F.lit(1)).alias("arrived"),
+            F.count(
+                F.when((F.col("rn") > 1) | F.col("seen").isNotNull(), 1)
+            ).alias("ex"),
+            F.count("isnear").alias("nr"),
         )
-        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
-        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
         # O(batch) appends into the partitions the rows hash to, keyed
         # by epoch subdir (idempotent redelivery — see docstring).
         # Unbounded mode: the batch's survivor hashes are new by
@@ -1578,21 +1600,47 @@ def _run_dedup_cascade(
                 .select("pb", "hh")
                 .withColumn("batch_id", F.lit(k))
             )
-        new_h.withColumn("epoch", ecol).repartition(
-            "pb"
-        ).sortWithinPartitions("pb", "hh").write.mode("append").partitionBy(
-            "pb", "epoch"
-        ).parquet(hroot)
         new_b = bands_b.select("pbb", "band", "h").distinct()
         if ttl is None and prev_b is not None:
             new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
         if ttl is not None:
             new_b = new_b.withColumn("batch_id", F.lit(k))
-        new_b.withColumn("epoch", ecol).repartition(
-            "pbb"
-        ).sortWithinPartitions("pbb", "band", "h").write.mode(
-            "append"
-        ).partitionBy("pbb", "epoch").parquet(broot)
+
+        # The three terminal actions of a batch — the funnel aggregate
+        # and the two ledger appends — are INDEPENDENT of each other
+        # (all three consume the checkpointed lab/bands_b), so they run
+        # overlapped from a small thread pool (guide §2.6): the next
+        # job's tasks back-fill the tail of the previous one instead of
+        # paying three sequential job latencies. The epoch marker is
+        # written only after ALL THREE complete, so the idempotent
+        # redelivery contract is unchanged — a failure in any of them
+        # leaves the epoch unmarked and the redo path cleans the
+        # epoch-keyed dirs.
+        def _w_h() -> None:
+            new_h.withColumn("epoch", ecol).repartition(
+                "pb"
+            ).sortWithinPartitions("pb", "hh").write.mode(
+                "append"
+            ).partitionBy("pb", "epoch").parquet(hroot)
+
+        def _w_b() -> None:
+            new_b.withColumn("epoch", ecol).repartition(
+                "pbb"
+            ).sortWithinPartitions("pbb", "band", "h").write.mode(
+                "append"
+            ).partitionBy("pbb", "epoch").parquet(broot)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_row = pool.submit(funnel_df.first)
+            f_h = pool.submit(_w_h)
+            f_b = pool.submit(_w_b)
+            row = f_row.result()
+            f_h.result()
+            f_b.result()
+        arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
+        funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
         # COMMIT the epoch: appends are in; a re-delivery from here on
         # is a no-op. Compaction runs after the commit — a folded epoch
         # can therefore never be re-delivered into a double-append, and
@@ -1633,8 +1681,32 @@ def _run_dedup_cascade(
                 }
             )
 
+    # Scale-adaptive batch shuffle parallelism (guide §2.2/§2.5): the
+    # cascade's per-batch shuffles are sized from the BATCH row count
+    # (corpus rows / slice count, from parquet footers — no Spark job),
+    # targeting ~2k rows per task, floored at 4 and capped at the old
+    # fixed 16. At contract SFs a batch is a few thousand rows and 16
+    # fixed partitions were pure task/commit overhead (AQE coalesces
+    # post-shuffle reads but the task launch + committer cost of the
+    # partitioned appends is per-task); at cluster scale the setting
+    # comes from submit conf exactly as before. Results are partition-
+    # count-independent (funnel aggregates; one file per touched pb dir
+    # per epoch either way, since each pb value hashes to one task).
+    from engine.session import table_rows
+
+    nrows = table_rows(sf, "documents") or 0
+    per_batch = -(-nrows // _DC_FILES) if nrows else 4096
+    parts = max(4, min(16, per_batch // 2048))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # executeTake escalation kill (guide §1/§7: many tiny sequential
+    # jobs): the capped key collects (`distinct().limit(cap+1).collect()`)
+    # and `.first()` otherwise run 1-partition-then-escalate job chains —
+    # 2-3 driver-latency-bound jobs per action. Scanning all partitions
+    # of these SMALL post-AQE relations in ONE job is strictly cheaper
+    # here; restored after the run.
+    prev_take = spark.conf.get("spark.sql.limit.initialNumPartitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1024")
     cb = cascade if _DC_BATCH_WRAPPER is None else _DC_BATCH_WRAPPER(cascade)
     try:
         q = (
@@ -1648,7 +1720,9 @@ def _run_dedup_cascade(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
+        spark.conf.set("spark.sql.limit.initialNumPartitions", prev_take)
+    return _tiny_df(
+        spark,
         funnel,
         "batch_id int, arrived long, exact_dups long, near_dups long,"
         " survivors long",
@@ -1945,8 +2019,8 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.createDataFrame(
-        funnel, "batch_id int, cell int, n_assigned long, sdu long"
+    out = _tiny_df(
+        spark, funnel, "batch_id int, cell int, n_assigned long, sdu long"
     )
     return out.select(
         "batch_id",
@@ -2148,7 +2222,8 @@ def stream_ann_ingest_ttl(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.createDataFrame(
+    out = _tiny_df(
+        spark,
         funnel,
         "batch_id int, cell int, n_assigned long, sdu long, live_rows long",
     )
@@ -3195,16 +3270,18 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     tune(spark)
     path = _doc_replay_dir(spark, sf)
     ev_path = _eval_grams_snapshot(spark, sf)
+    # ONE read of the pinned snapshot shared by every batch (the
+    # per-batch read.parquet re-ran footer inference as a job per
+    # trigger); explicit schema skips the footer job entirely.
+    ev_grams = spark.read.schema("s string").parquet(ev_path)
 
     funnel: list[tuple] = []
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
         k = len(funnel)
-        ev = F.broadcast(sp.read.parquet(ev_path))
         hits = (
             _doc_8grams(batch_df.filter(F.col("doc_id") % 97 != 0))
-            .join(ev, "s")
+            .join(F.broadcast(ev_grams), "s")
             .select("doc_id")
             .distinct()
             .withColumn("c", F.lit(True))
@@ -3231,8 +3308,17 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
              row["kept"])
         )
 
+    # same scale-adaptive batch parallelism derivation as the cascade
+    # core (rows/batch ÷ 2k target, clamped [4, 16]) — a stateless gate
+    # batch at contract SFs is a few thousand rows and fixed 16
+    # partitions were task-launch overhead
+    from engine.session import table_rows
+
+    nrows = table_rows(sf, "documents") or 0
+    per_batch = -(-nrows // _DC_FILES) if nrows else 4096
+    parts = max(4, min(16, per_batch // 2048))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         q = (
             spark.readStream.schema("doc_id long, text string")
@@ -3245,7 +3331,8 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         funnel,
         "batch_id int, arrived long, eval_members long, contaminated long,"
         " kept long",
@@ -3389,14 +3476,17 @@ def stream_ingest_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
     tune(spark)
     ev_path = _eval_grams_snapshot(spark, sf)
-    removed: list[tuple[int, int, int]] = []
+    # ONE read of the pinned snapshot, shared by every batch (the
+    # per-batch `read.parquet` re-ran footer inference + listing as a
+    # job every trigger); same session, so the foreachBatch closure can
+    # reference it directly.
+    ev_grams = spark.read.schema("s string").parquet(ev_path)
+    removed: list[tuple[int, int]] = []
 
     def gate(batch_df: DataFrame, k: int) -> DataFrame:
-        sp = batch_df.sparkSession
-        ev = F.broadcast(sp.read.parquet(ev_path))
         hits = (
             _doc_8grams(batch_df.filter(F.col("doc_id") % 97 != 0))
-            .join(ev, "s")
+            .join(F.broadcast(ev_grams), "s")
             .select("doc_id")
             .distinct()
         )
@@ -3405,21 +3495,27 @@ def stream_ingest_e2e(spark: SparkSession, sf: str) -> DataFrame:
             .join(hits, "doc_id", "left_anti")
             .localCheckpoint()  # the cascade body consumes it repeatedly
         )
-        n_raw = batch_df.count()
-        removed.append((k, n_raw, n_raw - keep.count()))
+        # ONE gate action (was two: batch count + keep count): the
+        # cascade funnel's own `arrived` for this batch IS keep.count()
+        # (the prefiltered batch flows into the funnel aggregate, and a
+        # gate-emptied batch still appends a zero row), so gated_out is
+        # recovered as raw - funnel.arrived in the assembly below —
+        # identical values, one fewer job per batch.
+        removed.append((k, batch_df.count()))
         return keep
 
     fun = _run_dedup_cascade(
         spark, sf, "ingest_e2e_state", ttl=None, prefilter=gate
     )
     z = F.lit(0).cast("long")
-    rem = spark.createDataFrame(
-        removed, "batch_id int, arrived long, gated_out long"
-    )
+    rem = _tiny_df(spark, removed, "batch_id int, arrived long")
     return (
         rem.join(
             fun.select(
-                "batch_id", "exact_dups", "near_dups",
+                "batch_id",
+                F.col("arrived").alias("kept"),
+                "exact_dups",
+                "near_dups",
                 F.col("survivors").alias("stored"),
             ),
             "batch_id",
@@ -3428,7 +3524,7 @@ def stream_ingest_e2e(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "batch_id",
             "arrived",
-            "gated_out",
+            (F.col("arrived") - F.coalesce("kept", z)).alias("gated_out"),
             F.coalesce("exact_dups", z).alias("exact_dups"),
             F.coalesce("near_dups", z).alias("near_dups"),
             F.coalesce("stored", z).alias("stored"),
