@@ -1979,20 +1979,30 @@ def stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint()  # consumed twice: funnel agg + store append
         )
-        rows = (
-            assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
-            .collect()  # ≤ k-cells rows — observability-sized
-        )
+        # funnel aggregate and store append both consume the
+        # checkpointed `assigned` and are independent — overlapped
+        # (guide §2.6), same shape as the cascade's terminal actions.
+        # The append: one partitioned write per batch, never a rewrite
+        # of the existing cells; keyed by epoch subdir so a re-delivered
+        # failed epoch redoes from clean (_run_dedup_cascade contract)
+        def _append() -> None:
+            assigned.select("cell", "vec_id", "embedding").withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ).write.mode("append").partitionBy("cell", "epoch").parquet(store)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_rows = pool.submit(
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
+                .collect  # ≤ k-cells rows — observability-sized
+            )
+            f_append = pool.submit(_append)
+            rows = f_rows.result()
+            f_append.result()
         for r in rows:
             funnel.append((k, r["cell"], r["n"], r["sdu"]))
-        # the actual index growth: one partitioned append, never a
-        # rewrite of the existing cells; keyed by epoch subdir so a
-        # re-delivered failed epoch redoes from clean (the cascade's
-        # idempotency contract, _run_dedup_cascade)
-        assigned.select("cell", "vec_id", "embedding").withColumn(
-            "epoch", F.lit(int(epoch_id))
-        ).write.mode("append").partitionBy("cell", "epoch").parquet(store)
         # COMMIT the epoch before maintenance (see _run_dedup_cascade)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         open(marker, "w").close()
@@ -2174,23 +2184,40 @@ def stream_ann_ingest_ttl(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint()  # consumed twice: funnel agg + append
         )
-        arr = {
-            r["cell"]: (r["n"], r["sdu"])
-            for r in assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
-            .collect()  # ≤ k-cells rows — observability-sized
-        }
-        # append BEFORE the live read: the window [k-TTL, k] includes
-        # this batch's own arrivals; batch_id is a data column (the
-        # retention key), epoch the idempotency subdir
-        assigned.select("cell", "vec_id", "embedding").withColumn(
-            "batch_id", F.lit(k)
-        ).withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).partitionBy("cell", "epoch").parquet(store)
+        # funnel aggregate and store append both consume the
+        # checkpointed `assigned` and are independent — overlapped
+        # (guide §2.6); the live read below stays strictly AFTER the
+        # append (the window [k-TTL, k] includes this batch's own
+        # arrivals). batch_id is a data column (the retention key),
+        # epoch the idempotency subdir.
+        def _append() -> None:
+            assigned.select("cell", "vec_id", "embedding").withColumn(
+                "batch_id", F.lit(k)
+            ).withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).partitionBy("cell", "epoch").parquet(store)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_arr = pool.submit(
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("du").alias("sdu"))
+                .collect  # ≤ k-cells rows — observability-sized
+            )
+            f_append = pool.submit(_append)
+            arr = {r["cell"]: (r["n"], r["sdu"]) for r in f_arr.result()}
+            f_append.result()
         live = F.col("batch_id") >= F.lit(k - _AI_TTL)
+        # explicit schema (guide §6): skips the per-batch footer-
+        # inference job; only cell/batch_id are read (column pruning
+        # drops the vectors from the live count)
         lv = (
-            spark.read.parquet(store)
+            spark.read.schema(
+                "vec_id long, embedding array<double>, batch_id int,"
+                " cell int, epoch int"
+            )
+            .parquet(store)
             .filter(live)
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("lv"))
@@ -2369,7 +2396,14 @@ def _replay_funnel(
     emb = T(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    n = emb.count()
+    # footer-metadata row count (no Spark job) — emb is a straight
+    # projection of the table, so the counts are identical; the old
+    # `.count()` was one full-scan job per maintenance key
+    from engine.session import table_rows
+
+    n = table_rows(sf, "embeddings")
+    if n is None:
+        n = emb.count()
     chunk = max(1, -(-n // _AI_FILES))
     r = F.row_number().over(Window.orderBy("vec_id")) - 1
     funnel = (
@@ -2953,7 +2987,8 @@ def pipeline_ann_retrain_apply(spark: SparkSession, sf: str) -> DataFrame:
         # PHYSICAL ACT 1 — the retrained coarse quantizer, published
         # atomically (temp + rename): flagged centroids replaced,
         # unflagged carried over
-        old_m = spark.createDataFrame(
+        old_m = _tiny_df(
+            spark,
             [(i, list(mm)) for i, mm in enumerate(means)],
             "cell int, mean array<double>",
         )
@@ -2962,15 +2997,29 @@ def pipeline_ann_retrain_apply(spark: SparkSession, sf: str) -> DataFrame:
         )
         mpath = _retrained_means_path(sf)
         tmp = f"{mpath}.tmp.{os.getpid()}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import shutil
 
-        shutil.rmtree(mpath, ignore_errors=True)
-        os.rename(tmp, mpath)
-        # PHYSICAL ACT 2 — next IVF-PQ artifact generation: only the
-        # flagged cells' cmeans/codes rewritten, frozen codebook,
-        # unflagged cell files byte-identical (pinned by test)
-        reencode_cells(spark, sf, flagged)
+        # PHYSICAL ACT 1 (quantizer publish) and ACT 2 (codes
+        # generation rewrite) are independent — the reencode reads only
+        # the codes artifact + flagged cells, never mpath — so they run
+        # overlapped (guide §2.6); the rename publish stays strictly
+        # after the quantizer write commits.
+        def _publish_means() -> None:
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(mpath, ignore_errors=True)
+            os.rename(tmp, mpath)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_means = pool.submit(_publish_means)
+            # next IVF-PQ artifact generation: only the flagged cells'
+            # cmeans/codes rewritten, frozen codebook, unflagged cell
+            # files byte-identical (pinned by test)
+            f_codes = pool.submit(reencode_cells, spark, sf, flagged)
+            f_means.result()
+            f_codes.result()
         # post-retrain distances against the centroids READ BACK from
         # the published artifact (what downstream actually consumes)
         nm_back = (
