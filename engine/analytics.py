@@ -26,7 +26,7 @@ from pyspark.sql import Column
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T
+from engine.session import EVENTS_US_SQL, T, tiny_df
 
 
 def _exact_sum2(expr: Column, scale: int = 10_000) -> Column:
@@ -507,7 +507,8 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
     Spark (EqualNullSafe is a join key, not a residual), dim broadcast."""
     o = T(spark, sf, "orders")
     dim = F.broadcast(
-        spark.createDataFrame(
+        tiny_df(
+            spark,
             [("1-URGENT", "hot"), (None, "unknown"), ("5-LOW", "cold")],
             "prio string, bucket string",
         )
@@ -2922,7 +2923,8 @@ def scan_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # pass (noop sink = full materialization, nothing collected)
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(m["n_rows"], m["sum_qty"], m["max_price"], m["n_returns"])],
         "n_rows long, sum_qty double, max_price double, n_returns long",
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T, data_fingerprint, scratch_cache, scratch_dir
+from engine.session import T, data_fingerprint, scratch_cache, scratch_dir, tiny_df
 
 K = 10
 ETA = 20.0  # StackOverflow.scala `kmeansEta` [H]
@@ -181,8 +181,8 @@ def materialize_means(spark: SparkSession, sf: str) -> tuple[str, list[list[floa
     ):
         return path, _MEANS_CACHE[(sf, fp)][0]
     _assigned, means, _it = run_kmeans(spark, sf)
-    spark.createDataFrame(
-        [(i, m) for i, m in enumerate(means)], "cluster int, mean array<double>"
+    tiny_df(
+        spark, [(i, m) for i, m in enumerate(means)], "cluster int, mean array<double>"
     ).write.mode("overwrite").parquet(path)
     _MATERIALIZED.add(key)
     return path, means

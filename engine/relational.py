@@ -45,7 +45,7 @@ from engine.canon import (
     portable_try_int_sql,
 )
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, data_fingerprint, scratch_dir
+from engine.session import EVENTS_US_SQL, T, data_fingerprint, scratch_dir, tiny_df
 
 # --------------------------------------------------------------------------
 # Scans / sources / sinks
@@ -1701,8 +1701,8 @@ def join_broadcast_nl(spark: SparkSession, sf: str) -> DataFrame:
     band table broadcast (asserted in tests/test_plans.py) — the fact
     side streams through once."""
     bands = F.broadcast(
-        spark.createDataFrame(
-            [(0.0, 100.0), (100.0, 300.0), (300.0, 600.0)], "lo double, hi double"
+        tiny_df(
+            spark, [(0.0, 100.0), (100.0, 300.0), (300.0, 600.0)], "lo double, hi double"
         )
     )
     ev = T(spark, sf, "events")
@@ -2443,8 +2443,8 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
             "l_returnflag"
         ).parquet(out)
     if not os.path.exists(dim_path + "/_SUCCESS"):
-        spark.createDataFrame(
-            [("R", "keep"), ("A", "drop"), ("N", "drop")], "flag string, label string"
+        tiny_df(
+            spark, [("R", "keep"), ("A", "drop"), ("N", "drop")], "flag string, label string"
         ).write.mode("overwrite").parquet(dim_path)
     fact = spark.read.parquet(out)
     dim = F.broadcast(

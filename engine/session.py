@@ -247,6 +247,22 @@ def scratch_dir(subdir: str) -> str:
     return str(p)
 
 
+def tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-local rows (trajectories, merge tables, 1-row results) as
+    a ONE-partition DataFrame. ``spark.createDataFrame(list)`` slices
+    the list across defaultParallelism (32 local) partitions, so a
+    handful of rows pays ~32-64 task launches through the terminal
+    sort/materialize (~0.3 s/key measured, guide §1 timeline); one
+    partition is one task. Column values, types and row order are
+    unchanged (a 1-partition relation additionally makes the unordered
+    case deterministic). At cluster scale these relations are
+    observability-sized (K rows), so one partition is also the right
+    layout there — they broadcast into any join that touches them."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 #: caches created while BUILDING a query whose lifetime must extend past
 #: the function return (the returned DataFrame still references them) —
 #: drained by the registry right before the NEXT query is built, so a

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround, joined
 from engine.registry import register
-from engine.session import T, data_fingerprint, scratch_cache
+from engine.session import T, data_fingerprint, scratch_cache, tiny_df
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -877,7 +877,8 @@ def _ivf_probe(
         ]
 
     qrows = q.collect()  # 5 rows — the query set is driver-sized by definition
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
         "query_id long, cell int",
     )
@@ -1067,7 +1068,7 @@ def connected_components(
                 parent[hi] = lo
         out = [(n, find(n)) for n in parent]
         edges.unpersist()
-        return spark.createDataFrame(out, "node long, label long")
+        return tiny_df(spark, out, "node long, label long")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     target = max(2, min(int(prev_parts), n_edges // 20_000 + 2))
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
@@ -1383,7 +1384,8 @@ def sim_ann_partitioned_probe(spark: SparkSession, sf: str) -> DataFrame:
         return sorted(range(len(means)), key=lambda i: (dist(means[i]), i))[:3]
 
     qrows = q.collect()  # 5 rows — driver-sized by definition
-    probe = spark.createDataFrame(
+    probe = tiny_df(
+        spark,
         [(r["query_id"], c) for r in qrows for c in top_cells(r["qe"])],
         "query_id long, cell int",
     )

@@ -47,15 +47,12 @@ from engine.session import EVENTS_US_SQL, T, scratch_dir
 
 
 def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """Driver-local rows (streaming funnels: one row per micro-batch)
-    as a ONE-partition DataFrame. ``spark.createDataFrame(list)`` slices
-    the list across defaultParallelism (32 local) partitions, so the
-    funnel's final sort+materialize paid ~64 task launches for a
-    handful of rows (~1.5 s/key measured, guide §1 timeline); one
-    partition is one task. Column values and types are unchanged."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    """Shared one-partition driver-local relation builder — see
+    :func:`engine.session.tiny_df` (moved there in r13 so batch keys
+    share it; streaming funnels were the first measured case)."""
+    from engine.session import tiny_df
+
+    return tiny_df(spark, rows, schema)
 
 # --------------------------------------------------------------------------
 # Batch-window forms (SQL-oracled)
@@ -2750,9 +2747,7 @@ def pipeline_ann_reindex(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.expr(f"count(1) div {_PQ_S}").alias(name))
         )
 
-    spine = spark.createDataFrame(
-        [(c,) for c in range(len(means))], "cell int"
-    )
+    spine = _tiny_df(spark, [(c,) for c in range(len(means))], "cell int")
     ins = moved.groupBy(F.col("cell_to").alias("cell")).agg(
         F.count(F.lit(1)).alias("ins")
     )
@@ -3041,7 +3036,7 @@ def pipeline_ann_retrain_apply(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum("du2").alias("new_sdu"))
         )
     else:
-        newd = spark.createDataFrame([], "cell int, new_sdu long")
+        newd = _tiny_df(spark, [], "cell int, new_sdu long")
     return (
         cellstats.join(decs, "cell", "left")
         .join(newd, "cell", "left")

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround, floordiv_sql
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, load_events, scratch_cache
+from engine.session import EVENTS_US_SQL, T, load_events, scratch_cache, tiny_df
 
 # --------------------------------------------------------------------------
 # Cohort retention (events)
@@ -398,8 +398,8 @@ def _bfs_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
         }
         for v in frontier:
             hop_of[v] = hop
-    return spark.createDataFrame(
-        sorted(hop_of.items()), "user_id long, hop int"
+    return tiny_df(
+        spark, sorted(hop_of.items()), "user_id long, hop int"
     ).orderBy("user_id")
 
 
@@ -2832,8 +2832,8 @@ def sink_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
                     int(col.statistics.max),
                 )
             )
-    return spark.createDataFrame(
-        rows, "fname string, rg long, n_rows long, k_min long, k_max long"
+    return tiny_df(
+        spark, rows, "fname string, rg long, n_rows long, k_min long, k_max long"
     ).orderBy("fname", "rg")
 
 
@@ -3440,7 +3440,8 @@ def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
     recip = (
         math.floor(n_recip / n_edges * 1e6 + 0.5) / 1e6 if n_edges else None
     )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(n_edges, n_recip, recip)],
         "n_directed_edges long, n_reciprocated long, reciprocity double",
     )

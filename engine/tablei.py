@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T
+from engine.session import T, tiny_df
 
 # --------------------------------------------------------------------------
 # Count-min sketch frequency estimation (orders.o_custkey)
@@ -516,8 +516,8 @@ def graph_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
         traj = _kcore_driver(und)
     else:
         traj = _kcore_distributed(und)
-    return spark.createDataFrame(
-        traj, "round int, nodes_alive long, edges_alive long"
+    return tiny_df(
+        spark, traj, "round int, nodes_alive long, edges_alive long"
     ).orderBy("round")
 
 
@@ -540,8 +540,8 @@ def graph_kcore_distributed(spark: SparkSession, sf: str) -> DataFrame:
         ).distinct()
     )
     traj = _kcore_distributed(und)
-    return spark.createDataFrame(
-        traj, "round int, nodes_alive long, edges_alive long"
+    return tiny_df(
+        spark, traj, "round int, nodes_alive long, edges_alive long"
     ).orderBy("round")
 
 
@@ -1092,8 +1092,8 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
                     best = (score, n)
             picked.append(best[1])
             out.append((query, best[1], step, round6(best[0])))
-    return spark.createDataFrame(
-        out, "query_id long, neighbor_id long, rnk int, mmr_score double"
+    return tiny_df(
+        spark, out, "query_id long, neighbor_id long, rnk int, mmr_score double"
     ).orderBy("query_id", "rnk")
 
 # --------------------------------------------------------------------------

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, scratch_cache
+from engine.session import EVENTS_US_SQL, T, scratch_cache, tiny_df
 
 # --------------------------------------------------------------------------
 # Weighted sampling without replacement: priority sampling (top-k by w/u)
@@ -355,8 +355,8 @@ def _lp_labels_driver(spark: SparkSession, und: DataFrame) -> DataFrame:
     edge list — bounded by the counted precondition. Returns the
     per-node (v, label) relation."""
     label = _lp_py(und.collect())
-    return spark.createDataFrame(
-        sorted(label.items()) or [(0, 0)][:0], "v long, label long"
+    return tiny_df(
+        spark, sorted(label.items()) or [(0, 0)][:0], "v long, label long"
     )
 
 
@@ -523,7 +523,7 @@ def _bf_driver(spark: SparkSession, w: DataFrame) -> DataFrame:
                     nxt[v] = du + wt
         dist = nxt
     rows = sorted(dist.items())
-    return spark.createDataFrame(rows, "v long, dist long")
+    return tiny_df(spark, rows, "v long, dist long")
 
 
 def _bf_distributed(w: DataFrame) -> DataFrame:
@@ -875,7 +875,8 @@ def graph_modularity_lp(spark: SparkSession, sf: str) -> DataFrame:
         q = math.floor(q * 1e6 + 0.5) / 1e6 if q >= 0 else -(
             math.floor(-q * 1e6 + 0.5) / 1e6
         )
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [(len(d_c), two_m // 2, q)],
             "n_communities long, m_edges long, q_modularity double",
         )

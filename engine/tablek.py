@@ -119,7 +119,10 @@ def graph_hits_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     a1 = push(h0, True)
     h1 = push(a1, False)
-    a2 = push(h1, True)
+    # a2 feeds BOTH h2's push and the authority top-20 — cached, or the
+    # whole a1→h1→a2 join chain executes twice under the final union
+    # (plan audit r13: 42 Exchanges, zero ReusedExchange)
+    a2 = scratch_cache(push(h1, True))
     h2 = push(a2, False)
 
     def top(scores: DataFrame, role: str) -> DataFrame:

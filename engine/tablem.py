@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround, floordiv_sql
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T
+from engine.session import EVENTS_US_SQL, T, tiny_df
 
 # --------------------------------------------------------------------------
 # HDR-histogram (log-linear) quantile sketch — lineitem prices
@@ -178,9 +178,9 @@ def agg_hdr_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         for rank, side in ((r_lo, "lo"), (r_hi, "hi")):
             bb, off = locate(rank)
             locrows.append((q, frac, rank, side, bb, off))
-    est_df = spark.createDataFrame(qrows, "q double, est double")
-    located = spark.createDataFrame(
-        locrows, "q double, frac double, r long, side string, bucket long, off long"
+    est_df = tiny_df(spark, qrows, "q double, est double")
+    located = tiny_df(
+        spark, locrows, "q double, frac double, r long, side string, bucket long, off long"
     )
     cand = sorted({lr[4] for lr in locrows})
 

@@ -26,7 +26,7 @@ from pyspark.sql.datasource import (
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, load_events
+from engine.session import EVENTS_US_SQL, T, load_events, tiny_df
 
 # --------------------------------------------------------------------------
 # Custom Python DataSource (deterministic generator, partition-parallel)
@@ -311,15 +311,18 @@ _SP_SQL = """
 """
 
 
-def _avg_rank2(vals: DataFrame, col: str) -> DataFrame:
-    """(value, doubled-average-rank) relation for a column with ties:
-    r2(v) = 2·|{rows < v}| + cnt(v) + 1 — an exact INTEGER (average
-    ranks are half-integers, so everything rides doubled). The
-    cumulative count over ordered DISTINCT VALUES is computed with the
-    width_bucket offset-merge (value-range buckets, per-bucket windows,
-    bucket totals broadcast back) — never a single-reducer window: at
-    100 TB the distinct-value relation of a price column is itself
-    fact-scale."""
+def _avg_rank2(vals: DataFrame, col: str) -> tuple:
+    """((value, doubled-average-rank) relation, n_distinct) for a
+    column with ties: r2(v) = 2·|{rows < v}| + cnt(v) + 1 — an exact
+    INTEGER (average ranks are half-integers, so everything rides
+    doubled). The cumulative count over ordered DISTINCT VALUES is
+    computed with the width_bucket offset-merge (value-range buckets,
+    per-bucket windows, bucket totals broadcast back) — never a
+    single-reducer window: at 100 TB the distinct-value relation of a
+    price column is itself fact-scale. n_distinct falls out of the same
+    bucket-totals collect (one extra count per bucket row), so callers
+    don't pay a separate .count() action re-executing the rank plan
+    (guide §1: two jobs removed, measured r13)."""
     from pyspark.sql import Window
 
     from engine.session import scratch_cache
@@ -339,22 +342,26 @@ def _avg_rank2(vals: DataFrame, col: str) -> DataFrame:
         ),
     )
     totals = {
-        r["bucket"]: r["t"]
-        for r in bucketed.groupBy("bucket").agg(F.sum("cnt").alias("t")).collect()
+        r["bucket"]: (r["t"], r["nd"])
+        for r in bucketed.groupBy("bucket")
+        .agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("nd"))
+        .collect()
     }
+    n_distinct = sum(nd for _t, nd in totals.values())
     offsets, acc = {}, 0
     for b in sorted(totals):
         offsets[b] = acc
-        acc += totals[b]
+        acc += totals[b][0]
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("bucket").orderBy(col)
     cum_in_bucket = F.sum("cnt").over(w) - F.col("cnt")
-    return bucketed.select(
+    ranked = bucketed.select(
         col,
         (
             2 * (cum_in_bucket + off_map[F.col("bucket")]) + F.col("cnt") + 1
         ).alias("r2"),
     )
+    return ranked, n_distinct
 
 
 @register("agg_spearman_rank", sql=_SP_SQL)
@@ -375,12 +382,21 @@ def agg_spearman_rank(spark: SparkSession, sf: str) -> DataFrame:
     width_bucket offset-merge (never a single-reducer global window);
     rank join-back on quantity is broadcast-sized, on price it is an
     ordinary hash equi-join."""
-    c = T(spark, sf, "lineitem").select(
-        dround(F.col("l_quantity"), 0).cast("long").alias("x"),
-        dround(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    from engine.session import scratch_cache
+
+    # c feeds THREE consumers (x ranks, y ranks, the moment join) —
+    # cached so lineitem is scanned once, not three times (guide §1
+    # timeline: each rescan ran in the parquet scan's 3 tasks)
+    c = scratch_cache(
+        T(spark, sf, "lineitem").select(
+            dround(F.col("l_quantity"), 0).cast("long").alias("x"),
+            dround(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        )
     )
-    rx = _avg_rank2(c.select("x"), "x").withColumnRenamed("r2", "a")
-    ry = _avg_rank2(c.select("y"), "y").withColumnRenamed("r2", "b")
+    rx, ndx = _avg_rank2(c.select("x"), "x")
+    ry, ndy = _avg_rank2(c.select("y"), "y")
+    rx = rx.withColumnRenamed("r2", "a")
+    ry = ry.withColumnRenamed("r2", "b")
     j = c.join(F.broadcast(rx), "x").join(ry, "y")
     dec = "decimal(38,0)"
     s = j.agg(
@@ -391,8 +407,6 @@ def agg_spearman_rank(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.col("b") * F.col("b")).cast(dec)).alias("sbb"),
         F.sum((F.col("a") * F.col("b")).cast(dec)).alias("sab"),
     )
-    ndx = rx.count()
-    ndy = ry.count()
     n = F.col("n").cast(dec)
     rho = dround(
         (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
@@ -513,8 +527,13 @@ def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     traj = []
+    # n_before of round r+1 IS round r's surviving count — carried from
+    # the previous agg instead of a fresh full-pass count() (guide §1:
+    # don't recompute what the last action returned); the checkpoint is
+    # LAZY so the trajectory agg is the action that materializes it
+    # (one pass per round, not two — the k-core pattern)
+    n_before = edges.count()
     for rnd in range(1, _KT_ROUNDS + 1):
-        n_before = edges.count()
         e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
         e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -529,7 +548,7 @@ def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
             .select("u", "v")
         )
         edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(
-            eager=True
+            eager=False
         )
         after = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -538,7 +557,9 @@ def graph_ktruss_peel(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ck"),
         ).first()
         traj.append((rnd, n_before, after["n"], after["ck"]))
-    return spark.createDataFrame(
+        n_before = after["n"]
+    return tiny_df(
+        spark,
         traj,
         "round int, n_edges_before long, n_edges_after long, checksum_after long",
     ).orderBy("round")
@@ -1144,21 +1165,40 @@ def _select_kth(df: DataFrame, val_col: str, tie_cols: list, k_of_total):
     return row, total
 
 
-def _ranked(df: DataFrame, val_col: str, tie_cols: list, out: str) -> DataFrame:
+def _ranked(
+    df: DataFrame,
+    val_col: str,
+    tie_cols: list,
+    out: str,
+    bucket_of=None,
+    bounds=None,
+) -> DataFrame:
     """Global rank by (val_col, *tie_cols) via the width_bucket
-    offset-merge — the repo's standard no-single-reducer total order."""
+    offset-merge — the repo's standard no-single-reducer total order.
+
+    ``bucket_of``: optional MONOTONE bucket expression over val_col for
+    domains known a priori (the 60-bit hash: shiftright(hk, 55) gives
+    32 uniform buckets with no min/max probe job — guide §1, one fewer
+    pass; the global rank is invariant to bucket boundaries because any
+    monotone split keeps offset+within-bucket-rank equal to the global
+    rank, and equal keys always share a bucket).
+
+    ``bounds``: optional precomputed (lo, hi) when the caller already
+    probed them (rfm fuses its three columns' min/max into ONE
+    aggregate — three probe jobs become one)."""
     from pyspark.sql import Window
 
-    lo, hi = df.agg(F.min(val_col), F.max(val_col)).first()
-    b = df.withColumn(
-        "_bk",
-        F.width_bucket(
+    if bucket_of is None:
+        lo, hi = bounds if bounds is not None else df.agg(
+            F.min(val_col), F.max(val_col)
+        ).first()
+        bucket_of = F.width_bucket(
             F.col(val_col).cast("double"),
             F.lit(float(lo)),
             F.lit(float(hi) + 1.0),
             _TS_BUCKETS,
-        ),
-    )
+        )
+    b = df.withColumn("_bk", bucket_of)
     counts = {
         r["_bk"]: r["c"]
         for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -1191,12 +1231,20 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
     that slope, micro-quantized the same way. All three total orders
     (hash rank, slope median, residual median) ride the width_bucket
     offset-merge — no single-reducer window anywhere at 100 TB."""
-    from engine.session import hash60
-
-    from engine.session import scratch_cache
+    from engine.session import hash60, scratch_cache
 
     # each _ranked pass probes min/max + bucket counts before its window
-    # — cache the slim base relations or lineitem rescans per probe
+    # — cache the slim base relations or lineitem rescans per probe.
+    # MEASURED NEGATIVE RESULT (r13): repartitioning the slim projection
+    # before the md5 hash (the parallelize_scan recipe — the hash+cache
+    # build runs in the scan's 3 tasks, 1.6 s of the key's 6 s) CHANGES
+    # THE ANSWER: lineitem carries duplicate (l_orderkey, l_linenumber)
+    # rows with different x/y, so the declared (hk, okey, lineno) rank
+    # is total only up to those duplicates, and both engines agree on
+    # them only via preserved scan order. A keyless repartition reorders
+    # exact ties → different pairing → oracle mismatch (reproduced at
+    # sf0.01: n_pairs 29444 → 29457). The 3-task hash stage is the
+    # price of the declared pairing semantics; left alone.
     c = scratch_cache(
         T(spark, sf, "lineitem").select(
             dround(F.col("l_quantity"), 0).cast("long").alias("x"),
@@ -1213,7 +1261,15 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
         )
     )
-    rk = _ranked(c, "hk", ["l_orderkey", "l_linenumber"], "rn")
+    rk = _ranked(
+        c,
+        "hk",
+        ["l_orderkey", "l_linenumber"],
+        "rn",
+        # hk is uniform on [0, 2^60): fixed monotone bucketing, no
+        # min/max probe pass (see _ranked)
+        bucket_of=F.shiftright("hk", 55) + F.lit(1),
+    )
     pairs = (
         rk.select(
             ((F.col("rn") - 1) - ((F.col("rn") - 1) % 2)).alias("pair2"),
@@ -1256,7 +1312,8 @@ def agg_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     b, _ = _select_kth(resid, "rc", ["l_orderkey", "l_linenumber"], med)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(int(m), sm / 1e6, int(b["rc"]))],
         "n_pairs long, slope_cents_per_unit double, intercept_cents long",
     )
@@ -1638,8 +1695,13 @@ def graph_ktruss_banded(spark: SparkSession, sf: str) -> DataFrame:
     only the edge construction differs."""
     edges = _banded_cohort_edges(spark, sf).localCheckpoint(eager=True)
     traj = []
+    # n_before of round r+1 IS round r's surviving count — carried from
+    # the previous agg instead of a fresh full-pass count() (guide §1:
+    # don't recompute what the last action returned); the checkpoint is
+    # LAZY so the trajectory agg is the action that materializes it
+    # (one pass per round, not two — the k-core pattern)
+    n_before = edges.count()
     for rnd in range(1, _KT_ROUNDS + 1):
-        n_before = edges.count()
         e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
         e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -1654,7 +1716,7 @@ def graph_ktruss_banded(spark: SparkSession, sf: str) -> DataFrame:
             .select("u", "v")
         )
         edges = edges.join(sup, ["u", "v"], "left_semi").localCheckpoint(
-            eager=True
+            eager=False
         )
         after = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1663,7 +1725,9 @@ def graph_ktruss_banded(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ck"),
         ).first()
         traj.append((rnd, n_before, after["n"], after["ck"]))
-    return spark.createDataFrame(
+        n_before = after["n"]
+    return tiny_df(
+        spark,
         traj,
         "round int, n_edges_before long, n_edges_after long, checksum_after long",
     ).orderBy("round")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T, scratch_cache, scratch_dir
+from engine.session import T, scratch_cache, scratch_dir, tiny_df
 
 # --------------------------------------------------------------------------
 # Adamic-Adar link prediction (affinity graph, degree-weighted wedges)
@@ -622,16 +622,16 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
             raise ValueError(f"BPE corpus exhausted before round {r}")
         new_symbol = top["pr"].replace(" ", "")
         learned.append((r, top["pr"], top["cnt"], new_symbol))
-        merge = spark.createDataFrame(
-            [(top["pr"], new_symbol)], "mp STRING, ms STRING"
+        merge = tiny_df(
+            spark, [(top["pr"], new_symbol)], "mp STRING, ms STRING"
         )
         cur = scratch_cache(
             cur.crossJoin(F.broadcast(merge)).select(
                 F.expr("replace(s, mp, ms)").alias("s"), "freq"
             )
         )
-    return spark.createDataFrame(
-        learned, "rnk BIGINT, pair STRING, cnt BIGINT, new_symbol STRING"
+    return tiny_df(
+        spark, learned, "rnk BIGINT, pair STRING, cnt BIGINT, new_symbol STRING"
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import EVENTS_US_SQL, T, load_events, scratch_cache
+from engine.session import EVENTS_US_SQL, T, load_events, scratch_cache, tiny_df
 
 # --------------------------------------------------------------------------
 # Kaplan-Meier survival (time to first purchase, censored at 72 h)
@@ -493,14 +493,34 @@ def agg_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
             F.datediff("mx", "last_d").cast("long").alias("r"),
         )
     )
-    n = base.count()  # driver scalar: one long
-    rr = _ranked(base, "r", ["o_custkey"], "rr")
-    rf = _ranked(base.select("o_custkey", "f"), "f", ["o_custkey"], "rf").select(
-        "o_custkey", "rf"
-    )
-    rm = _ranked(base.select("o_custkey", "m"), "m", ["o_custkey"], "rm").select(
-        F.col("o_custkey").alias("ck2"), "rm"
-    )
+    # ONE aggregate supplies n plus all three rank domains' min/max —
+    # previously a count() action plus three per-_ranked probe actions
+    # over the same cached relation (guide §1: four jobs become one)
+    pr = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("r").alias("rlo"),
+        F.max("r").alias("rhi"),
+        F.min("f").alias("flo"),
+        F.max("f").alias("fhi"),
+        F.min("m").alias("mlo"),
+        F.max("m").alias("mhi"),
+    ).first()
+    n = pr["n"]
+    rr = _ranked(base, "r", ["o_custkey"], "rr", bounds=(pr["rlo"], pr["rhi"]))
+    rf = _ranked(
+        base.select("o_custkey", "f"),
+        "f",
+        ["o_custkey"],
+        "rf",
+        bounds=(pr["flo"], pr["fhi"]),
+    ).select("o_custkey", "rf")
+    rm = _ranked(
+        base.select("o_custkey", "m"),
+        "m",
+        ["o_custkey"],
+        "rm",
+        bounds=(pr["mlo"], pr["mhi"]),
+    ).select(F.col("o_custkey").alias("ck2"), "rm")
     dec = "decimal(38,0)"
     scored = (
         rr.join(rf, "o_custkey")
@@ -775,7 +795,8 @@ def agg_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
         )
         for c in sorted(channels)
     ]
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "channel string, p_base_units long, p_removed_units long,"
         " effect_units long, share double",

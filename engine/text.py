@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from engine.canon import dround
 from engine.registry import register
-from engine.session import T
+from engine.session import T, tiny_df
 
 #: FIXTURES.md B4 lexicon — one term per LANGS slot, fixed order.
 LEXICON = [
@@ -59,7 +59,7 @@ def _with_rank(df: DataFrame) -> DataFrame:
 
 
 def _lexicon_df(spark: SparkSession, lexicon: list[str]) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in lexicon], "term string")
+    return tiny_df(spark, [(t,) for t in lexicon], "term string")
 
 
 # df-parameterized cores (unit-testable on inline fixtures, FIXTURES.md B1)
@@ -74,7 +74,7 @@ def rank_naive_docs(
     ]
     toks.unpersist()
     return _with_rank(
-        spark.createDataFrame([(t, c) for t, c in counts], "term string, cnt bigint")
+        tiny_df(spark, [(t, c) for t, c in counts], "term string, cnt bigint")
     )
 
 
