@@ -51,6 +51,13 @@ def get_spark(app_name: str = "engine") -> SparkSession:
     )
 
 
+#: sessions already tuned (weak refs — a stopped session's entry dies
+#: with the wrapper object instead of pinning it)
+import weakref
+
+_TUNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def tune(spark: SparkSession) -> None:
     """Session invariants the engine owns (SURVEY.md §4.3), applied to
     whatever session the caller hands us (the driver's is unconfigured):
@@ -65,9 +72,16 @@ def tune(spark: SparkSession) -> None:
       fixed at query start, so this must run before the first streaming
       plan — every table loader AND the stream reader call it. On a
       real cluster these come from spark-submit conf instead."""
+    # applied once per live session object: each conf get/set is a py4j
+    # round trip (~1 ms), and every table load calls tune — across a
+    # full-registry sweep that is seconds of pure driver chatter. A new
+    # session (tests, a restarted driver) is a new object → tuned fresh.
+    if spark in _TUNED_SESSIONS:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    _TUNED_SESSIONS.add(spark)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +105,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and, on a non-UTC host, shifted calendar extractions.
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # schema memo as in load_table (the inferred shape depends only on
+    # the file bytes and the nanosAsLong conf set just above)
+    key = (sf_dir, "events", data_fingerprint(sf_dir, "events"))
+    sch = _TABLE_SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _TABLE_SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer division on the long — going through double would lose
         # precision (epoch-ns ~1.7e18 exceeds double's exact-int range)
@@ -144,6 +166,16 @@ def hash60(col) -> F.Column:
     )
 
 
+#: inferred parquet schema per (sf_dir, table, data fingerprint) —
+#: process-local. ``spark.read.parquet`` re-infers the schema on EVERY
+#: call (a driver-side footer read + listing, measured ~60-110 ms);
+#: across a full-registry sweep (~10^3 loads) that is tens of seconds
+#: of pure metadata overhead (guide §6.1: schema known → pass it).
+#: Keyed on :func:`data_fingerprint` so a rewritten table can never
+#: serve a stale schema; values are plain StructTypes (session-free).
+_TABLE_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Parquet scan → Catalyst gets pushdown,
     column pruning, and row-group skipping for free.
@@ -152,7 +184,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, data_fingerprint(sf_dir, name))
+    sch = _TABLE_SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
