@@ -1693,6 +1693,19 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf: str) -> DataFrame:
             % _BOOT_P
         ).alias("hx"),
     )
+    # MEASURED NEGATIVE RESULT (r13): folding all B replicates into ONE
+    # groupBy("grp") of 2B conditional-sum aggregate expressions (no
+    # explode, exact stats fused — one scan, 6 jobs instead of 7) is
+    # oracle-identical but measured SLOWER: interleaved A/B at sf0.1,
+    # min of 4 alternating samples, 2.21 s (this form) vs 3.74 s
+    # (folded). The physical plan computes md5/hx once either way; the
+    # folded form's cost is the 2B per-row when-chain evaluations (the
+    # w_i expression is not CSE'd between sum(w_i*x) and sum(w_i), so
+    # every row pays 32 six-branch chains vs the exploded form's 16
+    # one-chain rows, which Generate + partial agg stream for free).
+    # Kept the explode shape — it is also the scalable one (row
+    # expansion collapses in the map-side partial agg; nothing
+    # materializes).
     rep = li.select(
         "grp",
         "x",
