@@ -3266,17 +3266,26 @@ def _doc_8grams(docs: DataFrame) -> DataFrame:
     )
 
 
-def _eval_grams_snapshot(spark: SparkSession, sf: str) -> str:
+def _eval_grams_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     """Materialize the pinned benchmark claim set — the distinct
     8-grams of the eval docs (doc_id % 97 == 0) — once per run
     (benchmark-sized by construction; a production gate reads the
-    benchmark store, not the stream). Returns the parquet path."""
-    tag = os.path.basename(sf.rstrip("/"))
-    ev_path = scratch_dir(f"decontam_gate/{tag}") + "/eval_grams"
-    _doc_8grams(
-        T(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
-    ).select("s").distinct().write.mode("overwrite").parquet(ev_path)
-    return ev_path
+    benchmark store, not the stream). Returns the pinned relation.
+
+    Pinning is a localCheckpoint, not a parquet roundtrip (r13): the
+    set is consumed only as the broadcast side of every batch's gate
+    join, so block-manager blocks serve each per-batch broadcast
+    rebuild directly — the former write job + per-batch file
+    listing/scan were pure overhead (guide §5/§6; job-count drop
+    pinned by the timeline)."""
+    return (
+        _doc_8grams(
+            T(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+        )
+        .select("s")
+        .distinct()
+        .localCheckpoint()
+    )
 
 
 @register("stream_decontaminate", sql=_sdx_oracle_sql)
@@ -3313,11 +3322,9 @@ def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
     tune(spark)
     path = _doc_replay_dir(spark, sf)
-    ev_path = _eval_grams_snapshot(spark, sf)
-    # ONE read of the pinned snapshot shared by every batch (the
-    # per-batch read.parquet re-ran footer inference as a job per
-    # trigger); explicit schema skips the footer job entirely.
-    ev_grams = spark.read.schema("s string").parquet(ev_path)
+    # ONE pinned snapshot shared by every batch (checkpointed blocks;
+    # the per-batch broadcast rebuilds from memory, no file jobs)
+    ev_grams = _eval_grams_snapshot(spark, sf)
 
     funnel: list[tuple] = []
 
@@ -3519,33 +3526,38 @@ def stream_ingest_e2e(spark: SparkSession, sf: str) -> DataFrame:
     from engine.session import tune
 
     tune(spark)
-    ev_path = _eval_grams_snapshot(spark, sf)
-    # ONE read of the pinned snapshot, shared by every batch (the
-    # per-batch `read.parquet` re-ran footer inference + listing as a
-    # job every trigger); same session, so the foreachBatch closure can
-    # reference it directly.
-    ev_grams = spark.read.schema("s string").parquet(ev_path)
+    # ONE pinned snapshot, shared by every batch (checkpointed blocks;
+    # the per-batch broadcast rebuilds from memory, no file jobs); same
+    # session, so the foreachBatch closure can reference it directly.
+    ev_grams = _eval_grams_snapshot(spark, sf)
     removed: list[tuple[int, int]] = []
 
     def gate(batch_df: DataFrame, k: int) -> DataFrame:
+        from concurrent.futures import ThreadPoolExecutor
+
         hits = (
             _doc_8grams(batch_df.filter(F.col("doc_id") % 97 != 0))
             .join(F.broadcast(ev_grams), "s")
             .select("doc_id")
             .distinct()
         )
-        keep = (
-            batch_df.filter(F.col("doc_id") % 97 != 0)
-            .join(hits, "doc_id", "left_anti")
-            .localCheckpoint()  # the cascade body consumes it repeatedly
+        keep_plan = batch_df.filter(F.col("doc_id") % 97 != 0).join(
+            hits, "doc_id", "left_anti"
         )
-        # ONE gate action (was two: batch count + keep count): the
+        # ONE gate action besides the raw-batch count (was two: the
         # cascade funnel's own `arrived` for this batch IS keep.count()
-        # (the prefiltered batch flows into the funnel aggregate, and a
-        # gate-emptied batch still appends a zero row), so gated_out is
-        # recovered as raw - funnel.arrived in the assembly below —
-        # identical values, one fewer job per batch.
-        removed.append((k, batch_df.count()))
+        # — the prefiltered batch flows into the funnel aggregate, and
+        # a gate-emptied batch still appends a zero row — so gated_out
+        # is recovered as raw - funnel.arrived in the assembly below).
+        # The two actions that remain — checkpointing keep (the cascade
+        # body consumes it repeatedly) and the raw count — share only
+        # batch_df, so they run overlapped (guide §2.6) instead of
+        # paying two sequential per-batch job latencies.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_keep = pool.submit(keep_plan.localCheckpoint)
+            f_cnt = pool.submit(batch_df.count)
+            keep = f_keep.result()
+            removed.append((k, f_cnt.result()))
         return keep
 
     fun = _run_dedup_cascade(
