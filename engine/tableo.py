@@ -1172,6 +1172,7 @@ def _ranked(
     out: str,
     bucket_of=None,
     bounds=None,
+    counts=None,
 ) -> DataFrame:
     """Global rank by (val_col, *tie_cols) via the width_bucket
     offset-merge — the repo's standard no-single-reducer total order.
@@ -1185,7 +1186,14 @@ def _ranked(
 
     ``bounds``: optional precomputed (lo, hi) when the caller already
     probed them (rfm fuses its three columns' min/max into ONE
-    aggregate — three probe jobs become one)."""
+    aggregate — three probe jobs become one).
+
+    ``counts``: optional precomputed {bucket: row count} for the SAME
+    bucket_of expression, when the caller already aggregated the
+    histogram (rfm fuses its three dimensions' bucket counts into ONE
+    exploded aggregate — three count jobs become one); requires
+    bucket_of, since the caller can only have counted buckets it
+    defined itself."""
     from pyspark.sql import Window
 
     if bucket_of is None:
@@ -1199,10 +1207,13 @@ def _ranked(
             _TS_BUCKETS,
         )
     b = df.withColumn("_bk", bucket_of)
-    counts = {
-        r["_bk"]: r["c"]
-        for r in b.groupBy("_bk").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
+    if counts is None:
+        counts = {
+            r["_bk"]: r["c"]
+            for r in b.groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
     offs, acc = {}, 0
     for k in sorted(counts):
         offs[k] = acc

@@ -506,20 +506,57 @@ def agg_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         F.max("m").alias("mhi"),
     ).first()
     n = pr["n"]
-    rr = _ranked(base, "r", ["o_custkey"], "rr", bounds=(pr["rlo"], pr["rhi"]))
+    # ONE exploded aggregate supplies all three dimensions' bucket
+    # histograms — previously each _ranked ran its own bucket-count
+    # collect over the same cached relation (guide §1: three count
+    # jobs become one; the bucket expressions are the exact
+    # width_bucket forms _ranked would derive from these bounds)
+    from engine.tableo import _TS_BUCKETS
+
+    def _wb(col: str, lo, hi):
+        return F.width_bucket(
+            F.col(col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1.0),
+            _TS_BUCKETS,
+        )
+
+    bkr = _wb("r", pr["rlo"], pr["rhi"])
+    bkf = _wb("f", pr["flo"], pr["fhi"])
+    bkm = _wb("m", pr["mlo"], pr["mhi"])
+    cnt: dict[int, dict] = {1: {}, 2: {}, 3: {}}
+    for row in (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("d"), bkr.alias("bk")),
+                    F.struct(F.lit(2).alias("d"), bkf.alias("bk")),
+                    F.struct(F.lit(3).alias("d"), bkm.alias("bk")),
+                )
+            ).alias("x")
+        )
+        .select("x.d", "x.bk")
+        .groupBy("d", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        cnt[row["d"]][row["bk"]] = row["c"]
+    rr = _ranked(base, "r", ["o_custkey"], "rr", bucket_of=bkr, counts=cnt[1])
     rf = _ranked(
         base.select("o_custkey", "f"),
         "f",
         ["o_custkey"],
         "rf",
-        bounds=(pr["flo"], pr["fhi"]),
+        bucket_of=bkf,
+        counts=cnt[2],
     ).select("o_custkey", "rf")
     rm = _ranked(
         base.select("o_custkey", "m"),
         "m",
         ["o_custkey"],
         "rm",
-        bounds=(pr["mlo"], pr["mhi"]),
+        bucket_of=bkm,
+        counts=cnt[3],
     ).select(F.col("o_custkey").alias("ck2"), "rm")
     dec = "decimal(38,0)"
     scored = (
