@@ -1499,95 +1499,15 @@ def _run_dedup_cascade(
         surv_e = lab.filter(
             (F.col("rn") == 1) & F.col("seen").isNull()
         ).select("doc_id", "text", "hh", "pb")
-        # repartition BEFORE the MinHash signature expression (guide
-        # §2.5 input skew / §4 per-task work): lab is AQE-coalesced to
-        # 1-2 partitions, so without this the shingle+hash pipeline —
-        # the batch's single most expensive expression — ran in ONE
-        # task (~1 s/batch measured, 4-5× the rest of the batch's
-        # stages combined). The shuffle moves only the survivors' (id,
-        # text) once; signature results are set-semantics downstream,
-        # so row placement cannot affect any output.
-        bands_b = (
-            bands_of(surv_e.select("doc_id", "text").repartition(parts))
-            .withColumn("pbb", F.pmod("h", bcol).cast("int"))
-            .localCheckpoint()  # consumed 4×: self-join ×2, semi, append
-        )
-        in_batch = (
-            bands_b.alias("a")
-            .join(
-                bands_b.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("b.doc_id").alias("doc_id"))
-        )
-        if state["has_b"]:
-            # same two-level pruning as the hash ledger: pbb partition
-            # prune + dynamic IN on the batch's minhash values (h alone
-            # — a superset filter of the (band, h) join key, so every
-            # possible match survives; bands_b is checkpointed, the
-            # collect does not recompute it)
-            bkeys = (
-                bands_b.select("pbb", "h")
-                .distinct()
-                .limit(_DC_DYNFILTER_CAP + 1)
-                .collect()
-            )
-            prev_b = sp.read.schema(b_schema).parquet(broot)
-            if live is not None:
-                prev_b = prev_b.filter(live)
-            if len(bkeys) <= _DC_DYNFILTER_CAP:
-                prev_b = prev_b.filter(
-                    _sql_in("pbb", {r["pbb"] for r in bkeys})
-                ).filter(_sql_in("h", {r["h"] for r in bkeys}))
-            else:
-                pbbs = {
-                    r[0]
-                    for r in bands_b.select("pbb").distinct().collect()
-                }
-                prev_b = prev_b.filter(_sql_in("pbb", pbbs))
-            if _DC_READ_PROBE is not None:
-                _probe_b = (_ledger_rows(broot), prev_b.count())
-            vs_store = bands_b.join(
-                prev_b, ["pbb", "band", "h"], "left_semi"
-            ).select("doc_id")
-            near_ids = in_batch.unionByName(vs_store).distinct()
-        else:
-            if _DC_READ_PROBE is not None:
-                _probe_b = (0, 0)
-            prev_b = None
-            near_ids = in_batch.distinct()
-        # ONE funnel action: near_ids ⊆ exact-survivors and exact-drops
-        # have rn>1 or seen, so the three labels are disjoint and
-        # survivors fall out by difference
-        funnel_df = lab.join(
-            near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
-        ).agg(
-            F.count(F.lit(1)).alias("arrived"),
-            F.count(
-                F.when((F.col("rn") > 1) | F.col("seen").isNotNull(), 1)
-            ).alias("ex"),
-            F.count("isnear").alias("nr"),
-        )
-        # O(batch) appends into the partitions the rows hash to, keyed
-        # by epoch subdir (idempotent redelivery — see docstring).
-        # Unbounded mode: the batch's survivor hashes are new by
-        # construction (seen-flag filter above), bucket rows are
-        # anti-joined against the pruned store read so the ledger stays
-        # a SET without being rewritten. TTL mode: EVERY arrival
-        # refreshes the clock — the batch's distinct hashes (rn = 1
-        # picks one row per hh) append stamped with batch k, no
-        # anti-join: the batch column keys recurrence where the
-        # unbounded twin needed set semantics.
-        # repartition ON the partition column first: without it every
-        # shuffle task writes its own file into every pb dir (tasks×B
-        # tiny files per batch — measured +4 s/sweep in committer
-        # overhead); with it each pb dir gains ONE file per batch.
-        # sortWithinPartitions on the join key (VERDICT r11 task 7):
-        # sorted files give row groups tight min/max + dictionary
-        # stats, so the pushed dynamic IN filter can skip inside a
-        # bucket once row groups are meaningful at production sizes
+        # The hash-ledger append depends ONLY on the checkpointed lab,
+        # so it is submitted as soon as lab exists and runs overlapped
+        # with the whole band-signature critical path below (guide
+        # §2.6) — previously it queued behind bands/bkeys/funnel at the
+        # end of the batch, serializing a write-job latency per batch.
+        # TTL mode: the bucket append too (its rows need no anti-join
+        # in TTL mode), overlapping it with the bkeys collect + pruned
+        # store read. The epoch marker still waits on ALL terminal
+        # actions, so the idempotent-redelivery contract is unchanged.
         ecol = F.lit(int(epoch_id))
         if ttl is None:
             new_h = surv_e.select("pb", "hh")
@@ -1597,22 +1517,7 @@ def _run_dedup_cascade(
                 .select("pb", "hh")
                 .withColumn("batch_id", F.lit(k))
             )
-        new_b = bands_b.select("pbb", "band", "h").distinct()
-        if ttl is None and prev_b is not None:
-            new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
-        if ttl is not None:
-            new_b = new_b.withColumn("batch_id", F.lit(k))
 
-        # The three terminal actions of a batch — the funnel aggregate
-        # and the two ledger appends — are INDEPENDENT of each other
-        # (all three consume the checkpointed lab/bands_b), so they run
-        # overlapped from a small thread pool (guide §2.6): the next
-        # job's tasks back-fill the tail of the previous one instead of
-        # paying three sequential job latencies. The epoch marker is
-        # written only after ALL THREE complete, so the idempotent
-        # redelivery contract is unchanged — a failure in any of them
-        # leaves the epoch unmarked and the redo path cleans the
-        # epoch-keyed dirs.
         def _w_h() -> None:
             new_h.withColumn("epoch", ecol).repartition(
                 "pb"
@@ -1620,22 +1525,151 @@ def _run_dedup_cascade(
                 "append"
             ).partitionBy("pb", "epoch").parquet(hroot)
 
-        def _w_b() -> None:
-            new_b.withColumn("epoch", ecol).repartition(
-                "pbb"
-            ).sortWithinPartitions("pbb", "band", "h").write.mode(
-                "append"
-            ).partitionBy("pbb", "epoch").parquet(broot)
-
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_row = pool.submit(funnel_df.first)
+        pool = ThreadPoolExecutor(max_workers=3)
+        try:
             f_h = pool.submit(_w_h)
-            f_b = pool.submit(_w_b)
+            # repartition BEFORE the MinHash signature expression (guide
+            # §2.5 input skew / §4 per-task work): lab is AQE-coalesced to
+            # 1-2 partitions, so without this the shingle+hash pipeline —
+            # the batch's single most expensive expression — ran in ONE
+            # task (~1 s/batch measured, 4-5× the rest of the batch's
+            # stages combined). The shuffle moves only the survivors' (id,
+            # text) once; signature results are set-semantics downstream,
+            # so row placement cannot affect any output.
+            bands_b = (
+                bands_of(surv_e.select("doc_id", "text").repartition(parts))
+                .withColumn("pbb", F.pmod("h", bcol).cast("int"))
+                .localCheckpoint()  # consumed 4×: self-join ×2, semi, append
+            )
+            in_batch = (
+                bands_b.alias("a")
+                .join(
+                    bands_b.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("b.doc_id").alias("doc_id"))
+            )
+
+            # O(batch) appends into the partitions the rows hash to, keyed
+            # by epoch subdir (idempotent redelivery — see docstring).
+            # Unbounded mode: the batch's survivor hashes are new by
+            # construction (seen-flag filter above), bucket rows are
+            # anti-joined against the pruned store read so the ledger stays
+            # a SET without being rewritten. TTL mode: EVERY arrival
+            # refreshes the clock — the batch's distinct hashes (rn = 1
+            # picks one row per hh) append stamped with batch k, no
+            # anti-join: the batch column keys recurrence where the
+            # unbounded twin needed set semantics.
+            # repartition ON the partition column first: without it every
+            # shuffle task writes its own file into every pb dir (tasks×B
+            # tiny files per batch — measured +4 s/sweep in committer
+            # overhead); with it each pb dir gains ONE file per batch.
+            # sortWithinPartitions on the join key (VERDICT r11 task 7):
+            # sorted files give row groups tight min/max + dictionary
+            # stats, so the pushed dynamic IN filter can skip inside a
+            # bucket once row groups are meaningful at production sizes
+            def _w_b_of(nb: DataFrame):
+                def _w_b() -> None:
+                    nb.withColumn("epoch", ecol).repartition(
+                        "pbb"
+                    ).sortWithinPartitions("pbb", "band", "h").write.mode(
+                        "append"
+                    ).partitionBy("pbb", "epoch").parquet(broot)
+
+                return _w_b
+
+            f_b = None
+            if ttl is not None:
+                # TTL bucket rows need no anti-join, so this append's plan
+                # is complete as soon as bands_b is checkpointed — submit
+                # it now, overlapped with the bkeys collect + pruned store
+                # read below
+                f_b = pool.submit(
+                    _w_b_of(
+                        bands_b.select("pbb", "band", "h")
+                        .distinct()
+                        .withColumn("batch_id", F.lit(k))
+                    )
+                )
+            if state["has_b"]:
+                # same two-level pruning as the hash ledger: pbb partition
+                # prune + dynamic IN on the batch's minhash values (h alone
+                # — a superset filter of the (band, h) join key, so every
+                # possible match survives; bands_b is checkpointed, the
+                # collect does not recompute it)
+                bkeys = (
+                    bands_b.select("pbb", "h")
+                    .distinct()
+                    .limit(_DC_DYNFILTER_CAP + 1)
+                    .collect()
+                )
+                prev_b = sp.read.schema(b_schema).parquet(broot)
+                if live is not None:
+                    prev_b = prev_b.filter(live)
+                if len(bkeys) <= _DC_DYNFILTER_CAP:
+                    prev_b = prev_b.filter(
+                        _sql_in("pbb", {r["pbb"] for r in bkeys})
+                    ).filter(_sql_in("h", {r["h"] for r in bkeys}))
+                else:
+                    pbbs = {
+                        r[0]
+                        for r in bands_b.select("pbb").distinct().collect()
+                    }
+                    prev_b = prev_b.filter(_sql_in("pbb", pbbs))
+                if _DC_READ_PROBE is not None:
+                    _probe_b = (_ledger_rows(broot), prev_b.count())
+                vs_store = bands_b.join(
+                    prev_b, ["pbb", "band", "h"], "left_semi"
+                ).select("doc_id")
+                near_ids = in_batch.unionByName(vs_store).distinct()
+            else:
+                if _DC_READ_PROBE is not None:
+                    _probe_b = (0, 0)
+                prev_b = None
+                near_ids = in_batch.distinct()
+            # ONE funnel action: near_ids ⊆ exact-survivors and exact-drops
+            # have rn>1 or seen, so the three labels are disjoint and
+            # survivors fall out by difference
+            funnel_df = lab.join(
+                near_ids.withColumn("isnear", F.lit(1)), "doc_id", "left"
+            ).agg(
+                F.count(F.lit(1)).alias("arrived"),
+                F.count(
+                    F.when((F.col("rn") > 1) | F.col("seen").isNotNull(), 1)
+                ).alias("ex"),
+                F.count("isnear").alias("nr"),
+            )
+            # Unbounded mode: the bucket append's anti-join needs the
+            # pruned store read, so its plan only completes here
+            if f_b is None:
+                new_b = bands_b.select("pbb", "band", "h").distinct()
+                if prev_b is not None:
+                    new_b = new_b.join(prev_b, ["pbb", "band", "h"], "left_anti")
+                f_b = pool.submit(_w_b_of(new_b))
+            # The terminal actions of a batch — the funnel aggregate and
+            # the two ledger appends — are INDEPENDENT of each other (all
+            # consume the checkpointed lab/bands_b) and each was submitted
+            # at the earliest point its plan was complete (guide §2.6):
+            # the hash append right after lab's checkpoint, the bucket
+            # append after bands_b (TTL) or the pruned read (unbounded),
+            # the funnel here. The epoch marker is written only after ALL
+            # complete, so the idempotent redelivery contract is unchanged
+            # — a failure in any of them leaves the epoch unmarked and the
+            # redo path cleans the epoch-keyed dirs.
+            f_row = pool.submit(funnel_df.first)
             row = f_row.result()
             f_h.result()
             f_b.result()
+        finally:
+            # join the writer threads even on a failing batch: the
+            # epoch stays unmarked (redo path cleans it), and no
+            # append may still be in flight when the caller rebuilds
+            # or removes the ledger roots
+            pool.shutdown(wait=True)
         arrived, n_ex, n_nr = row["arrived"], row["ex"], row["nr"]
         funnel.append((k, arrived, n_ex, n_nr, arrived - n_ex - n_nr))
         # COMMIT the epoch: appends are in; a re-delivery from here on
