@@ -197,35 +197,89 @@ def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     rows equally): the smallest price whose cumulative quantity reaches
     half the group's total.
 
-    Scale shape: the fact collapses to (flag, price) partial sums
-    first (a real reduction only when prices repeat — on this data
-    they are near-continuous, so the window still sees ~n rows), then
-    one cumulative window per group and a threshold fold. The per-group
-    cumulative sort is the honest cost of an EXACT weighted median: at
-    100 TB you either quantize prices to cents first (collapses the
-    domain to ~10⁶ rows per group) or run the classic two-phase
-    distributed prefix sum (per-range partial sums + a partition-count-
-    sized offset table); percentile_approx with weights rebinned is the
-    sketch alternative when exactness can go. Exactness here:
-    l_quantity is integral, so every SUM and the tot/2 threshold are
-    exactly representable doubles — the cum >= tot/2 comparison cannot
-    flip on accumulation order (unlike a fractional-weight variant,
-    which would need the _exact_sum2 integer trick)."""
-    li = T(spark, sf, "lineitem")
-    g = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-    ).agg(F.sum("l_quantity").alias("w"))
+    Scale shape (r13, guide §2.5): histogram drill-down instead of one
+    cumulative window over every distinct (flag, price) — prices are
+    near-continuous, so that window sorted ~n rows inside ONE task per
+    flag (3 partitions carry the whole fact: the canonical low-
+    cardinality window skew). Pass 1 sums weight per (flag,
+    floor(price/64)) bucket — partial-aggregable, the shuffle carries
+    only flags×buckets rows — and a window over that TINY relation
+    finds each flag's crossing bucket (first b whose end-cumulative
+    reaches tot/2) plus the exact weight offset before it. Pass 2
+    re-reads only that bucket's price range (a literal min/max
+    predicate per flag — pushed into the parquet scan for row-group
+    skipping) and sorts ~n/buckets rows instead of n. 64 is a power of
+    two, so price/64 is exact in doubles and the bucket predicate
+    reproduces floor(price/64)==b bit-for-bit. Exactness of the result
+    is unchanged: l_quantity is integral, so every partial sum, the
+    bucket offset, and the tot/2 threshold are exactly representable
+    doubles — offset + within-bucket cumulative equals the original
+    global cumulative, value for value. The 3-row crossing-bucket
+    collect is the dynamic-filter pattern (bounded by the group-key
+    cardinality), the same trade the streaming ledgers make."""
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    bucket = F.floor(F.col("l_extendedprice") / 64).cast("long")
+    bs = li.groupBy(
+        F.col("l_returnflag").alias("flag"), bucket.alias("b")
+    ).agg(F.sum("l_quantity").alias("wb"))
     wc = (
+        Window.partitionBy("flag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bs = bs.select(
+        "flag",
+        "b",
+        "wb",
+        F.sum("wb").over(wc).alias("endcum"),
+        F.sum("wb").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    hits = (
+        bs.filter(F.col("endcum") >= F.col("tot") / 2)
+        .groupBy("flag")
+        .agg(F.min_by(F.struct("b", "wb", "endcum", "tot"), "b").alias("s"))
+        .select(
+            "flag",
+            F.col("s.b").alias("b"),
+            (F.col("s.endcum") - F.col("s.wb")).alias("offset"),
+            F.col("s.tot").alias("tot"),
+        )
+        .collect()  # one row per returnflag — bounded by |group keys|
+    )
+    pred = F.lit(False)
+    for r in hits:
+        pred = pred | (
+            (F.col("l_returnflag") == r["flag"])
+            & (F.col("l_extendedprice") >= r["b"] * 64.0)
+            & (F.col("l_extendedprice") < (r["b"] + 1) * 64.0)
+        )
+    off = F.broadcast(
+        tiny_df(
+            spark,
+            [(r["flag"], float(r["offset"]), float(r["tot"])) for r in hits],
+            "flag string, offset double, tot double",
+        )
+    )
+    sub = (
+        li.filter(pred)
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    wc2 = (
         Window.partitionBy("flag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = g.select(
+    c = sub.join(off, "flag").select(
         "flag",
         "price",
-        F.sum("w").over(wc).alias("cum"),
-        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+        "tot",
+        (F.col("offset") + F.sum("w").over(wc2)).alias("cum"),
     )
     return (
         c.groupBy(F.col("flag").alias("l_returnflag"))

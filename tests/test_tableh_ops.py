@@ -111,6 +111,45 @@ def test_weighted_median_planted(spark, tmp_path):
     assert rows[0]["total_weight"] == 10.0
 
 
+def test_weighted_median_bucket_drilldown_edges(spark, tmp_path):
+    # The r13 histogram drill-down (bucket = floor(price/64)) must be
+    # exact across its own seams: group A crosses tot/2 EXACTLY at the
+    # last price of bucket 0 (cum == tot/2 at a bucket boundary);
+    # group N's crossing price sits in a later bucket with nonzero
+    # offset carried in from bucket 0; group R is single-bucket. Each
+    # group lands in a DIFFERENT target bucket, exercising the OR'd
+    # per-flag range predicate.
+    def row(okey, qty, price, flag):
+        return (okey, 1, 1, 1, float(qty), float(price), 0.0, 0.0, flag,
+                "O", 1_700_000_000_000_000)
+
+    rows = [
+        # A: 10(w=5) in bucket 0, 100(w=5) in bucket 1 -> tot 10,
+        # half 5, cum(10)=5 >= 5 -> median 10 (boundary crossing)
+        row(1, 5, 10.0, "A"), row(2, 5, 100.0, "A"),
+        # N: 10(w=4) bucket 0, 100(w=2) + 130(w=4) bucket 1 -> tot 10,
+        # half 5, cum: 4, 6 -> median 100 with offset 4 from bucket 0
+        row(3, 4, 10.0, "N"), row(4, 2, 100.0, "N"), row(5, 4, 130.0, "N"),
+        # R: all in bucket 3 -> single-bucket, offset 0
+        row(6, 1, 200.0, "R"), row(7, 3, 210.0, "R"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, ts_us long",
+    ).withColumn("l_shipdate", F.timestamp_micros("ts_us")).drop("ts_us")
+    sf = _write_sf(spark, tmp_path, "lineitem", li)
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_weighted_median"](spark, sf).collect()
+    }
+    assert got["A"]["weighted_median_price"] == 10.0
+    assert got["A"]["total_weight"] == 10.0
+    assert got["N"]["weighted_median_price"] == 100.0
+    assert got["R"]["weighted_median_price"] == 210.0
+
+
 def test_temperature_sample_flattens_distribution(spark, tmp_path):
     # 900 'en' vs 100 'zh': sqrt-weights 30 vs 10 -> targets 375/125 of
     # the 500-doc budget -> rates 375/900 and 1.0 (zh upsample capped).
