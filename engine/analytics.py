@@ -1033,6 +1033,15 @@ def ts_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
 _AFFINITY_MEMO: set = set()
 
 
+def _affinity_path(sf: str) -> str:
+    from engine.session import data_fingerprint, scratch_dir
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return scratch_dir("affinity") + (
+        f"/edges_{tag}_{data_fingerprint(sf, 'events')}"
+    )
+
+
 def materialize_affinity_edges(spark: SparkSession, sf: str) -> DataFrame:
     """The affinity edge list, materialized ONCE per (sf, events
     fingerprint) and served from parquet to its seven graph-key
@@ -1043,17 +1052,41 @@ def materialize_affinity_edges(spark: SparkSession, sf: str) -> DataFrame:
     materialization stays value-checked on every consumer key."""
     import os
 
-    from engine.session import data_fingerprint, scratch_dir
-
-    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    path = scratch_dir("affinity") + (
-        f"/edges_{tag}_{data_fingerprint(sf, 'events')}"
-    )
+    path = _affinity_path(sf)
     key = ("affinity", path)
     if not (key in _AFFINITY_MEMO and os.path.exists(path + "/_SUCCESS")):
         affinity_edges(spark, sf).write.mode("overwrite").parquet(path)
         _AFFINITY_MEMO.add(key)
     return spark.read.parquet(path)
+
+
+def affinity_edge_parts(spark: SparkSession, sf: str) -> int:
+    """Shuffle-partition target for relations DERIVED from the affinity
+    edge list (guide §2.2 — fewer, larger partitions). The edge list is
+    events-cohort-sized, orders of magnitude below the fact, but a
+    cached derivation built under the session default (32) pins a
+    32-to-64-partition layout that every downstream job then pays in
+    task launches — AQE cannot re-coalesce a cached plan's output
+    partitioning (`canChangeCachedPlanOutputPartitioning` is off by
+    default, deliberately: several keys' declared tie semantics depend
+    on stable cached layouts). Scale-adaptive: grows with the edge
+    count (footer metadata, no Spark job) and is capped by the
+    session's own shuffle parallelism, so a cluster-sized session keeps
+    cluster-sized shuffles; falls back to the session default when
+    footers are unreadable. Call after materialize_affinity_edges."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(pathlib.Path(_affinity_path(sf)).rglob("*.parquet"))
+        )
+    except Exception:
+        return cap
+    return max(1, min(cap, rows // 20_000 + 1))
 
 
 def affinity_edges(spark: SparkSession, sf: str) -> DataFrame:

@@ -1470,16 +1470,26 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     dedup family; hub neighbors are the skew axis, capped at 100 TB by
     a max-degree filter exactly like the shingle-DF cap); existing
     edges drop via a LEFT ANTI join; degrees broadcast back. Integer-
-    exact until the final ratio (rounded 1e-6), deterministic ties."""
-    from engine.analytics import materialize_affinity_edges
+    exact until the final ratio (rounded 1e-6), deterministic ties.
+
+    The cached relations are right-sized to the EDGE COUNT
+    (affinity_edge_parts — r13, guide §2.2): under the session default
+    every cached derivation pinned a 32-to-64-partition layout (AQE
+    cannot coalesce cached output) and each of the ~10 downstream jobs
+    paid 32-65 task launches on a graph of a few thousand edges. The
+    repartition lands BEFORE the distinct so the dedup aggregate reuses
+    its exchange — one keyed shuffle total into the cache."""
+    from engine.analytics import affinity_edge_parts, materialize_affinity_edges
 
     edges = materialize_affinity_edges(spark, sf)
+    p = affinity_edge_parts(spark, sf)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
-        .distinct()
+        .repartition(p, "a", "b")
+        .dropDuplicates()
     )
     und = scratch_cache(und)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(

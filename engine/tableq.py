@@ -81,14 +81,22 @@ def graph_adamic_adar_link_prediction(spark: SparkSession, sf: str) -> DataFrame
     enumeration is one self-equi-join of the neighbor relation on z —
     the graph_triangles shape, partial-aggregable counts after; hub
     skew is the disclosed cost driver (AQE skew-split; a production
-    variant caps N(z) per z). Existing edges leave via one anti-join."""
-    from engine.analytics import materialize_affinity_edges
+    variant caps N(z) per z). Existing edges leave via one anti-join.
+    Cached relations are right-sized to the edge count
+    (affinity_edge_parts — r13, guide §2.2: a 32-partition cached
+    layout on a few-thousand-edge graph made every downstream job pay
+    32-65 task launches; the repartition precedes the distinct so the
+    dedup aggregate reuses its exchange)."""
+    from engine.analytics import affinity_edge_parts, materialize_affinity_edges
 
     edges = materialize_affinity_edges(spark, sf)
+    p = affinity_edge_parts(spark, sf)
     und = scratch_cache(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
+        )
+        .repartition(p, "a", "b")
+        .dropDuplicates()
     )
     nbr = scratch_cache(
         und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
