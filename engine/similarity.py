@@ -1649,7 +1649,11 @@ def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     split_map = F.create_map(
         *[F.lit(x) for c_s in sorted(splits.items()) for x in c_s]
     )
-    emb = (
+    # cached: this scan+assignment-join+norm relation feeds BOTH sides
+    # of the cell self-join — uncached, the whole subtree (parquet scan,
+    # asg join, 64-term norm fold) executed twice under the join
+    # (r13 timeline: two ~0.7 s duplicate builds per run, guide §2.4)
+    emb = scratch_cache(
         parallelize_scan(
             T(spark, sf, "embeddings"), scan_units(sf, "embeddings")
         )
