@@ -153,8 +153,23 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     tie-break on s_suppkey. The argmin is ROW_NUMBER pruned to rn=1 —
     Spark executes it as WindowGroupLimit, never a full per-group sort.
     unit_cost is rounded before ranking so both engines rank identical
-    values (raw double division is ulp-sensitive)."""
+    values (raw double division is ulp-sensitive).
+
+    r13 (guide §3.2): the p_size <= 5 predicate keeps ~10% of parts,
+    so the small-parts key set pre-filters lineitem via a broadcast
+    SEMI join BEFORE the (partkey, suppkey) aggregate and the ranking
+    window — both shuffles now carry only qualifying parts' rows.
+    Equivalent by construction: the rank is PARTITION BY l_partkey, so
+    dropping other partkeys cannot change any surviving group's rn=1
+    row, and non-qualifying partkeys were discarded by the final inner
+    join with part anyway."""
     li = T(spark, sf, "lineitem")
+    small_parts = F.broadcast(
+        T(spark, sf, "part").filter(F.col("p_size") <= 5).select("p_partkey")
+    )
+    li = li.join(
+        small_parts, li["l_partkey"] == small_parts["p_partkey"], "semi"
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         dround(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
             "unit_cost"
