@@ -81,6 +81,22 @@ def tune(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Let AQE re-coalesce the shuffle that POPULATES a cache (off by
+    # default): graph/similarity keys cache small derived relations
+    # (edge lists, band indexes) whose build shuffle otherwise pins a
+    # session-parallelism-sized layout that every downstream job then
+    # pays in task launches (r13 timelines: 32-65-task micro-jobs over
+    # few-thousand-row caches). Safe here by audit: the engine contains
+    # ZERO partition-sensitive primitives (no rand/spark_partition_id/
+    # monotonically_increasing_id — results are declared partition-
+    # count-invariant), the one scan-ORDER-sensitive cache
+    # (agg_theil_sen_slope) has no exchange in its cached plan, and
+    # explicit repartition(n) builds (parallelize_scan) use fixed-
+    # number shuffles AQE leaves alone. Scale-correct, not a local[32]
+    # hack: on any cluster the coalesce target is AQE's advisory size.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     _TUNED_SESSIONS.add(spark)
 
 
