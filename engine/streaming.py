@@ -687,6 +687,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
     tag = os.path.basename(sf.rstrip("/"))
     base = scratch_dir(f"fb_upsert/{tag}")
     state = {"cur": None}
+    # the state table's schema is fixed by the aggregate below — pass
+    # it explicitly so the per-epoch re-read never pays driver-side
+    # footer inference (guide §6 / the §6b schema-memo finding: ~0.1 s
+    # per inferred read, once per epoch here)
+    state_schema = "event_type string, cnt bigint, sum_value double"
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -694,7 +699,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("cnt"), F.sum("value").alias("sum_value")
         )
         if state["cur"] is not None:
-            prev = sp.read.parquet(state["cur"])
+            prev = sp.read.schema(state_schema).parquet(state["cur"])
             part = prev.unionByName(part).groupBy("event_type").agg(
                 F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value")
             )
@@ -717,7 +722,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    final = spark.read.parquet(state["cur"])
+    final = spark.read.schema(state_schema).parquet(state["cur"])
     return final.select(
         "event_type", "cnt", dround("sum_value", 2).alias("sum_value")
     )
