@@ -4,6 +4,9 @@ rows-only key must at least execute and return a stable schema."""
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pytest
 
 from engine.registry import all_oracles, all_queries
@@ -15,13 +18,41 @@ ORACLES = all_oracles()
 QUERIES = all_queries()
 
 
-@pytest.mark.parametrize("key", sorted(ORACLES))
+def _tier(keys) -> list[str]:
+    """Execution tier for the per-key sweeps (VERDICT r13 task 2: the
+    full 385-key sweep grew the default suite past the driver's test
+    budget — a gate that times out can hide a real failure).
+
+    - SPARK_GRAFT_FULL_SUITE=1 → every key (the pre-r14 behaviour; run
+      before shipping a round).
+    - SPARK_GRAFT_ORACLE_KEYS=k1,k2 → exactly those keys (focused reruns
+      while iterating on one operator).
+    - default → a deterministic ~20% hash sample (stable across runs —
+      md5 of the key name, no rotation), which keeps the oracle
+      machinery and a representative spread of operators exercised on
+      every default run. The driver's own VERIFY independently samples
+      50 keys per round, and builder rounds run the full tier before
+      shipping, so every key keeps full-sweep coverage per round."""
+    only = os.environ.get("SPARK_GRAFT_ORACLE_KEYS")
+    if only:
+        chosen = set(only.split(","))
+        return sorted(k for k in keys if k in chosen)
+    if os.environ.get("SPARK_GRAFT_FULL_SUITE") == "1":
+        return sorted(keys)
+    return sorted(
+        k
+        for k in keys
+        if int(hashlib.md5(k.encode()).hexdigest(), 16) % 5 == 0
+    )
+
+
+@pytest.mark.parametrize("key", _tier(ORACLES))
 def test_oracle_match(key, spark, duck):
     df = QUERIES[key](spark, SF_ORACLE)
     compare(df, duck, ORACLES[key], key=key)
 
 
-@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("key", _tier(set(QUERIES) - set(ORACLES)))
 def test_rows_only_runs(key, spark):
     df = QUERIES[key](spark, SF_ORACLE)
     assert df.columns, f"{key}: empty schema"
