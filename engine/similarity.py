@@ -2167,17 +2167,28 @@ def _pq_encode_against(
     cent_arr = cent_sub.groupBy("s").agg(
         F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("cents")
     )
+    # argmin over SLIM (d2i, cid) structs, then ONE csub lookup by cid
+    # (r14, guide §1.2 per-task work): sorting K structs that each carry
+    # the d-double csub payload dominated the encode task (~0.85 ms/row
+    # measured at K=256, d=8 — 13.7 s single-task jobs in the cold
+    # generation builds). cids are contiguous 0..K-1 per subspace
+    # (row_number-1 in _pq_codebook) and cents is array_sort'ed on
+    # (cid, ...), so cents[cid+1].csub IS the winning centroid; the
+    # (d2i, cid) min is unchanged, hence identical codes.
     best = F.expr(
         "element_at(array_sort(transform(cents, c -> struct("
         "cast(round(aggregate(zip_with(vsub, c.csub,"
         " (p, q) -> (p - q) * (p - q)), 0D, (a, v) -> a + v) * 1e6) as bigint)"
-        " as d2i, c.cid as cid, c.csub as csub))), 1)"
+        " as d2i, c.cid as cid))), 1)"
     )
     return (
         corpus_sub.join(F.broadcast(cent_arr), "s")
         .withColumn("b", best)
         .select(
-            "vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.csub").alias("csub")
+            "vec_id",
+            "s",
+            F.col("b.cid").alias("cid"),
+            F.expr("element_at(cents, b.cid + 1).csub").alias("csub"),
         )
     )
 
@@ -2572,7 +2583,10 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     assigned = spark.read.parquet(materialize_assignments(spark, sf)).select(
         "vec_id", F.col("cluster").alias("cell")
     )
-    norm = _pq_norm(emb)
+    # conditional fan-out of the full-corpus encode (see reencode_cells)
+    from engine.session import parallelize_scan, scan_units
+
+    norm = parallelize_scan(_pq_norm(emb), scan_units(sf, "embeddings"))
     cmeans = _pq_cell_means(norm, assigned)
     cmeans.write.mode("overwrite").parquet(tmp + "/cmeans")
     cmeans = spark.read.parquet(tmp + "/cmeans")
@@ -2588,9 +2602,13 @@ def materialize_pq_codes(spark: SparkSession, sf: str) -> str:
     enc = _pq_encode_against(
         _pq_subs(rvecs, "rv"), spark.read.parquet(tmp + "/cb")
     )
-    enc.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(tmp + "/codes")
+    # cluster by cell before the partitioned write (guide §6): the
+    # fanned-out encode would otherwise emit one file per (task, cell)
+    # — thousands of tiny files the probed read path then pays for.
+    # Hash distribution puts each cell's rows in exactly one task.
+    enc.join(assigned, "vec_id").repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(tmp + "/codes")
     try:
         os.rename(tmp, root)  # the atomic publish
     except OSError:
@@ -2651,21 +2669,51 @@ def reencode_cells(spark: SparkSession, sf: str, cells: list[int]) -> str:
         .select("vec_id", F.col("cluster").alias("cell"))
         .filter(F.col("cell").isin(cl))  # ≤ K cells — driver-sized list
     )
-    norm = _pq_norm(emb)
-    cm_new = _pq_cell_means(norm, flag_assigned)
+    # fan the encode out over the cores (r14, guide §2.5 input skew):
+    # the local testdata ships single-row-group parquet, so without the
+    # conditional repartition the whole re-encode — residuals, subspace
+    # explode, K-candidate argmin — ran as ONE task (13.7 s measured in
+    # the cold generation build); at cluster scale the scan has natural
+    # parallelism and parallelize_scan is a no-op. Order-free: every
+    # downstream aggregate here is an exact integer sum or a quantized
+    # argmin with cid tie-break.
+    from engine.session import parallelize_scan, scan_units
+
+    norm = parallelize_scan(_pq_norm(emb), scan_units(sf, "embeddings"))
+    # the new flagged-cell means are computed ONCE and pinned
+    # (localCheckpoint) so the codes' residuals consume the same rows
+    # the published cmeans relation carries — without the former
+    # write-then-read-back barrier that serialized the cmeans write
+    # before the (much larger) re-encode; the two artifact writes are
+    # independent and run overlapped (guide §2.6).
+    cm_new = _pq_cell_means(norm, flag_assigned).localCheckpoint()
     old_cm = spark.read.parquet(src + "/cmeans")
-    old_cm.filter(~F.col("cell").isin(cl)).unionByName(cm_new).write.mode(
-        "overwrite"
-    ).parquet(tmp + "/cmeans")
-    cmn = spark.read.parquet(tmp + "/cmeans")
-    resid = _pq_residuals(norm, flag_assigned, cmn)
+    resid = _pq_residuals(norm, flag_assigned, cm_new)
     enc = _pq_encode_against(
         _pq_subs(resid.select("vec_id", "rv"), "rv"),
         spark.read.parquet(tmp + "/cb"),
     )
-    enc.join(flag_assigned, "vec_id").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(tmp + "/codes")
+
+    def _write_cmeans() -> None:
+        old_cm.filter(~F.col("cell").isin(cl)).unionByName(
+            cm_new
+        ).write.mode("overwrite").parquet(tmp + "/cmeans")
+
+    def _write_codes() -> None:
+        # cell-clustering shuffle before the write — see
+        # materialize_pq_codes (one file per rewritten cell, not one
+        # per (task, cell))
+        enc.join(flag_assigned, "vec_id").repartition("cell").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(tmp + "/codes")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cm = pool.submit(_write_cmeans)
+        f_codes = pool.submit(_write_codes)
+        f_cm.result()
+        f_codes.result()
     with open(tmp + "/_cells", "w") as fh:
         fh.write(marker)
     shutil.rmtree(dst, ignore_errors=True)
@@ -2790,7 +2838,12 @@ def reindex_cells(
             .join(F.broadcast(moved.select("vec_id")), "vec_id", "left_anti")
         )
         new_assigned = moved.select("vec_id", F.col("cell_to").alias("cell"))
-        norm = _pq_norm(T(spark, sf, "embeddings"))
+        # conditional fan-out of the mover re-encode (see reencode_cells)
+        from engine.session import parallelize_scan, scan_units
+
+        norm = parallelize_scan(
+            _pq_norm(T(spark, sf, "embeddings")), scan_units(sf, "embeddings")
+        )
         cmn = spark.read.parquet(src + "/cmeans")
         resid = _pq_residuals(norm, new_assigned, cmn)
         enc = _pq_encode_against(
@@ -2798,9 +2851,11 @@ def reindex_cells(
             spark.read.parquet(src + "/cb"),
         )
         moved_rows = enc.join(new_assigned, "vec_id").select(surv.columns)
-        surv.unionByName(moved_rows).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(tmp + "/codes")
+        # cell-clustering shuffle before the write — see
+        # materialize_pq_codes
+        surv.unionByName(moved_rows).repartition("cell").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(tmp + "/codes")
     with open(tmp + "/_moved", "w") as fh:
         fh.write(marker)
     shutil.rmtree(dst, ignore_errors=True)

@@ -2988,15 +2988,21 @@ def pipeline_ann_retrain_apply(spark: SparkSession, sf: str) -> DataFrame:
         # only flagged cells' rows; consumed twice (re-fit sums +
         # post-retrain distances). In production this is a
         # partition-pruned read of the ingest store's flagged cells.
-        asgf = (
+        from engine.session import parallelize_scan, scan_units
+
+        # conditional fan-out (r14): the single-row-group local scan
+        # pinned this checkpoint — and the re-fit explode + distance
+        # aggregates that read it — to ONE task (guide §2.5); no-op at
+        # cluster scale. Downstream consumers are exact integer sums,
+        # so partitioning cannot move a coordinate.
+        asgf = parallelize_scan(
             emb.select(
                 "vec_id",
                 "embedding",
                 F.expr(argmin_sql)["cell"].alias("cell"),
-            )
-            .filter(_sql_in("cell", flagged))
-            .localCheckpoint()
-        )
+            ).filter(_sql_in("cell", flagged)),
+            scan_units(sf, "embeddings"),
+        ).localCheckpoint()
         sums = asgf.select(
             "cell", F.posexplode("embedding").alias("i", "v")
         ).groupBy("cell", "i").agg(
