@@ -1367,12 +1367,23 @@ def sim_simhash_radius(spark: SparkSession, sf: str) -> DataFrame:
     def band(col, i: int):
         return F.shiftright(col, i * _BAND_BITS).bitwiseAND(F.lit(32767))
 
-    cand = None
-    for i in range(_BANDS):
-        qi = q.select("query_doc_id", "qh", band(F.col("qh"), i).alias("bv"))
-        ci = sh.select("doc_id", "simhash", band(F.col("simhash"), i).alias("bv"))
-        part = qi.join(ci, "bv").drop("bv")
-        cand = part if cand is None else cand.unionAll(part)
+    def banded(df, idcols: list, col: str):
+        """(…, band index, band value) — one generator row per band."""
+        return df.select(
+            *idcols,
+            F.posexplode(
+                F.array(*[band(F.col(col), i) for i in range(_BANDS)])
+            ).alias("bi", "bv"),
+        )
+
+    # ONE (band-index, band-value) equi-join instead of a 4-branch
+    # union of per-band joins (r14, guide §2.4): the union re-read the
+    # cached corpus once per band and unioned 4 join subtrees; the
+    # composite key (bi, bv) preserves exactly the same candidate
+    # semantics (band i of the query matches band i of the corpus).
+    cand = banded(q, ["query_doc_id", "qh"], "qh").join(
+        banded(sh, ["doc_id", "simhash"], "simhash"), ["bi", "bv"]
+    ).drop("bi", "bv")
     ham = F.bit_count(F.col("qh").bitwiseXOR(F.col("simhash")))
     return (
         cand.distinct()
@@ -1818,54 +1829,65 @@ def scan_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the exact COUNT(DISTINCT) per column is the declared cost —
     swap in approx_count_distinct (the agg_approx_distinct path) when
     a profile beats exactness."""
-    o = T(spark, sf, "orders")
-    branches = [
-        o.select(F.lit("o_orderkey").alias("col"),
-                 F.col("o_orderkey").cast("string").alias("val")),
-        o.select(F.lit("o_custkey").alias("col"),
-                 F.col("o_custkey").cast("string").alias("val")),
-        o.select(F.lit("o_orderstatus").alias("col"),
-                 F.col("o_orderstatus").alias("val")),
-        o.select(
-            F.lit("o_totalprice").alias("col"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string").alias("val"),
-        ),
-        o.select(F.lit("o_orderdate").alias("col"),
-                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("val")),
-        o.select(F.lit("o_orderpriority").alias("col"),
-                 F.col("o_orderpriority").alias("val")),
-    ]
-    stacked = branches[0]
-    for b in branches[1:]:
-        stacked = stacked.unionAll(b)
-    from engine.session import scratch_cache
+    # r14 (VERDICT r13 task 4, guide §2.4): ONE scan + row-generator
+    # stack instead of a 6-branch union (the union scanned orders once
+    # per branch and needed a cache + two consumers), and every per-
+    # column statistic folds out of the (col, val) value-count relation
+    # in a SINGLE second aggregate — the full-relation countDistinct
+    # expand, the rank window and the join are gone:
+    #   n_rows      = Σ c            (null val kept as its own group)
+    #   n_non_null  = Σ c | val not null
+    #   n_distinct  = #groups | val not null
+    #   top         = min(struct(-c, val)) | val not null — identical
+    #                 to the old ROW_NUMBER(ORDER BY c DESC, val) pick.
+    # Plan: Scan → Generate → partial agg → Exchange(col,val) → agg →
+    # Exchange(col, ~distinct-values-sized) → agg. 6 scans + cache +
+    # window + expand + join → 1 scan + 2 aggregates.
+    from engine.session import parallelize_scan, scan_units
 
-    stacked = scratch_cache(stacked)
-    vc = (
-        stacked.filter(F.col("val").isNotNull())
-        .groupBy("col", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # the 6x explode + value-count partial agg is the key's CPU; fan it
+    # out when the local scan has no natural parallelism (no-op at
+    # cluster scale) — all downstream aggregates are order-free counts
+    o = parallelize_scan(T(spark, sf, "orders"), scan_units(sf, "orders"))
+    pairs = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        (
+            "o_totalprice",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        ),
+        ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(c).alias("col"), v.alias("val"))
+            for c, v in pairs
+        ]
     )
-    w = Window.partitionBy("col").orderBy(F.col("c").desc(), "val")
-    top = (
-        vc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("col", F.col("val").alias("top_value"), F.col("c").alias("top_count"))
-    )
-    agg = stacked.groupBy("col").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("val").alias("n_non_null"),
-        F.countDistinct("val").alias("n_distinct"),
+    stacked = o.select(F.explode(arr).alias("x")).select("x.col", "x.val")
+    vc = stacked.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    nn = F.col("val").isNotNull()
+    agg = vc.groupBy("col").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(nn, F.col("c")).otherwise(0)).alias("n_non_null"),
+        F.count(F.when(nn, 1)).alias("n_distinct"),
+        F.min(
+            F.when(nn, F.struct((-F.col("c")).alias("nc"), F.col("val").alias("v")))
+        ).alias("top"),
     )
     return (
-        agg.join(top, "col")
+        agg.filter(F.col("n_distinct") > 0)  # the old inner join's reach
         .select(
             F.col("col").alias("column_name"),
             "n_rows",
             (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
             "n_distinct",
-            "top_value",
-            dround(F.col("top_count") * 1.0 / F.col("n_rows"), 6).alias("top_share"),
+            F.col("top.v").alias("top_value"),
+            dround((-F.col("top.nc")) * 1.0 / F.col("n_rows"), 6).alias(
+                "top_share"
+            ),
         )
         .orderBy("column_name")
     )

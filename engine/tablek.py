@@ -556,8 +556,13 @@ def sim_srp_hamming_topk(spark: SparkSession, sf: str) -> DataFrame:
     BROADCAST sign matrix on dim, one partial-aggregable sum per
     (vec, bit); signatures then meet ONE broadcast query signature.
     Pairwise vec×vec never happens."""
+    from engine.session import parallelize_scan, scan_units
+
     emb = T(spark, sf, "embeddings")
-    q = emb.select(
+    # fan the 64x explode + sign join + (vec, bit) partial agg out of
+    # the single-row-group local scan (r14, guide §2.5); no-op at
+    # cluster scale — downstream sums are exact integers, order-free
+    q = parallelize_scan(emb, scan_units(sf, "embeddings")).select(
         "vec_id", F.posexplode("embedding").alias("d", "v")
     ).select(
         "vec_id",
