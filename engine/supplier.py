@@ -156,15 +156,26 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     values (raw double division is ulp-sensitive).
 
     r13 (guide §3.2): the p_size <= 5 predicate keeps ~10% of parts,
-    so the small-parts key set pre-filters lineitem via a broadcast
-    SEMI join BEFORE the (partkey, suppkey) aggregate and the ranking
-    window — both shuffles now carry only qualifying parts' rows.
-    Equivalent by construction: the rank is PARTITION BY l_partkey, so
-    dropping other partkeys cannot change any surviving group's rn=1
-    row, and non-qualifying partkeys were discarded by the final inner
-    join with part anyway."""
+    so the small-parts key set pre-filters lineitem via a SEMI join
+    BEFORE the (partkey, suppkey) aggregate and the ranking window —
+    both shuffles now carry only qualifying parts' rows. Equivalent by
+    construction: the rank is PARTITION BY l_partkey, so dropping other
+    partkeys cannot change any surviving group's rn=1 row, and
+    non-qualifying partkeys were discarded by the final inner join with
+    part anyway.
+
+    r14 (VERDICT r13 task 6): NO explicit broadcast hint on the
+    fact-proportional sides. p_size <= 5 keeps ~10% of `part`, which
+    GROWS with SF (~2B keys at 100 TB) — an explicit F.broadcast pins a
+    strategy AQE cannot demote and would OOM the driver at scale. The
+    planner/AQE now picks from actual sizes: broadcast semi at local
+    SFs (verified in the plan), sort-merge semi — with the runtime
+    Bloom filter eligible to prune the fact scan
+    (join_runtime_bloom_filter demonstrates the pattern) — once the key
+    set outgrows the threshold. Only `nation` (fixed 25 rows at every
+    SF) keeps its hint."""
     li = T(spark, sf, "lineitem")
-    small_parts = F.broadcast(
+    small_parts = (
         T(spark, sf, "part").filter(F.col("p_size") <= 5).select("p_partkey")
     )
     li = li.join(
@@ -177,8 +188,8 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     ranked = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    p = F.broadcast(T(spark, sf, "part").filter(F.col("p_size") <= 5))
-    su = F.broadcast(T(spark, sf, "supplier"))
+    p = T(spark, sf, "part").filter(F.col("p_size") <= 5)
+    su = T(spark, sf, "supplier")
     na = F.broadcast(T(spark, sf, "nation"))
     return (
         ranked.join(p, F.col("p_partkey") == F.col("l_partkey"))
