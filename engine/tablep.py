@@ -942,7 +942,11 @@ def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
         )
     )
-    c = emb.select(
+    from engine.session import parallelize_scan, scan_units
+
+    # fan the per-pair cos/dot scoring out of the single-row-group
+    # local scan (r14, guide §2.5); no-op at cluster scale
+    c = parallelize_scan(emb, scan_units(sf, "embeddings")).select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
     )
     dot = F.aggregate(
